@@ -1,0 +1,176 @@
+"""Large-N FFTs for TPU: four-step (Bailey) decomposition + Bluestein.
+
+The TPU backend's native XLA FFT only supports small transforms (empirically
+N ≤ 4096 on v5e/axon; larger sizes raise UNIMPLEMENTED). Detector traces are
+16k–32k samples (SURVEY.md §3, BASELINE.md), so every hot kernel needs big
+FFTs. This module implements them the TPU-native way:
+
+**Four-step FFT** — for composite N = N1·N2 (both ≤ 4096):
+
+    x[n1·N2 + n2]  →  reshape to [N1, N2]
+    (1) length-N1 FFTs along axis 0 (batched over N2 columns)
+    (2) multiply by twiddles  W_N^(k1·n2)
+    (3) length-N2 FFTs along axis 1 (batched over N1 rows)
+    (4) X[k1 + N1·k2] = H[k1, k2]  (transpose + reshape)
+
+Every step is a batched small FFT or an elementwise multiply — exactly the
+shapes the TPU vector unit wants. Recursion handles N up to 4096³.
+
+**Bluestein / chirp-z** — for large sizes with no ≤4096 factorization
+(e.g. large primes): converts the DFT into a power-of-two convolution which
+reuses the four-step path.
+
+The decomposition is mathematically exact, so the same code path runs on CPU
+(float64 golden tests) and TPU (float32/complex64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest FFT the TPU backend handles natively (empirical, v5e).
+MAX_NATIVE_FFT = 4096
+
+
+def _split_size(n: int) -> tuple[int, int] | None:
+    """Find (n1, n2) with n1·n2 = n, n2 ≤ MAX_NATIVE, preferring large,
+    balanced factors. Returns None if n has no such factorization."""
+    best = None
+    # prefer n2 as big as possible (deep pipelined inner FFT), n1 minimal
+    for n2 in range(min(n, MAX_NATIVE_FFT), 1, -1):
+        if n % n2 == 0:
+            n1 = n // n2
+            return (n1, n2)
+    return None
+
+
+def _real_dtype(cdtype):
+    return jnp.float64 if cdtype == jnp.complex128 else jnp.float32
+
+
+def const_complex(arr: np.ndarray, cdtype) -> jnp.ndarray:
+    """Bring a host complex constant on device as split re/im real arrays.
+
+    The TPU backend does not implement complex host↔device transfers
+    (empirical: UNIMPLEMENTED on axon/v5e); complex values must be
+    *constructed on device* from real parts. This helper is the one
+    sanctioned path for host complex constants into device code.
+    """
+    rdt = _real_dtype(cdtype)
+    return jax.lax.complex(jnp.asarray(np.asarray(arr).real, rdt),
+                           jnp.asarray(np.asarray(arr).imag, rdt))
+
+
+def _twiddle(n1: int, n2: int, n: int, dtype) -> jnp.ndarray:
+    """W_N^(k1·n2) twiddle matrix [n1, n2], computed in float64 on host for
+    accuracy, shipped as real cos/sin and joined on device."""
+    k1 = np.arange(n1)[:, None]
+    m2 = np.arange(n2)[None, :]
+    ang = -2.0 * np.pi * ((k1 * m2) % n) / n  # mod n keeps angles small/exact
+    return const_complex(np.cos(ang) + 1j * np.sin(ang), dtype)
+
+
+def fft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """FFT along ``axis`` supporting arbitrary N on TPU."""
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+        out = _fft_last(x)
+        return jnp.moveaxis(out, -1, axis)
+    return _fft_last(x)
+
+
+def ifft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Inverse FFT via conj(FFT(conj(x)))/N."""
+    n = x.shape[axis]
+    return jnp.conj(fft(jnp.conj(x), axis=axis)) / n
+
+
+def rfft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Real-input FFT, returning the N//2+1 non-negative-frequency bins."""
+    n = x.shape[axis]
+    full = fft(x.astype(_complex_dtype(x.dtype)), axis=axis)
+    sl = [slice(None)] * full.ndim
+    sl[axis] = slice(0, n // 2 + 1)
+    return full[tuple(sl)]
+
+
+def irfft(x: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
+    """Inverse of rfft (length n output)."""
+    # rebuild the Hermitian-symmetric full spectrum
+    x = jnp.moveaxis(x, axis, -1)
+    if n % 2 == 0:
+        neg = jnp.conj(x[..., 1:-1][..., ::-1])
+    else:
+        neg = jnp.conj(x[..., 1:][..., ::-1])
+    full = jnp.concatenate([x, neg], axis=-1)
+    out = ifft(full, axis=-1).real
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _complex_dtype(dtype):
+    if dtype in (jnp.float64, jnp.complex128):
+        return jnp.complex128
+    return jnp.complex64
+
+
+def _fft_last(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    if n <= MAX_NATIVE_FFT:
+        return jnp.fft.fft(x, axis=-1)
+    split = _split_size(n)
+    if split is None:
+        return _bluestein_last(x)
+    n1, n2 = split
+    cdtype = _complex_dtype(x.dtype)
+    xm = jnp.reshape(x.astype(cdtype), x.shape[:-1] + (n1, n2))
+    # (1) length-n1 FFTs down the columns (recurse if n1 > native limit)
+    if n1 <= MAX_NATIVE_FFT:
+        g = jnp.fft.fft(xm, axis=-2)
+    else:
+        g = jnp.moveaxis(_fft_last(jnp.moveaxis(xm, -2, -1)), -1, -2)
+    # (2) twiddles
+    g = g * _twiddle(n1, n2, n, cdtype)
+    # (3) length-n2 FFTs along the rows (n2 ≤ native limit by construction)
+    h = jnp.fft.fft(g, axis=-1)
+    # (4) X[k1 + n1·k2] = h[k1, k2] → swap, flatten
+    out = jnp.swapaxes(h, -1, -2)
+    return jnp.reshape(out, x.shape[:-1] + (n,))
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def _bluestein_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Chirp-z transform: DFT of arbitrary N via a 2^k convolution."""
+    n = x.shape[-1]
+    cdtype = _complex_dtype(x.dtype)
+    m = _next_pow2(2 * n - 1)
+    # host-side chirp in float64
+    k = np.arange(n)
+    w = np.exp(-1j * np.pi * (k * k % (2 * n)) / n)  # exact phase mod 2n
+    w_dev = const_complex(w, cdtype)
+    a = x.astype(cdtype) * w_dev
+    b = np.zeros(m, dtype=np.complex128)
+    b[:n] = np.conj(w)
+    b[m - n + 1:] = np.conj(w[1:][::-1])
+    bf = const_complex(np.fft.fft(b), cdtype)
+    a_pad = jnp.concatenate(
+        [a, jnp.zeros(x.shape[:-1] + (m - n,), cdtype)], axis=-1
+    )
+    conv = ifft(fft(a_pad) * bf)
+    return conv[..., :n] * w_dev
+
+
+def fftfreq(n: int, fs: float) -> np.ndarray:
+    """Two-sided frequency axis (host numpy — static under jit)."""
+    return np.fft.fftfreq(n, d=1.0 / fs)
+
+
+# convenience partial used by kernels that need a specific axis
+fft_last = partial(fft, axis=-1)
+ifft_last = partial(ifft, axis=-1)

@@ -1,0 +1,255 @@
+"""Batched single-channel optimal-filter kernels (1x1, and 1x2 two-template).
+
+TPU-native replacement for qetpy.OF1x1/OF1x2 as used by the reference's
+feature extractors (detprocess/core/algorithms.py:278-647). Where the
+reference instantiates an OF object per event and channel inside a Python
+loop, these kernels act on a whole batch of events at once:
+
+    traces [B, S, N]  -(one batched FFT)->  vfft [B, S, N]
+    -> nodelay / withdelay / constrained fits as fused reductions
+
+with S = stacked (channel, template) slots from the filter bank
+(ops/filterbank.make_of1x1_bank) and N = samples.
+
+Optimal-filter math (standard matched-filter formalism; conventions in
+ops/filterbank.py): for signal FFT ṽ and bank quantities (phi, norm,
+denom_inv, s̃):
+
+- ``q(d)     = Re Σ_k phi_k ṽ_k e^{2πikd/N}`` — amplitude numerator vs delay d
+- ``amp(d)   = q(d) / norm``,  ``σ_amp = 1/sqrt(norm)``
+- ``χ²(d)    = χ²₀ − q(d)²/norm``,  ``χ²₀ = Σ_k |ṽ_k|² denom_inv_k``
+- low-frequency χ² restricted to ``|f| < fcutoff`` (and non-DC) with the
+  fitted (amp, d) residual — matches OF1x1 ``lowchi2_fcutoff``.
+
+Delay indexing: ifft index d is rolled by ``pretrigger`` so that absolute
+trace index i corresponds to a pulse whose trigger point sits at sample i;
+``t0 = (i − pretrigger)/fs`` (negative = earlier than the nominal trigger),
+matching qetpy's t0 sign conventions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detprocess_tpu.ops import fft as dfft
+
+
+def signal_fft(traces: jnp.ndarray) -> jnp.ndarray:
+    """FFT of a batch of traces (the per-event precompute shared by all OF
+    algorithms — replaces OFBase.update_signal(calc_fft=True),
+    processing_data.py:763-772)."""
+    return dfft.fft(traces, axis=-1)
+
+
+def chi2_base(vfft: jnp.ndarray, denom_inv: jnp.ndarray) -> jnp.ndarray:
+    """χ²₀ = Σ_k |ṽ|² / (N·fs·J) — the no-pulse chi-square."""
+    return jnp.sum((vfft.real**2 + vfft.imag**2) * denom_inv, axis=-1)
+
+
+def lowfreq_mask(n: int, fs: float, fcutoff: float) -> np.ndarray:
+    """Static boolean mask [N]: |f| < fcutoff and not DC (host-side)."""
+    f = np.fft.fftfreq(n, d=1.0 / fs)
+    mask = np.abs(f) < fcutoff
+    mask[0] = False
+    return mask
+
+
+def _residual_chi2(vfft, amp, shift, s_fft, denom_inv, mask):
+    """χ² of (ṽ − amp·s̃·e^{−2πik·shift/N}) over masked bins.
+
+    ``shift`` is the delay in samples (traced, can be 0); broadcasting:
+    vfft [..., N], amp/shift [...]
+    """
+    n = vfft.shape[-1]
+    k = jnp.arange(n)
+    phase = jnp.exp(-2j * jnp.pi * k * shift[..., None] / n)
+    resid = vfft - amp[..., None] * s_fft * phase
+    return jnp.sum((resid.real**2 + resid.imag**2) * denom_inv * mask, axis=-1)
+
+
+class OF1x1Result(NamedTuple):
+    amp: jnp.ndarray
+    t0: jnp.ndarray
+    chi2: jnp.ndarray
+    lowchi2: jnp.ndarray
+    chi2_nopulse: jnp.ndarray
+
+
+def of1x1_nodelay(
+    vfft: jnp.ndarray,
+    phi: jnp.ndarray,
+    norm: jnp.ndarray,
+    denom_inv: jnp.ndarray,
+    s_fft: jnp.ndarray,
+    low_mask: Optional[jnp.ndarray] = None,
+) -> OF1x1Result:
+    """No-delay OF fit (amplitude at the nominal trigger position).
+
+    Equivalent of FeatureExtractors.of1x1_nodelay
+    (core/algorithms.py:278-350). Shapes: vfft [..., S, N]; bank arrays
+    [S, N] / [S]; results [..., S].
+    """
+    q = jnp.sum((phi * vfft).real, axis=-1)
+    amp = q / norm
+    c0 = chi2_base(vfft, denom_inv)
+    chi2 = c0 - q * q / norm
+    if low_mask is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        zero = jnp.zeros_like(amp)
+        lowchi2 = _residual_chi2(vfft, amp, zero, s_fft, denom_inv, low_mask)
+    t0 = jnp.zeros_like(amp)
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
+def of1x1_withdelay(
+    vfft: jnp.ndarray,
+    phi: jnp.ndarray,
+    norm: jnp.ndarray,
+    denom_inv: jnp.ndarray,
+    s_fft: jnp.ndarray,
+    pretrigger: int,
+    fs: float,
+    window_mask: Optional[jnp.ndarray] = None,
+    low_mask: Optional[jnp.ndarray] = None,
+    interpolate_t0: bool = False,
+) -> OF1x1Result:
+    """Delay-scan OF fit, optionally constrained to a window.
+
+    Equivalent of of1x1_unconstrained / of1x1_constrained
+    (core/algorithms.py:355-570). ``window_mask`` is a static boolean [N]
+    over **absolute trace indices** (True = allowed); build it from
+    utils.windows.extract_window_indices, inverting for
+    ``lgc_outside_window``. ``interpolate_t0`` refines t0/amp with a
+    parabolic fit around the discrete χ² minimum.
+    """
+    n = vfft.shape[-1]
+    # amplitude numerator vs delay, rolled to absolute trace indices
+    qt = dfft.ifft(phi * vfft, axis=-1).real * n          # [..., S, N]
+    q_abs = jnp.roll(qt, pretrigger, axis=-1)
+    c0 = chi2_base(vfft, denom_inv)                          # [..., S]
+    dchi2 = q_abs * q_abs / norm[..., None]                  # [..., S, N]
+
+    if window_mask is None:
+        masked = dchi2
+    else:
+        masked = jnp.where(window_mask, dchi2, -jnp.inf)
+    imin = jnp.argmax(masked, axis=-1)                       # [..., S]
+
+    q_best = jnp.take_along_axis(q_abs, imin[..., None], axis=-1)[..., 0]
+    amp = q_best / norm
+    chi2 = c0 - q_best * q_best / norm
+    t0_idx = imin.astype(q_abs.dtype) - pretrigger
+    shift = t0_idx  # delay in samples
+
+    if interpolate_t0:
+        # parabolic interpolation of χ²(d) = c0 - dchi2 around the minimum
+        im1 = (imin - 1) % n
+        ip1 = (imin + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
+        y0 = -jnp.take_along_axis(dchi2, imin[..., None], axis=-1)[..., 0]
+        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom, 0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        # interpolated chi2 minimum and matching amplitude magnitude
+        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
+        am1 = jnp.take_along_axis(q_abs, im1[..., None], axis=-1)[..., 0] / norm
+        ap1 = jnp.take_along_axis(q_abs, ip1[..., None], axis=-1)[..., 0] / norm
+        # quadratic interp of amp at the same offset
+        a_denom = am1 - 2.0 * amp + ap1
+        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
+        shift = t0_idx + delta
+
+    t0 = shift / fs
+
+    if low_mask is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        lowchi2 = _residual_chi2(vfft, amp, shift, s_fft, denom_inv, low_mask)
+
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
+def energy_resolution(norm: jnp.ndarray) -> jnp.ndarray:
+    """σ_amp = 1/sqrt(norm) — OF amplitude resolution
+    (qetpy OF1x1.get_energy_resolution equivalent)."""
+    return 1.0 / jnp.sqrt(norm)
+
+
+def time_resolution(amp: jnp.ndarray, s_fft: jnp.ndarray,
+                    denom_inv: jnp.ndarray, fs: float) -> jnp.ndarray:
+    """σ_t0 = 1/sqrt(amp² · Σ_k ω_k² |s̃_k|² /(N·fs·J_k)).
+
+    Curvature of χ²(t0) at the minimum (qetpy OF1x1.get_time_resolution
+    equivalent, used by of1x1_constrained, core/algorithms.py:558).
+    """
+    n = s_fft.shape[-1]
+    f = jnp.fft.fftfreq(n, d=1.0 / fs).astype(denom_inv.dtype)
+    omega2 = (2.0 * jnp.pi * f) ** 2
+    curv = jnp.sum(omega2 * (s_fft.real**2 + s_fft.imag**2) * denom_inv, axis=-1)
+    return 1.0 / jnp.sqrt(amp * amp * curv)
+
+
+# ---------------------------------------------------------------------------
+# OF 1x2: one channel, two templates with independent time shifts
+# ---------------------------------------------------------------------------
+
+class OF1x2Result(NamedTuple):
+    amp1: jnp.ndarray
+    amp2: jnp.ndarray
+    t0_1: jnp.ndarray
+    t0_2: jnp.ndarray
+    time_diff: jnp.ndarray
+    chi2: jnp.ndarray
+
+
+def of1x2(
+    vfft: jnp.ndarray,
+    phi1: jnp.ndarray, norm1: jnp.ndarray, s_fft1: jnp.ndarray,
+    phi2: jnp.ndarray, norm2: jnp.ndarray, s_fft2: jnp.ndarray,
+    denom_inv: jnp.ndarray,
+    pretrigger: int,
+    fs: float,
+) -> OF1x2Result:
+    """Two-template sequential OF fit (scintillation + evaporation pulses).
+
+    Equivalent of qetpy.OF1x2 as used by FeatureExtractors.of1x2x2
+    (core/algorithms.py:572-647): fit the dominant template with delay,
+    subtract, then fit the second template on the residual with delay.
+    Both fits share one noise model (denom_inv). Shapes as in of1x1 kernels.
+    """
+    n = vfft.shape[-1]
+
+    # first pulse: unconstrained delay fit with template 1
+    q1 = dfft.ifft(phi1 * vfft, axis=-1).real * n
+    q1_abs = jnp.roll(q1, pretrigger, axis=-1)
+    i1 = jnp.argmax(q1_abs**2, axis=-1)
+    q1b = jnp.take_along_axis(q1_abs, i1[..., None], axis=-1)[..., 0]
+    amp1 = q1b / norm1
+    shift1 = i1.astype(vfft.real.dtype) - pretrigger
+
+    # subtract template-1 fit from the signal FFT
+    k = jnp.arange(n)
+    phase1 = jnp.exp(-2j * jnp.pi * k * shift1[..., None] / n)
+    vres = vfft - amp1[..., None] * s_fft1 * phase1
+
+    # second pulse on the residual with template 2
+    q2 = dfft.ifft(phi2 * vres, axis=-1).real * n
+    q2_abs = jnp.roll(q2, pretrigger, axis=-1)
+    i2 = jnp.argmax(q2_abs**2, axis=-1)
+    q2b = jnp.take_along_axis(q2_abs, i2[..., None], axis=-1)[..., 0]
+    amp2 = q2b / norm2
+    shift2 = i2.astype(vfft.real.dtype) - pretrigger
+
+    phase2 = jnp.exp(-2j * jnp.pi * k * shift2[..., None] / n)
+    vres2 = vres - amp2[..., None] * s_fft2 * phase2
+    chi2 = jnp.sum((vres2.real**2 + vres2.imag**2) * denom_inv, axis=-1)
+
+    t0_1 = shift1 / fs
+    t0_2 = shift2 / fs
+    return OF1x2Result(amp1, amp2, t0_1, t0_2, t0_2 - t0_1, chi2)

@@ -1,0 +1,106 @@
+"""Miscellaneous host-side helpers (series names, linear-segment detection,
+list utilities). Mirrors behavior of detprocess/utils/utils.py and
+detprocess/utils/arg_utils.py where cited.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime
+from typing import List
+
+import numpy as np
+
+
+def create_series_name(facility: int, now: datetime | None = None) -> str:
+    """'I{facility}_D{yyyymmdd}_T{hhmmss}' (detprocess/utils/utils.py:28-52)."""
+    now = now or datetime.now()
+    return f"I{facility}_D{now.strftime('%Y%m%d')}_T{now.strftime('%H%M%S')}"
+
+
+def create_directory(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def unique_list(alist) -> list:
+    """Order-preserving dedup (detprocess/utils/utils.py:418-434)."""
+    if not isinstance(alist, (list, np.ndarray)):
+        alist = [alist]
+    seen = set()
+    out = []
+    for item in alist:
+        if item not in seen:
+            out.append(item)
+        seen.add(item)
+    return out
+
+
+def is_empty(param) -> bool:
+    if param is None:
+        return True
+    try:
+        return len(param) == 0
+    except TypeError:
+        return False
+
+
+def find_linear_segment(x, y, tolerance: float = 0.05) -> List[int]:
+    """Find the initial linear segment of (x, y) within tolerance.
+
+    Standardizes on the first 3 points, fits a line through them, and walks
+    forward until deviations exceed tolerance on two consecutive points.
+    Used for SC/normal state detection in IV sweeps
+    (detprocess/utils/utils.py:304-356).
+    """
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if len(x) < 3:
+        return []
+    if len(x) != len(y):
+        raise ValueError("x and y must have the same length")
+
+    xs = (x - np.mean(x[:3])) / np.std(x[:3])
+    ys = (y - np.mean(y[:3])) / np.std(y[:3])
+    slope, intercept = np.polyfit(xs[:3], ys[:3], 1)
+    deviations = np.abs(ys - (slope * xs + intercept))
+
+    index_list: List[int] = []
+    n = len(deviations)
+    for idx in range(n):
+        dev = deviations[idx]
+        if idx < 3 and dev > tolerance / 10:
+            return []
+        if dev > tolerance:
+            if n > idx + 1:
+                if deviations[idx + 1] > tolerance:
+                    break
+            else:
+                break
+        else:
+            index_list.append(idx)
+    return index_list
+
+
+def hyphen_range(s: str) -> List[int]:
+    """Expand '1-3,5' -> [1, 2, 3, 5] (detprocess/utils/arg_utils.py:26)."""
+    out: List[int] = []
+    for part in s.split(","):
+        part = part.strip()
+        if "-" in part:
+            lo, hi = part.split("-")
+            out.extend(range(int(lo), int(hi) + 1))
+        elif part:
+            out.append(int(part))
+    return out
+
+
+def convert_to_seconds(s: str) -> float:
+    """Parse '10s' / '5m' / '2h' / '1d' into seconds
+    (detprocess/utils/arg_utils.py:70)."""
+    m = re.fullmatch(r"\s*([\d.]+)\s*([smhd]?)\s*", s)
+    if not m:
+        raise ValueError(f"cannot parse time string: {s}")
+    value, unit = float(m.group(1)), m.group(2) or "s"
+    mult = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}[unit]
+    return value * mult

@@ -1,0 +1,139 @@
+"""Tests for channel algebra, windowing, and frequency utilities."""
+
+import numpy as np
+import pytest
+
+from detprocess_tpu.utils import channels, windows, freq, misc
+
+
+AVAILABLE = ["Mv2303", "Mv3112", "chanA", "chanB", "chanC"]
+
+
+class TestSplitChannelName:
+    def test_single(self):
+        assert channels.split_channel_name("chanA", AVAILABLE) == (["chanA"], None)
+
+    def test_all(self):
+        assert channels.split_channel_name("all", AVAILABLE) == (["all"], None)
+
+    def test_comma(self):
+        lst, sep = channels.split_channel_name("chanA,chanB", AVAILABLE)
+        assert lst == ["chanA", "chanB"] and sep == ","
+
+    def test_pipe_order_matters(self):
+        lst, sep = channels.split_channel_name("chanB|chanA", AVAILABLE)
+        assert lst == ["chanB", "chanA"] and sep == "|"
+
+    def test_plus(self):
+        lst, sep = channels.split_channel_name("chanA+chanB", AVAILABLE)
+        assert lst == ["chanA", "chanB"] and sep == "+"
+
+    def test_minus(self):
+        lst, sep = channels.split_channel_name("chanA-chanB", AVAILABLE)
+        assert sorted(lst) == ["chanA", "chanB"] and sep == "-"
+
+    def test_minus_requires_available(self):
+        with pytest.raises(ValueError):
+            channels.split_channel_name("chanA-chanB", separator="-")
+
+    def test_unknown_channel(self):
+        with pytest.raises(ValueError):
+            channels.split_channel_name("chanA+chanX", AVAILABLE)
+
+    def test_separator_split_no_available(self):
+        lst, sep = channels.split_channel_name("x|y|z", separator="|")
+        assert lst == ["x", "y", "z"] and sep == "|"
+
+
+class TestCombinationWeights:
+    def test_sum(self):
+        chans, w = channels.channel_combination_weights("chanA+chanB", AVAILABLE)
+        assert chans == ["chanA", "chanB"] and w == [1.0, 1.0]
+
+    def test_difference(self):
+        chans, w = channels.channel_combination_weights("chanA-chanB", AVAILABLE)
+        assert chans == ["chanA", "chanB"] and w == [1.0, -1.0]
+
+    def test_plain(self):
+        chans, w = channels.channel_combination_weights("chanA", AVAILABLE)
+        assert chans == ["chanA"] and w == [1.0]
+
+
+class TestWindows:
+    def test_defaults(self):
+        lo, hi = windows.extract_window_indices(1000, 250, 1e6)
+        assert (lo, hi) == (0, 999)
+
+    def test_from_trig(self):
+        lo, hi = windows.extract_window_indices(
+            1000, 250, 1e6,
+            window_min_from_trig_usec=-100, window_max_from_trig_usec=100)
+        assert (lo, hi) == (150, 350)
+
+    def test_from_start_and_end(self):
+        lo, hi = windows.extract_window_indices(
+            1000, 250, 1e6,
+            window_min_from_start_usec=10, window_max_to_end_usec=20)
+        assert (lo, hi) == (10, 1000 - 20 - 1)
+
+    def test_clamping(self):
+        lo, hi = windows.extract_window_indices(
+            1000, 250, 1e6, window_min_from_trig_usec=-1e6)
+        assert lo == 0
+
+    def test_inverted_raises(self):
+        with pytest.raises(ValueError):
+            windows.extract_window_indices(
+                1000, 250, 1e6,
+                window_min_from_trig_usec=100,
+                window_max_from_trig_usec=-100)
+
+
+class TestFreq:
+    def test_estimate_sampling_rate_two_sided(self):
+        fs = 1.25e6
+        freqs = np.fft.fftfreq(4096, d=1 / fs)
+        assert abs(freq.estimate_sampling_rate(freqs) - fs) < 1e-6
+
+    def test_estimate_sampling_rate_one_sided(self):
+        fs = 1.25e6
+        freqs = np.fft.rfftfreq(4096, d=1 / fs)
+        assert abs(freq.estimate_sampling_rate(freqs) - fs) < 1e-6
+
+    def test_cleanup_freq_ranges(self):
+        ranges, names = freq.cleanup_freq_ranges([[65.0, 45.0], 120.0])
+        assert ranges == [[45.0, 65.0], [120.0]]
+        assert names == ["45_65", "120"]
+
+    def test_get_ind_freq_ranges(self):
+        freqs = np.arange(0, 1000, 10.0)
+        idx = freq.get_ind_freq_ranges([[100.0, 200.0], [55.0]], freqs)
+        assert idx[0] == [10, 20]
+        assert idx[1][1] == idx[1][0] + 1
+
+
+class TestMisc:
+    def test_series_name(self):
+        from datetime import datetime
+        name = misc.create_series_name(1, datetime(2026, 8, 16, 3, 4, 5))
+        assert name == "I1_D20260816_T030405"
+        assert channels.series_name_to_number(name) == int("1" + "20260816" + "030405")
+
+    def test_unique_list(self):
+        assert misc.unique_list([3, 1, 3, 2, 1]) == [3, 1, 2]
+
+    def test_hyphen_range(self):
+        assert misc.hyphen_range("1-3,5") == [1, 2, 3, 5]
+
+    def test_convert_to_seconds(self):
+        assert misc.convert_to_seconds("90s") == 90
+        assert misc.convert_to_seconds("2m") == 120
+        assert misc.convert_to_seconds("1.5h") == 5400
+
+    def test_find_linear_segment(self):
+        x = np.arange(10.0)
+        y = 2 * x + 1
+        y[7:] += np.array([1.0, 2.0, 3.0])  # break linearity at 7
+        idx = misc.find_linear_segment(x, y, tolerance=0.05)
+        assert idx[:3] == [0, 1, 2]
+        assert 7 not in idx or 8 not in idx
