@@ -1,0 +1,373 @@
+"""Filter-file store: tagged templates, PSDs/CSDs, dPdI, IV/dIdV results.
+
+TPU-native equivalent of the reference FilterData + pytesio.FilterH5IO
+(detprocess/core/filterdata.py:218-302, :604-633). The on-disk schema is
+kept interoperable in spirit:
+
+    /{channel}/{param}_{tag}            — dataset(s) for the value
+    /{channel}/{param}_{tag}/_metadata  — attrs dict
+
+Values may be:
+- 1-D arrays with an index axis (stored as ``values`` + ``index`` datasets,
+  the reference's pd.Series convention — e.g. ``template_default`` indexed
+  by time, ``psd_default`` indexed by two-sided frequency)
+- n-D arrays (e.g. ``csd_default`` [C, C, N])
+- tabular data (dict of 1-D columns / pandas DataFrame)
+- plain scalar dicts (fit results) stored as attrs
+
+Naming follows the reference appendix (SURVEY.md): ``template_{tag}``,
+``psd_{tag}``, ``csd_{tag}``, ``dpdi_{n}poles_{tag}``,
+``ivsweep_data_{tag}``, ``ivsweep_results_{noise,didv}_{tag}``,
+``didv_results_{n}poles_{kind}_{tag}``.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.utils import freq as frequtils
+
+
+def _is_tabular(value) -> bool:
+    return isinstance(value, (pd.DataFrame,)) or (
+        isinstance(value, dict)
+        and value
+        and all(isinstance(v, (list, np.ndarray)) for v in value.values())
+    )
+
+
+class FilterData:
+    """In-memory tagged store + HDF5 persistence."""
+
+    def __init__(self, verbose: bool = True):
+        self._verbose = verbose
+        self._filter_data: dict = {}
+
+    # ------------------------------------------------------------------
+    # generic access
+    # ------------------------------------------------------------------
+    @property
+    def data(self) -> dict:
+        return self._filter_data
+
+    def channels(self):
+        return list(self._filter_data.keys())
+
+    def describe(self):
+        """Print the store contents (FilterData.describe, filterdata.py:50)."""
+        for chan, params in self._filter_data.items():
+            print(f"channel: {chan}")
+            for name, val in params.items():
+                if name.endswith("_metadata"):
+                    continue
+                shape = getattr(val, "shape", None)
+                print(f"  {name}: "
+                      f"{type(val).__name__}{f' {shape}' if shape is not None else ''}")
+
+    def _set(self, channel: str, name: str, value, metadata: Optional[dict],
+             index=None):
+        chan_dict = self._filter_data.setdefault(channel, {})
+        if index is not None and isinstance(value, np.ndarray) and value.ndim == 1:
+            value = pd.Series(value, index=index)
+        chan_dict[name] = value
+        md = copy.deepcopy(metadata) if metadata else {}
+        md.setdefault("channel", channel)
+        chan_dict[name + "_metadata"] = md
+
+    def _get(self, channel: str, name: str, return_metadata: bool = False):
+        if channel not in self._filter_data:
+            raise KeyError(f"no data for channel {channel}")
+        chan_dict = self._filter_data[channel]
+        if name not in chan_dict:
+            raise KeyError(f'no parameter "{name}" for channel {channel}')
+        value = chan_dict[name]
+        if return_metadata:
+            return value, chan_dict.get(name + "_metadata", {})
+        return value
+
+    def has(self, channel: str, name: str) -> bool:
+        return name in self._filter_data.get(channel, {})
+
+    # ------------------------------------------------------------------
+    # templates
+    # ------------------------------------------------------------------
+    def set_template(self, channels, template: np.ndarray,
+                     sample_rate: float,
+                     pretrigger_length_samples: Optional[int] = None,
+                     pretrigger_length_msec: Optional[float] = None,
+                     tag: str = "default", metadata: Optional[dict] = None):
+        """Store a time-domain template (filterdata.py:539-632 semantics).
+
+        For multi-template channels pass [C, M, N] (or [M, N] for 1 channel);
+        1-D arrays are single templates.
+        """
+        template = np.asarray(template)
+        nbins = template.shape[-1]
+        if pretrigger_length_samples is None:
+            if pretrigger_length_msec is None:
+                raise ValueError("pretrigger length required")
+            pretrigger_length_samples = int(
+                round(pretrigger_length_msec * 1e-3 * sample_rate))
+        md = dict(metadata or {})
+        md.update({
+            "sample_rate": sample_rate,
+            "nb_samples": nbins,
+            "nb_pretrigger_samples": int(pretrigger_length_samples),
+        })
+        t = np.arange(nbins) / sample_rate
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            if template.ndim == 1:
+                self._set(chan, f"template_{tag}", template.copy(), md, index=t)
+            else:
+                self._set(chan, f"template_{tag}", template.copy(), md)
+
+    def get_template(self, channel, tag: str = "default",
+                     return_metadata: bool = False):
+        val, md = self._get(channel, f"template_{tag}", return_metadata=True)
+        if isinstance(val, pd.Series):
+            arr, time = val.to_numpy(), val.index.to_numpy()
+        else:
+            arr = np.asarray(val)
+            fs = md.get("sample_rate")
+            time = np.arange(arr.shape[-1]) / fs if fs else None
+        if return_metadata:
+            return arr, time, md
+        return arr, time
+
+    # ------------------------------------------------------------------
+    # PSD / CSD
+    # ------------------------------------------------------------------
+    def set_psd(self, channels, psd: np.ndarray, sample_rate: float,
+                tag: str = "default", metadata: Optional[dict] = None):
+        """Store a TWO-SIDED PSD (the reference rejects folded PSDs,
+        filterdata.py:674-676)."""
+        psd = np.asarray(psd)
+        n = psd.shape[-1]
+        freqs = frequtils.fftfreq(n, sample_rate)
+        md = dict(metadata or {})
+        md.update({"sample_rate": sample_rate, "nb_samples": n})
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            self._set(chan, f"psd_{tag}", psd.copy(), md, index=freqs)
+
+    def get_psd(self, channel, tag: str = "default", fold: bool = False,
+                return_metadata: bool = False):
+        val, md = self._get(channel, f"psd_{tag}", return_metadata=True)
+        if isinstance(val, pd.Series):
+            psd, freqs = val.to_numpy(), val.index.to_numpy()
+        else:
+            psd = np.asarray(val)
+            fs = md.get("sample_rate")
+            freqs = frequtils.fftfreq(psd.shape[-1], fs)
+        if fold:
+            fs = md.get("sample_rate",
+                        frequtils.estimate_sampling_rate(freqs))
+            freqs, psd = frequtils.fold_spectrum(psd, fs)
+        if return_metadata:
+            return psd, freqs, md
+        return psd, freqs
+
+    def set_csd(self, channels, csd: np.ndarray, sample_rate: float,
+                tag: str = "default", metadata: Optional[dict] = None):
+        """Store a two-sided CSD [C, C, N] for a compound channel
+        'ch1|ch2|...' (filterdata.py:806-828)."""
+        csd = np.asarray(csd)
+        md = dict(metadata or {})
+        md.update({"sample_rate": sample_rate, "nb_samples": csd.shape[-1]})
+        chan = channels if isinstance(channels, str) else "|".join(channels)
+        self._set(chan, f"csd_{tag}", csd.copy(), md)
+
+    def get_csd(self, channel, tag: str = "default", fold: bool = False,
+                return_metadata: bool = False):
+        val, md = self._get(channel, f"csd_{tag}", return_metadata=True)
+        csd = np.asarray(val)
+        fs = md.get("sample_rate")
+        freqs = frequtils.fftfreq(csd.shape[-1], fs) if fs else None
+        if fold:
+            freqs, csd = frequtils.fold_spectrum(csd, fs)
+        if return_metadata:
+            return csd, freqs, md
+        return csd, freqs
+
+    # ------------------------------------------------------------------
+    # dPdI
+    # ------------------------------------------------------------------
+    def set_dpdi(self, channels, dpdi: np.ndarray, freqs: np.ndarray,
+                 poles: int, tag: str = "default",
+                 metadata: Optional[dict] = None):
+        md = dict(metadata or {})
+        md["poles"] = int(poles)
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            # complex values stored as a 2-column (re, im) series pair
+            self._set(chan, f"dpdi_{poles}poles_{tag}",
+                      np.asarray(dpdi), md)
+            self._set(chan, f"dpdi_{poles}poles_{tag}_freqs",
+                      np.asarray(freqs), md)
+
+    def get_dpdi(self, channel, poles: int, tag: str = "default",
+                 return_metadata: bool = False):
+        dpdi, md = self._get(channel, f"dpdi_{poles}poles_{tag}",
+                             return_metadata=True)
+        freqs = self._get(channel, f"dpdi_{poles}poles_{tag}_freqs")
+        if return_metadata:
+            return np.asarray(dpdi), np.asarray(freqs), md
+        return np.asarray(dpdi), np.asarray(freqs)
+
+    # ------------------------------------------------------------------
+    # IV sweep / dIdV results (tabular & dict payloads)
+    # ------------------------------------------------------------------
+    def set_ivsweep_data(self, channel, df: pd.DataFrame,
+                         tag: str = "default",
+                         metadata: Optional[dict] = None):
+        self._set(channel, f"ivsweep_data_{tag}", df, metadata)
+
+    def get_ivsweep_data(self, channel, tag: str = "default"):
+        return self._get(channel, f"ivsweep_data_{tag}")
+
+    def set_ivsweep_results(self, channel, results: dict, measurement: str,
+                            tag: str = "default",
+                            metadata: Optional[dict] = None):
+        self._set(channel, f"ivsweep_results_{measurement}_{tag}",
+                  results, metadata)
+
+    def get_ivsweep_results(self, channel, measurement: str,
+                            tag: str = "default"):
+        return self._get(channel, f"ivsweep_results_{measurement}_{tag}")
+
+    def set_didv_results(self, channel, results: dict, poles: int,
+                         tag: str = "default",
+                         metadata: Optional[dict] = None):
+        self._set(channel, f"didv_results_{poles}poles_{tag}",
+                  results, metadata)
+
+    def get_didv_results(self, channel, poles: int, tag: str = "default"):
+        return self._get(channel, f"didv_results_{poles}poles_{tag}")
+
+    # ------------------------------------------------------------------
+    # HDF5 persistence
+    # ------------------------------------------------------------------
+    def save_hdf5(self, path: str, overwrite: bool = True):
+        mode = "w" if overwrite else "a"
+        with h5py.File(path, mode) as f:
+            for chan, params in self._filter_data.items():
+                cg = f.require_group(chan)
+                for name, value in params.items():
+                    if name.endswith("_metadata"):
+                        continue
+                    if name in cg:
+                        del cg[name]
+                    g = cg.create_group(name)
+                    md = params.get(name + "_metadata", {}) or {}
+                    self._write_value(g, value)
+                    mg = g.create_group("_metadata")
+                    for k, v in md.items():
+                        if v is None:
+                            continue
+                        try:
+                            mg.attrs[k] = v
+                        except TypeError:
+                            mg.attrs[k] = str(v)
+        if self._verbose:
+            print(f"INFO: filter data saved to {path}")
+
+    def load_hdf5(self, path: str, overwrite: bool = False):
+        with h5py.File(path, "r") as f:
+            for chan in f:
+                cg = f[chan]
+                chan_dict = self._filter_data.setdefault(chan, {})
+                for name in cg:
+                    if not overwrite and name in chan_dict:
+                        continue
+                    g = cg[name]
+                    chan_dict[name] = self._read_value(g)
+                    md = {}
+                    if "_metadata" in g:
+                        md = dict(g["_metadata"].attrs)
+                    chan_dict[name + "_metadata"] = md
+        return self
+
+    @staticmethod
+    def _write_value(g: h5py.Group, value):
+        if isinstance(value, pd.Series):
+            g.attrs["__type__"] = "series"
+            FilterData._write_array(g, "values", value.to_numpy())
+            g.create_dataset("index", data=value.index.to_numpy())
+        elif isinstance(value, pd.DataFrame):
+            g.attrs["__type__"] = "dataframe"
+            cols = g.create_group("columns")
+            for col in value.columns:
+                FilterData._write_array(cols, str(col), value[col].to_numpy())
+            g.attrs["__columns__"] = list(map(str, value.columns))
+        elif isinstance(value, np.ndarray):
+            g.attrs["__type__"] = "array"
+            FilterData._write_array(g, "values", value)
+        elif isinstance(value, dict):
+            g.attrs["__type__"] = "dict"
+            vg = g.create_group("values")
+            for k, v in value.items():
+                if isinstance(v, (np.ndarray, list)):
+                    FilterData._write_array(vg, str(k), np.asarray(v))
+                elif v is None:
+                    continue
+                else:
+                    try:
+                        vg.attrs[str(k)] = v
+                    except TypeError:
+                        vg.attrs[str(k)] = str(v)
+        else:
+            g.attrs["__type__"] = "scalar"
+            g.attrs["value"] = value
+
+    @staticmethod
+    def _write_array(parent, name, arr: np.ndarray):
+        arr = np.asarray(arr)
+        if arr.dtype == object:
+            arr = arr.astype("S")
+        if np.iscomplexobj(arr):
+            # complex stored as re/im pair for h5 portability
+            g = parent.create_group(name)
+            g.attrs["__complex__"] = True
+            g.create_dataset("re", data=arr.real)
+            g.create_dataset("im", data=arr.imag)
+        else:
+            parent.create_dataset(name, data=arr)
+
+    @staticmethod
+    def _read_array(node):
+        if isinstance(node, h5py.Group) and node.attrs.get("__complex__"):
+            return node["re"][...] + 1j * node["im"][...]
+        arr = node[...]
+        if arr.dtype.kind == "S":
+            arr = arr.astype(str)
+        return arr
+
+    @staticmethod
+    def _read_value(g: h5py.Group):
+        kind = g.attrs.get("__type__", "array")
+        if kind == "series":
+            return pd.Series(FilterData._read_array(g["values"]),
+                             index=g["index"][...])
+        if kind == "dataframe":
+            cols = g.attrs["__columns__"]
+            data = {c: FilterData._read_array(g["columns"][c]) for c in cols}
+            return pd.DataFrame(data)
+        if kind == "array":
+            return FilterData._read_array(g["values"])
+        if kind == "dict":
+            out = dict(g["values"].attrs)
+            for k in g["values"]:
+                out[k] = FilterData._read_array(g["values"][k])
+            return out
+        if kind == "scalar":
+            return g.attrs["value"]
+        raise ValueError(f"unknown stored type: {kind}")

@@ -1,0 +1,361 @@
+"""Raw detector data IO: pytesdaq-format HDF5 reader/writer + group maps.
+
+Host-side replacement for pytesio.H5Reader and the reference's RawData
+directory scanner (detprocess/core/rawdata.py). The on-disk layout follows
+the pytesdaq conventions the reference reads directly
+(rawdata.py:287-303): one HDF5 file per dump with
+
+    /adc1                        group
+        attrs: nb_events, nb_samples, sample_rate, nb_channels,
+               adc_conversion_factor (volts/bit), voltage_range, ...
+        event_{k}  [C, N] datasets (int16 ADC codes or float amps),
+            attrs: event_id, event_time, event_num, trigger_type, ...
+    /detconfig1                  group — per-channel detector settings
+        attrs: channel_list, tes_bias, output_gain, close_loop_norm, ...
+    file attrs: series_name, series_num, dump_num, facility, data_type,
+                data_purpose, group_name
+
+Filenames: ``{prefix}_{series}_F{dump:04d}.hdf5`` with series
+``I{fac}_D{yyyymmdd}_T{hhmmss}`` and prefixes cont_/calib_/iv_/didv_/
+exttrig_/rand_/threshtrig_... (rawdata.py:443-548). "restricted" data carry
+``_restricted`` in the prefix.
+
+The reader returns traces in AMPS: ``amps = adc · cal / close_loop_norm``
+where cal is the ADC volts-per-bit factor — for float-stored synthetic data
+the conversion is the identity.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import re
+from typing import Dict, List, Optional, Sequence
+
+import h5py
+import numpy as np
+
+SERIES_RE = re.compile(r"I(\d+)_D(\d{8})_T(\d{6})")
+
+# filename classification patterns → data type
+# (mirrors the trigger-type taxonomy of rawdata.py:400-548)
+DATA_TYPES = {
+    "cont": "continuous",
+    "rand": "rand",
+    "calib": "calib",
+    "iv": "iv",
+    "didv": "didv",
+    "exttrig": "exttrig",
+    "threshtrig": "threshtrig",
+    "treshtrig": "threshtrig",
+}
+
+
+def extract_series_name(filename: str) -> str:
+    m = SERIES_RE.search(os.path.basename(filename))
+    if not m:
+        raise ValueError(f"no series name in {filename}")
+    return f"I{m.group(1)}_D{m.group(2)}_T{m.group(3)}"
+
+
+def series_to_number(series_name: str) -> int:
+    m = SERIES_RE.search(series_name)
+    fac, day, tme = m.groups()
+    return int(fac) * 10**14 + int(day) * 10**6 + int(tme)
+
+
+class RawWriter:
+    """Write pytesdaq-format raw files (used for synthetic data, salting
+    output and tests)."""
+
+    def __init__(self, path: str, series_name: str, sample_rate: float,
+                 channels: Sequence[str], prefix: str = "cont",
+                 facility: int = 1, group_name: str = "group",
+                 data_type: str = "continuous", adc_name: str = "adc1",
+                 detector_config: Optional[Dict[str, dict]] = None):
+        self.path = path
+        self.series_name = series_name
+        self.sample_rate = float(sample_rate)
+        self.channels = list(channels)
+        self.prefix = prefix
+        self.facility = facility
+        self.group_name = group_name
+        self.data_type = data_type
+        self.adc_name = adc_name
+        self.detector_config = detector_config or {}
+        os.makedirs(path, exist_ok=True)
+
+    def file_name(self, dump_num: int) -> str:
+        return os.path.join(
+            self.path,
+            f"{self.prefix}_{self.series_name}_F{dump_num:04d}.hdf5")
+
+    def write_dump(self, traces: np.ndarray, dump_num: int = 1,
+                   event_times: Optional[np.ndarray] = None,
+                   trigger_types: Optional[np.ndarray] = None,
+                   start_time: float = 0.0) -> str:
+        """traces [nb_events, C, N] float amps. Returns the file path."""
+        traces = np.asarray(traces)
+        nb_events, nchan, nsamp = traces.shape
+        if nchan != len(self.channels):
+            raise ValueError(
+                f"traces have {nchan} channels, writer configured with "
+                f"{len(self.channels)}")
+        fname = self.file_name(dump_num)
+        with h5py.File(fname, "w") as f:
+            f.attrs["series_name"] = self.series_name
+            f.attrs["series_num"] = series_to_number(self.series_name)
+            f.attrs["dump_num"] = dump_num
+            f.attrs["facility"] = self.facility
+            f.attrs["data_type"] = self.data_type
+            f.attrs["data_purpose"] = self.data_type
+            f.attrs["group_name"] = self.group_name
+            f.attrs["daq_version"] = "detprocess_tpu"
+            g = f.create_group(self.adc_name)
+            g.attrs["nb_events"] = nb_events
+            g.attrs["nb_samples"] = nsamp
+            g.attrs["nb_channels"] = nchan
+            g.attrs["sample_rate"] = self.sample_rate
+            g.attrs["channel_list"] = self.channels
+            g.attrs["adc_conversion_factor"] = 1.0  # stored in amps
+            g.attrs["dataset_prefix"] = "event_"
+            for i in range(nb_events):
+                ds = g.create_dataset(f"event_{i + 1}",
+                                      data=traces[i].astype(np.float32))
+                ds.attrs["event_id"] = i + 1
+                ds.attrs["event_num"] = i + 1
+                ds.attrs["event_time"] = (
+                    start_time + (event_times[i] if event_times is not None
+                                  else i * nsamp / self.sample_rate))
+                ds.attrs["trigger_type"] = (
+                    int(trigger_types[i]) if trigger_types is not None else 1)
+            dc = f.create_group("detconfig1")
+            dc.attrs["channel_list"] = self.channels
+            for chan, cfg in self.detector_config.items():
+                cg = dc.create_group(chan)
+                for k, v in cfg.items():
+                    cg.attrs[k] = v
+        return fname
+
+
+class RawReader:
+    """Event reader over one or more pytesdaq-format files.
+
+    Replaces pytesio.H5Reader usage (processing_data.py:100, :520-526):
+    sequential `read_next_event`, random-access `read_single_event`
+    (windowed reads for trigger-dataframe-driven feature extraction), and
+    batched `read_many_events`.
+    """
+
+    def __init__(self, files: Sequence[str] | str, adc_name: str = "adc1"):
+        if isinstance(files, str):
+            files = [files]
+        self.files = sorted(files)
+        self.adc_name = adc_name
+        self._file_idx = 0
+        self._event_idx = 0
+        self._h5 = None
+        self._meta_cache: Dict[str, dict] = {}
+
+    # -- metadata ------------------------------------------------------
+    def get_metadata(self, file_name: Optional[str] = None) -> dict:
+        file_name = file_name or self.files[0]
+        if file_name in self._meta_cache:
+            return self._meta_cache[file_name]
+        with h5py.File(file_name, "r") as f:
+            g = f[self.adc_name]
+            md = dict(f.attrs)
+            md.update({k: g.attrs[k] for k in g.attrs})
+            if "channel_list" in md:
+                md["channel_list"] = [str(c) for c in md["channel_list"]]
+            det = {}
+            if "detconfig1" in f:
+                dc = f["detconfig1"]
+                for chan in dc:
+                    det[chan] = dict(dc[chan].attrs)
+            md["detector_config"] = det
+        self._meta_cache[file_name] = md
+        return md
+
+    @property
+    def sample_rate(self) -> float:
+        return float(self.get_metadata()["sample_rate"])
+
+    @property
+    def channels(self) -> List[str]:
+        return list(self.get_metadata()["channel_list"])
+
+    def nb_events(self, file_name: Optional[str] = None) -> int:
+        return int(self.get_metadata(file_name)["nb_events"])
+
+    def total_events(self) -> int:
+        return sum(self.nb_events(f) for f in self.files)
+
+    # -- sequential reading --------------------------------------------
+    def rewind(self):
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+        self._file_idx = 0
+        self._event_idx = 0
+
+    def read_next_event(self, channels: Optional[Sequence[str]] = None):
+        """Returns (traces [C, N] amps, admin dict) or (None, None) at end."""
+        while True:
+            if self._file_idx >= len(self.files):
+                return None, None
+            fname = self.files[self._file_idx]
+            if self._h5 is None:
+                self._h5 = h5py.File(fname, "r")
+            g = self._h5[self.adc_name]
+            nev = int(g.attrs["nb_events"])
+            if self._event_idx >= nev:
+                self._h5.close()
+                self._h5 = None
+                self._file_idx += 1
+                self._event_idx = 0
+                continue
+            self._event_idx += 1
+            return self._read_event(self._h5, fname, self._event_idx,
+                                    channels)
+
+    def read_single_event(self, event_index: int,
+                          file_name: Optional[str] = None,
+                          channels: Optional[Sequence[str]] = None,
+                          trace_window: Optional[tuple] = None):
+        """Random access; ``trace_window=(start, length)`` reads a truncated
+        window (trigger-dataframe-driven mode,
+        processing_data.py:555-705)."""
+        fname = file_name or self.files[0]
+        with h5py.File(fname, "r") as f:
+            return self._read_event(f, fname, event_index, channels,
+                                    trace_window)
+
+    def read_many_events(self, nevents: Optional[int] = None,
+                         channels: Optional[Sequence[str]] = None):
+        """Read up to nevents across all files → (traces [B, C, N], admins)."""
+        out, admins = [], []
+        self.rewind()
+        while nevents is None or len(out) < nevents:
+            tr, admin = self.read_next_event(channels)
+            if tr is None:
+                break
+            out.append(tr)
+            admins.append(admin)
+        self.rewind()
+        if not out:
+            return np.zeros((0, 0, 0)), []
+        return np.stack(out), admins
+
+    def _read_event(self, f, fname, event_index, channels,
+                    trace_window=None):
+        g = f[self.adc_name]
+        ds = g[f"event_{event_index}"]
+        chan_list = [str(c) for c in g.attrs["channel_list"]]
+        if trace_window is not None:
+            start, length = trace_window
+            start = max(0, int(start))
+            arr = ds[:, start:start + int(length)]
+        else:
+            arr = ds[...]
+        cal = float(g.attrs.get("adc_conversion_factor", 1.0))
+        traces = arr.astype(np.float64) * cal
+        if channels is not None:
+            idx = [chan_list.index(c) for c in channels]
+            traces = traces[idx]
+        admin = {
+            "event_id": int(ds.attrs.get("event_id", event_index)),
+            "event_number": int(ds.attrs.get("event_num", event_index)),
+            "event_time": float(ds.attrs.get("event_time", 0.0)),
+            "trigger_type": int(ds.attrs.get("trigger_type", 1)),
+            "series_name": str(f.attrs.get("series_name", "")),
+            "series_number": int(f.attrs.get("series_num", 0)),
+            "dump_number": int(f.attrs.get("dump_num", 0)),
+            "group_name": str(f.attrs.get("group_name", "")),
+            "data_type": str(f.attrs.get("data_type", "")),
+            "file_name": fname,
+        }
+        return traces, admin
+
+    def get_detector_config(self, file_name: Optional[str] = None) -> dict:
+        return self.get_metadata(file_name).get("detector_config", {})
+
+
+class RawData:
+    """Scan a raw group directory, classify files and build series maps
+    (reference: detprocess/core/rawdata.py:400-548)."""
+
+    def __init__(self, raw_path: str, data_type: str = "continuous",
+                 series: Optional[Sequence[str]] = None,
+                 restricted: bool = False):
+        self.raw_path = raw_path
+        self.data_type = data_type
+        self.restricted = restricted
+        self._series_filter = set(series) if series else None
+        self._file_map: Dict[str, Dict[str, List[str]]] = {}
+        self._build_file_map()
+
+    def _classify(self, filename: str) -> Optional[str]:
+        base = os.path.basename(filename)
+        prefix = base.split("_I")[0]
+        restricted = "restricted" in prefix
+        if restricted != self.restricted:
+            return None
+        for key, dtype in DATA_TYPES.items():
+            if prefix.startswith(key):
+                return dtype
+        return "unknown"
+
+    def _build_file_map(self):
+        files = sorted(globmod.glob(os.path.join(self.raw_path, "*.hdf5")))
+        if not files:
+            # also scan subdirectories (group directories)
+            files = sorted(
+                globmod.glob(os.path.join(self.raw_path, "*", "*.hdf5")))
+        for afile in files:
+            dtype = self._classify(afile)
+            if dtype is None:
+                continue
+            try:
+                series = extract_series_name(afile)
+            except ValueError:
+                continue
+            if self._series_filter and series not in self._series_filter:
+                continue
+            self._file_map.setdefault(dtype, {}).setdefault(
+                series, []).append(afile)
+
+    def get_series_list(self, data_type: Optional[str] = None) -> List[str]:
+        dtype = data_type or self.data_type
+        return sorted(self._file_map.get(dtype, {}).keys())
+
+    def get_data_files(self, data_type: Optional[str] = None,
+                       series: Optional[str] = None):
+        dtype = data_type or self.data_type
+        series_map = self._file_map.get(dtype, {})
+        if series is not None:
+            return {series: series_map.get(series, [])}
+        return dict(series_map)
+
+    def get_duration(self, series: Optional[str] = None,
+                     data_type: Optional[str] = None,
+                     include_nb_events: bool = False):
+        """Total duration (rawdata.py:262-311)."""
+        files_by_series = self.get_data_files(data_type, series)
+        nb_events = 0
+        nb_samples, sample_rate = None, None
+        for flist in files_by_series.values():
+            for afile in flist:
+                with h5py.File(afile, "r") as f:
+                    g = f["adc1"]
+                    nb_events += int(g.attrs.get(
+                        "nb_events",
+                        sum(1 for x in g.values()
+                            if isinstance(x, h5py.Dataset))))
+                    if nb_samples is None:
+                        nb_samples = int(g.attrs["nb_samples"])
+                        sample_rate = float(g.attrs["sample_rate"])
+        duration = (nb_samples / sample_rate) * nb_events if nb_events else 0.0
+        if include_nb_events:
+            return duration, nb_events
+        return duration

@@ -1,0 +1,88 @@
+"""Feature/trigger table output: vaex-layout HDF5 and parquet.
+
+The reference exports vaex dataframes to HDF5
+(detprocess/process/features.py:609-616, triggers.py:644). Vaex's HDF5
+layout is simple and we write it directly (no vaex dependency):
+
+    /table/columns/{column}/data       1-D dataset per column
+
+so files round-trip into vaex/detanalysis unchanged. Parquet output (via
+pyarrow) is also provided — the more natural columnar format for modern
+tooling.
+
+File naming follows the reference convention
+(features.py:1055-1072, triggers.py:871-891):
+``{prefix}_{group}_{series}_F{dump:04d}.{ext}`` with prefixes ``feature_``,
+``threshtrig_``, ``rand_``, ``salting_``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+import pandas as pd
+
+
+def write_vaex_hdf5(df: pd.DataFrame, path: str):
+    """Write a dataframe in vaex's HDF5 column layout."""
+    with h5py.File(path, "w") as f:
+        cols = f.require_group("table").require_group("columns")
+        for name in df.columns:
+            arr = df[name].to_numpy()
+            g = cols.create_group(str(name))
+            if arr.dtype == object or arr.dtype.kind in "OU":
+                data = np.asarray([str(x) for x in arr], dtype="S")
+                g.create_dataset("data", data=data)
+            else:
+                g.create_dataset("data", data=arr)
+
+
+def read_vaex_hdf5(path: str) -> pd.DataFrame:
+    with h5py.File(path, "r") as f:
+        cols = f["table"]["columns"]
+        data = {}
+        for name in cols:
+            arr = cols[name]["data"][...]
+            if arr.dtype.kind == "S":
+                arr = arr.astype(str)
+            data[name] = arr
+    return pd.DataFrame(data)
+
+
+def write_parquet(df: pd.DataFrame, path: str):
+    df.to_parquet(path)
+
+
+def read_parquet(path: str) -> pd.DataFrame:
+    return pd.read_parquet(path)
+
+
+def output_file_name(output_dir: str, prefix: str, group_name: str,
+                     series_name: str, dump_num: int,
+                     ext: str = "hdf5") -> str:
+    name = f"{prefix}_{group_name}_{series_name}_F{dump_num:04d}.{ext}"
+    return os.path.join(output_dir, name)
+
+
+def write_table(df: pd.DataFrame, path: str, fmt: Optional[str] = None):
+    """Dispatch on extension/format ('hdf5' vaex layout, or 'parquet')."""
+    fmt = fmt or ("parquet" if path.endswith(".parquet") else "hdf5")
+    if fmt == "hdf5":
+        write_vaex_hdf5(df, path)
+    elif fmt == "parquet":
+        write_parquet(df, path)
+    else:
+        raise ValueError(f"unknown table format: {fmt}")
+
+
+def read_table(path: str) -> pd.DataFrame:
+    if path.endswith(".parquet"):
+        return read_parquet(path)
+    return read_vaex_hdf5(path)
+
+
+def concat_tables(paths) -> pd.DataFrame:
+    return pd.concat([read_table(p) for p in paths], ignore_index=True)

@@ -1,0 +1,222 @@
+"""Batched NxM (multi-channel, multi-template) optimal-filter kernels.
+
+TPU-native replacement for qetpy.OFnxm / OFnxmx2 as used by the reference's
+multichannel extractors (detprocess/core/algorithms.py:24-274) and by the
+continuous trigger (core/oftrigger.py). Consumes an OFNxMBank
+(ops/filterbank.make_ofnxm_bank).
+
+Math (conventions in ops/filterbank.py): for channel-stacked signal FFTs
+ṽ [C, N] and bank quantities Phi [C, M, N] = J⁻¹s̃*/(N·fs), W [M, M]:
+
+- ``q_m(d)  = Re Σ_{c,k} Phi[c,m,k] ṽ[c,k] e^{2πikd/N}``
+- ``â(d)    = W⁻¹ q(d)``
+- ``Δχ²(d)  = q(d)ᵀ W⁻¹ q(d)``  (≥ 0; χ²_M distributed on pure noise)
+- ``χ²(d)   = χ²₀ − Δχ²(d)``,  ``χ²₀ = Σ_k ṽ† J⁻¹ ṽ / (N·fs)``
+
+The Hermitian symmetry of the CSD makes the qetpy-style filter sum
+Σ_c Phi·ṽ equal (after the ±k sum) to the textbook s̃†J⁻¹ṽ — both are
+tested against an independent loop implementation.
+
+NxMx2 ("two template groups with independent time shifts within windows") is
+implemented as a masked 2-D delay scan over (d1, d2) pairs restricted to the
+configured fit windows — see ofnxmx2().
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detprocess_tpu.ops import fft as dfft
+
+
+class OFNxMResult(NamedTuple):
+    amps: jnp.ndarray   # [..., M]
+    t0: jnp.ndarray     # [...]
+    chi2: jnp.ndarray   # [...]
+
+
+def chi2_base_nxm(vfft: jnp.ndarray, icsd: jnp.ndarray, fs: float) -> jnp.ndarray:
+    """χ²₀ = Σ_k ṽ† J⁻¹ ṽ / (N·fs). vfft [..., C, N]; icsd [N, C, C]."""
+    n = vfft.shape[-1]
+    tmp = jnp.einsum("kab,...bk->...ak", icsd, vfft)
+    return jnp.einsum("...ak,...ak->...", jnp.conj(vfft), tmp).real / (n * fs)
+
+
+def ofnxm_nodelay(
+    vfft: jnp.ndarray,
+    phi: jnp.ndarray,
+    iw_matrix: jnp.ndarray,
+    icsd: jnp.ndarray,
+    fs: float,
+) -> OFNxMResult:
+    """No-delay NxM fit. vfft [..., C, N] -> amps [..., M]."""
+    q = jnp.einsum("cmk,...ck->...m", phi, vfft).real
+    amps = jnp.einsum("ij,...j->...i", iw_matrix, q)
+    chi2_0 = chi2_base_nxm(vfft, icsd, fs)
+    dchi2 = jnp.einsum("...i,ij,...j->...", q, iw_matrix, q)
+    chi2 = chi2_0 - dchi2
+    t0 = jnp.zeros_like(chi2)
+    return OFNxMResult(amps, t0, chi2)
+
+
+def _q_timeseries(vfft: jnp.ndarray, phi: jnp.ndarray,
+                  pretrigger: int) -> jnp.ndarray:
+    """q_m(t) rolled to absolute trace indices: [..., M, N]."""
+    n = vfft.shape[-1]
+    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    q_t = dfft.ifft(integrand, axis=-1).real * n
+    return jnp.roll(q_t, pretrigger, axis=-1)
+
+
+def ofnxm_withdelay(
+    vfft: jnp.ndarray,
+    phi: jnp.ndarray,
+    w_matrix: jnp.ndarray,
+    iw_matrix: jnp.ndarray,
+    icsd: jnp.ndarray,
+    pretrigger: int,
+    fs: float,
+    window_mask: Optional[jnp.ndarray] = None,
+    interpolate_t0: bool = False,
+) -> OFNxMResult:
+    """Delay-scan NxM fit, all M amplitudes sharing one shift d.
+
+    Equivalent of OFnxm.get_fit_withdelay (core/algorithms.py:254-261).
+    window_mask: static bool [N] over absolute trace indices.
+    """
+    q_abs = _q_timeseries(vfft, phi, pretrigger)            # [..., M, N]
+    dchi2 = jnp.einsum("...it,ij,...jt->...t", q_abs, iw_matrix, q_abs)
+    if window_mask is not None:
+        masked = jnp.where(window_mask, dchi2, -jnp.inf)
+    else:
+        masked = dchi2
+    imax = jnp.argmax(masked, axis=-1)                       # [...]
+    q_best = jnp.take_along_axis(
+        q_abs, imax[..., None, None], axis=-1)[..., 0]       # [..., M]
+    amps = jnp.einsum("ij,...j->...i", iw_matrix, q_best)
+    chi2_0 = chi2_base_nxm(vfft, icsd, fs)
+    dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
+    chi2 = chi2_0 - dchi2_best
+
+    shift = imax.astype(chi2.dtype) - pretrigger
+    if interpolate_t0:
+        n = q_abs.shape[-1]
+        im1 = (imax - 1) % n
+        ip1 = (imax + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
+        y0 = -dchi2_best
+        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom, 0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
+        shift = shift + delta
+
+    t0 = shift / fs
+    return OFNxMResult(amps, t0, chi2)
+
+
+# ---------------------------------------------------------------------------
+# NxMx2: two template groups with independent time shifts
+# ---------------------------------------------------------------------------
+
+class OFNxMx2Result(NamedTuple):
+    amps: jnp.ndarray      # [..., M]
+    deltat: jnp.ndarray    # [...] — t(group2) − t(group1), seconds
+    chi2: jnp.ndarray      # [...]
+
+
+def ofnxmx2(
+    vfft: jnp.ndarray,
+    s_fft: jnp.ndarray,          # [C, M, N]
+    icsd: jnp.ndarray,           # [N, C, C]
+    group_ids: np.ndarray,       # [M] static ints in {0, 1}
+    window1: np.ndarray,         # static bool [N] allowed shifts for group 0
+    window2: np.ndarray,         # static bool [N] allowed shifts for group 1
+    pretrigger: int,
+    fs: float,
+):
+    """NxMx2 optimal filter: template group 0 shifts by d1, group 1 by d2,
+    amplitudes solved jointly at each (d1, d2) in the fit windows.
+
+    Equivalent of qetpy.OFnxmx2 with set_time_constraints/calc_p_matrix
+    (reference usage: processing_data.py:385-418, algorithms.py:24-138).
+
+    For shifts (d1, d2) the shifted-template weight matrix is
+    ``P_ij(d1,d2) = Re Σ_k s̃_i† J⁻¹ s̃_j e^{iω(d_gj − d_gi)}`` which only
+    depends on Δ = d2 − d1; the amplitude estimator is
+    ``â = P(Δ)⁻¹ q(d1, d2)`` with ``q_i = q-timeseries_i(d_gi)`` and
+    ``Δχ²(d1,d2) = q† P(Δ)⁻¹ q``, maximized over the window product.
+
+    To keep the scan O(N·W2) rather than O(N²), window2 is enumerated as a
+    static index list (fit windows are short in practice).
+    """
+    n = vfft.shape[-1]
+    m = s_fft.shape[1]
+    g = np.asarray(group_ids)
+
+    # per-template q time series (absolute indices)
+    phi = jnp.einsum("kab,bmk->amk", icsd, jnp.conj(s_fft)) / (n * fs)
+    q_abs = _q_timeseries(vfft, phi, pretrigger)             # [..., M, N]
+
+    # pairwise template overlap vs relative shift Δ (cross-group terms only):
+    # R_ij(Δ) = Re Σ_k s̃_i† J⁻¹ s̃_j e^{2πikΔ/N} / (N·fs)  — via one ifft
+    s_f = jnp.moveaxis(s_fft, -1, 0)                         # [N, C, M]
+    js = jnp.einsum("kab,kbm->kam", icsd, s_f)               # [N, C, M]
+    cross_k = jnp.einsum("kci,kcj->ijk", jnp.conj(s_f), js)  # [M, M, N]
+    r_delta = dfft.ifft(cross_k, axis=-1).real * n / (n * fs)  # [M, M, NΔ]
+
+    idx1 = np.where(np.asarray(window1))[0]
+    idx2 = np.where(np.asarray(window2))[0]
+    w1 = jnp.asarray(idx1)
+    w2 = jnp.asarray(idx2)
+
+    same_group = (g[:, None] == g[None, :])
+    base_w = r_delta[..., 0]                                 # Δ=0 overlaps
+
+    def solve_pair(d1, d2):
+        # weight matrix for this (d1, d2): same-group entries at Δ=0,
+        # cross-group at Δ = ±(d2−d1)
+        delta = (d2 - d1) % n
+        # P_ij needs e^{−iω(d_gj − d_gi)}; r_delta(Δ) carries e^{+iωΔ}, so
+        # entry (i,j) with g_i=0, g_j=1 (relative shift +Δ) uses r_delta(−Δ)
+        r_m = r_delta[..., (n - delta) % n]
+        r_p = r_delta[..., delta]
+        gi = jnp.asarray(g)[:, None]
+        gj = jnp.asarray(g)[None, :]
+        p = jnp.where(jnp.asarray(same_group), base_w,
+                      jnp.where(gi < gj, r_m, r_p))
+        ip = jnp.linalg.inv(p)
+        # q vector: template i evaluated at its group's shift
+        d_for = jnp.where(jnp.asarray(g) == 0, d1, d2)       # [M]
+        idx = jnp.broadcast_to(d_for[:, None], q_abs.shape[:-1] + (1,))
+        q = jnp.take_along_axis(q_abs, idx, axis=-1)[..., 0]
+        amps = jnp.einsum("ij,...j->...i", ip, q)
+        dchi2 = jnp.einsum("...i,ij,...j->...", q, ip, q)
+        return amps, dchi2
+
+    def scan_d2(d1):
+        def body(d2):
+            return solve_pair(d1, d2)
+        amps, dchi2 = jax.vmap(body)(w2)
+        best = jnp.argmax(dchi2, axis=0)
+        return (jnp.take_along_axis(
+                    amps, best[None, ..., None], axis=0)[0],
+                jnp.take_along_axis(dchi2, best[None, ...], axis=0)[0],
+                w2[best])
+
+    amps_all, dchi2_all, d2_all = jax.vmap(scan_d2)(w1)      # [W1, ...]
+    best1 = jnp.argmax(dchi2_all, axis=0)
+    amps = jnp.take_along_axis(amps_all, best1[None, ..., None], axis=0)[0]
+    dchi2 = jnp.take_along_axis(dchi2_all, best1[None, ...], axis=0)[0]
+    d2 = jnp.take_along_axis(d2_all, best1[None, ...], axis=0)[0]
+    d1 = w1[best1]
+
+    chi2_0 = chi2_base_nxm(vfft, icsd, fs)
+    chi2 = chi2_0 - dchi2
+    deltat = (d2 - d1).astype(chi2.dtype) / fs
+    return OFNxMx2Result(amps, deltat, chi2), (d1, d2)

@@ -1,0 +1,645 @@
+"""Feature-extraction pipeline: YAML config → compiled batched device plan →
+feature tables.
+
+TPU-native replacement for the reference FeatureProcessing
+(detprocess/process/features.py). The reference loops events in Python,
+dispatching per-event extractor calls (features.py:533-851); here the YAML
+config is compiled ONCE into a static plan of jitted kernels that process a
+whole event batch ``[B, C, N]`` per call:
+
+1. **Plan compilation** (`_build_plan`): for every channel × algorithm,
+   resolve windows (utils.windows), trace groups (nb_samples, pretrigger),
+   bank slots, and output column names `{feature}_{algorithm}_{channel}`
+   (features.py:842-846).
+2. **Bank building**: templates/PSDs/CSDs are pulled from the filter file
+   (io.filterfile.FilterData) into stacked OF banks
+   (ops.filterbank) — the OFBase-cache equivalent
+   (processing_data.py:155-418).
+3. **Batched execution**: one jitted function per trace group computes all
+   channel combinations (weighted +/- sums as a single matmul), one FFT per
+   compound channel, then every algorithm as fused reductions.
+4. **Output**: pandas tables in the reference's column/naming conventions,
+   written as vaex-layout HDF5 or parquet dumps (io.tables).
+
+Missing values use the framework sentinel -999999.0 (algorithms.py:112-115).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.config import YamlConfig
+from detprocess_tpu.io import tables
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawReader
+from detprocess_tpu.ops import filterbank, of1x1, ofnxm, psdfeatures, tracestats
+from detprocess_tpu.utils import channels as chutils
+from detprocess_tpu.utils import freq as frequtils
+from detprocess_tpu.utils import windows as winutils
+from detprocess_tpu.utils.misc import create_series_name
+
+SENTINEL = -999999.0
+
+OF_1X1_ALGORITHMS = ("of1x1_nodelay", "of1x1_unconstrained",
+                     "of1x1_constrained")
+OF_NXM_ALGORITHMS = ("ofnxm", "ofnxmx2")
+PSD_ALGORITHMS = ("psd_amp", "psd_peaks", "phase")
+TRACE_ALGORITHMS = ("baseline", "integral", "maximum", "minimum",
+                    "energyabsorbed")
+
+
+@dataclass
+class AlgoSpec:
+    """One channel × algorithm instance, fully static."""
+
+    algorithm: str          # output name (may be a derived/variant name)
+    base: str               # base algorithm (kernel selector)
+    channel: str            # YAML channel key (possibly compound)
+    feature_channel: str    # column suffix
+    kwargs: dict
+    window: tuple           # (min_index, max_index)
+    slot: int = -1          # index into the group's 1x1 bank
+    slot2: int = -1         # second slot (of1x2x2)
+    nxm_key: str = ""       # key into the group's NxM banks
+    chan_idx: int = -1      # compound-channel row in the group trace stack
+    nxm_chan_idx: tuple = ()
+
+
+@dataclass
+class TraceGroup:
+    """All work sharing one (nb_samples, nb_pretrigger) trace geometry."""
+
+    nb_samples: int
+    nb_pretrigger: int
+    compound_channels: List[str] = field(default_factory=list)
+    mix_matrix: Optional[np.ndarray] = None      # [n_compound, n_raw]
+    specs: List[AlgoSpec] = field(default_factory=list)
+    bank_1x1: Optional[filterbank.OF1x1Bank] = None
+    slot_keys: List[tuple] = field(default_factory=list)
+    nxm_banks: Dict[str, filterbank.OFNxMBank] = field(default_factory=dict)
+
+
+class FeatureProcessing:
+    """End-to-end feature extraction over raw event files."""
+
+    def __init__(self,
+                 raw_files: Sequence[str] | str,
+                 config: YamlConfig | str,
+                 filter_data: FilterData | str | None = None,
+                 processing_id: Optional[str] = None,
+                 facility: int = 1,
+                 verbose: bool = True):
+        self._verbose = verbose
+        self._facility = facility
+        self._processing_id = processing_id
+
+        self._reader = RawReader(raw_files)
+        self._fs = self._reader.sample_rate
+        self._available_channels = self._reader.channels
+
+        if isinstance(config, str):
+            config = YamlConfig(config, self._available_channels,
+                                sample_rate=self._fs)
+        self._config = config
+        self._feature_config = config.get_config("feature")
+
+        if isinstance(filter_data, str):
+            fd = FilterData(verbose=verbose)
+            fd.load_hdf5(filter_data)
+            filter_data = fd
+        if filter_data is None:
+            path = (self._feature_config.get("overall", {}) or {}).get(
+                "filter_file")
+            if path:
+                filter_data = FilterData(verbose=verbose).load_hdf5(path)
+        self._filter_data = filter_data
+
+        self._groups: List[TraceGroup] = []
+        self._group_fns = []
+        self._build_plan()
+        self._compile()
+
+    # ------------------------------------------------------------------
+    # plan compilation
+    # ------------------------------------------------------------------
+    def _raw_nb_samples(self) -> int:
+        md = self._reader.get_metadata()
+        return int(md["nb_samples"])
+
+    def _raw_pretrigger(self) -> int:
+        md = self._reader.get_metadata()
+        if "nb_pretrigger_samples" in md:
+            return int(md["nb_pretrigger_samples"])
+        return int(md["nb_samples"]) // 2
+
+    def _build_plan(self):
+        channels_cfg = self._feature_config["channels"]
+        weights_cfg = self._feature_config.get("weights", {}) or {}
+        raw_n = self._raw_nb_samples()
+        raw_pre = self._raw_pretrigger()
+
+        groups: Dict[tuple, TraceGroup] = {}
+
+        for chan, chan_config in channels_cfg.items():
+            feature_channel = chan_config.get("feature_channel", chan)
+            for algo, algo_config in chan_config.items():
+                if not isinstance(algo_config, dict) or not algo_config.get(
+                        "run"):
+                    continue
+                base = algo_config.get("base_algorithm", algo)
+                nb_s = algo_config.get("nb_samples") or raw_n
+                nb_p = algo_config.get("nb_pretrigger_samples")
+                if nb_p is None:
+                    nb_p = raw_pre if nb_s == raw_n else nb_s // 2
+                key = (nb_s, nb_p)
+                group = groups.setdefault(key, TraceGroup(nb_s, nb_p))
+
+                kwargs = {k: v for k, v in algo_config.items() if k != "run"}
+                if base in TRACE_ALGORITHMS:
+                    lo, hi = winutils.extract_window_indices(
+                        nb_s, nb_p, self._fs,
+                        **{k: v for k, v in kwargs.items()
+                           if k.startswith("window_") and k.endswith("_usec")})
+                    # explicit index overrides (features.py:1243 semantics)
+                    if kwargs.get("window_min_index") is not None:
+                        lo = int(kwargs["window_min_index"])
+                    if kwargs.get("window_max_index") is not None:
+                        hi = int(kwargs["window_max_index"])
+                    window = (lo, hi)
+                else:
+                    window = (kwargs.get("window_min_index") or 0,
+                              kwargs.get("window_max_index") or nb_s - 1)
+
+                spec = AlgoSpec(algorithm=algo, base=base, channel=chan,
+                                feature_channel=feature_channel,
+                                kwargs=kwargs, window=window)
+                group.specs.append(spec)
+
+        # resolve compound channels & banks per group
+        for key in sorted(groups.keys()):
+            group = groups[key]
+            self._resolve_group(group, weights_cfg)
+            self._groups.append(group)
+
+    def _resolve_group(self, group: TraceGroup, weights_cfg: dict):
+        raw_channels = self._available_channels
+        compound: List[str] = []
+        mix_rows: List[np.ndarray] = []
+
+        def compound_index(chan: str) -> int:
+            if chan in compound:
+                return compound.index(chan)
+            chans, weights = chutils.channel_combination_weights(
+                chan, raw_channels)
+            row = np.zeros(len(raw_channels))
+            wcfg = weights_cfg.get(chan, {})
+            for sub, w in zip(chans, weights):
+                w_user = wcfg.get(f"weight_{sub}", 1.0)
+                row[raw_channels.index(sub)] = w * w_user
+            compound.append(chan)
+            mix_rows.append(row)
+            return len(compound) - 1
+
+        slot_keys: List[tuple] = []
+        slot_templates: List[np.ndarray] = []
+        slot_psds: List[np.ndarray] = []
+        slot_notches: List[tuple] = []
+
+        def bank_slot(chan: str, template_tag: str, csd_tag: str,
+                      kwargs: dict) -> int:
+            notch = tuple(np.atleast_1d(
+                kwargs.get("ignored_frequency_peaks") or ()))
+            harmonics = bool(kwargs.get("ignore_harmonics", False))
+            integralnorm = bool(kwargs.get("integralnorm", False))
+            skey = (chan, template_tag, csd_tag, notch, harmonics,
+                    integralnorm)
+            if skey in slot_keys:
+                return slot_keys.index(skey)
+            template, _ = self._filter_data.get_template(chan,
+                                                         tag=template_tag)
+            template = np.atleast_2d(template)[0] if np.ndim(template) > 1 \
+                else np.asarray(template)
+            psd, _ = self._filter_data.get_psd(chan, tag=csd_tag)
+            if template.shape[-1] != group.nb_samples:
+                raise ValueError(
+                    f"template length {template.shape[-1]} != trace length "
+                    f"{group.nb_samples} for channel {chan} "
+                    f'(tag "{template_tag}")')
+            if psd.shape[-1] != group.nb_samples:
+                raise ValueError(
+                    f"psd length {psd.shape[-1]} != trace length "
+                    f"{group.nb_samples} for channel {chan} "
+                    f'(tag "{csd_tag}")')
+            slot_keys.append(skey)
+            slot_templates.append(template)
+            slot_psds.append(psd)
+            slot_notches.append((notch, harmonics, integralnorm))
+            return len(slot_keys) - 1
+
+        for spec in group.specs:
+            kwargs = spec.kwargs
+            if spec.base in OF_1X1_ALGORITHMS:
+                tag = kwargs.get("template_tag", "default")
+                if tag is None:
+                    raise ValueError(
+                        f"template_tag required for {spec.algorithm} "
+                        f"on channel {spec.channel}")
+                csd_tag = kwargs.get("csd_tag", "default")
+                spec.slot = bank_slot(spec.channel, tag, csd_tag, kwargs)
+                spec.chan_idx = compound_index(spec.channel)
+            elif spec.base == "of1x2x2":
+                tag1 = kwargs.get("template_tag_1", "Scintillation")
+                tag2 = kwargs.get("template_tag_2", "Evaporation")
+                csd_tag = kwargs.get("csd_tag", "default")
+                spec.slot = bank_slot(spec.channel, tag1, csd_tag, kwargs)
+                spec.slot2 = bank_slot(spec.channel, tag2, csd_tag, kwargs)
+                spec.chan_idx = compound_index(spec.channel)
+            elif spec.base in OF_NXM_ALGORITHMS:
+                tag = kwargs.get("template_tag")
+                if tag is None:
+                    raise ValueError(
+                        f'Missing "template_tag" for channel {spec.channel},'
+                        f' algorithm "{spec.algorithm}"')
+                csd_tag = kwargs.get("csd_tag", "default")
+                template, _ = self._filter_data.get_template(spec.channel,
+                                                             tag=tag)
+                csd, _ = self._filter_data.get_csd(spec.channel, tag=csd_tag)
+                bank = filterbank.make_ofnxm_bank(
+                    np.asarray(template), np.asarray(csd), self._fs,
+                    group.nb_pretrigger,
+                    ignored_frequency_peaks=kwargs.get(
+                        "ignored_frequency_peaks"),
+                    ignore_harmonics=kwargs.get("ignore_harmonics", False))
+                nxm_key = f"{spec.channel}::{spec.algorithm}"
+                group.nxm_banks[nxm_key] = bank
+                spec.nxm_key = nxm_key
+                sub_chans, _ = chutils.split_channel_name(
+                    spec.channel, self._available_channels, separator="|")
+                spec.nxm_chan_idx = tuple(
+                    compound_index(c) for c in sub_chans)
+            elif spec.base in PSD_ALGORITHMS or spec.base in TRACE_ALGORITHMS:
+                spec.chan_idx = compound_index(spec.channel)
+            else:
+                raise ValueError(
+                    f'Cannot find algorithm "{spec.base}" — check feature '
+                    f"extractor exists")
+
+        group.compound_channels = compound
+        group.mix_matrix = (np.stack(mix_rows)
+                            if mix_rows else np.zeros((0, len(raw_channels))))
+        group.slot_keys = slot_keys
+        if slot_keys:
+            # per-slot notch settings can differ → build per-slot banks and
+            # stack (all share fs/length)
+            banks = [filterbank.make_of1x1_bank(
+                        slot_templates[i], slot_psds[i], self._fs,
+                        group.nb_pretrigger,
+                        integralnorm=slot_notches[i][2],
+                        ignored_frequency_peaks=list(slot_notches[i][0]) or None,
+                        ignore_harmonics=slot_notches[i][1])
+                     for i in range(len(slot_keys))]
+            group.bank_1x1 = filterbank.OF1x1Bank(
+                s_fft=np.concatenate([b.s_fft for b in banks]),
+                denom_inv=np.concatenate([b.denom_inv for b in banks]),
+                phi=np.concatenate([b.phi for b in banks]),
+                norm=np.concatenate([b.norm for b in banks]),
+                templates=np.concatenate([b.templates for b in banks]),
+                psd=np.concatenate([b.psd for b in banks]),
+                fs=self._fs, pretrigger=group.nb_pretrigger)
+
+    # ------------------------------------------------------------------
+    # kernel compilation
+    # ------------------------------------------------------------------
+    def _window_cut(self, traces, group: TraceGroup):
+        """Cut the group's trace geometry out of the raw traces
+        (processing_data.get_channel_trace truncation semantics)."""
+        raw_n = self._raw_nb_samples()
+        raw_pre = self._raw_pretrigger()
+        if group.nb_samples == raw_n:
+            return traces
+        start = raw_pre - group.nb_pretrigger
+        if start < 0 or start + group.nb_samples > raw_n:
+            raise ValueError(
+                f"trace geometry ({group.nb_samples}, "
+                f"{group.nb_pretrigger}) does not fit in raw trace "
+                f"({raw_n}, {raw_pre})")
+        return traces[..., start:start + group.nb_samples]
+
+    def _compile(self):
+        self._group_fns = []
+        for group in self._groups:
+            self._group_fns.append(self._make_group_fn(group))
+
+    def _make_group_fn(self, group: TraceGroup):
+        fs = self._fs
+        n = group.nb_samples
+        pretrig = group.nb_pretrigger
+        mix = group.mix_matrix
+        specs = list(group.specs)
+
+        needs_fft = [s.chan_idx for s in specs
+                     if s.base in OF_1X1_ALGORITHMS + ("of1x2x2",)
+                     + PSD_ALGORITHMS]
+        needs_fft = sorted(set(needs_fft))
+
+        # static per-spec masks
+        def low_mask_for(spec):
+            fcut = spec.kwargs.get("lowchi2_fcutoff", 10000)
+            return jnp.asarray(of1x1.lowfreq_mask(n, fs, fcut))
+
+        def window_mask_for(spec):
+            wmin = spec.kwargs.get("window_min_index")
+            wmax = spec.kwargs.get("window_max_index")
+            usec_min = spec.kwargs.get("window_min_from_trig_usec")
+            usec_max = spec.kwargs.get("window_max_from_trig_usec")
+            if (wmin is None and wmax is None and usec_min is None
+                    and usec_max is None):
+                return None
+            lo, hi = winutils.extract_window_indices(
+                n, pretrig, fs,
+                window_min_from_trig_usec=usec_min,
+                window_max_from_trig_usec=usec_max)
+            if wmin is not None:
+                lo = int(wmin)
+            if wmax is not None:
+                hi = int(wmax)
+            mask = np.zeros(n, dtype=bool)
+            mask[lo:hi + 1] = True
+            if spec.kwargs.get("lgc_outside_window", False):
+                mask = ~mask
+            return jnp.asarray(mask)
+
+        def fn(raw_traces, banks):
+            # compound-channel traces via one matmul
+            traces = jnp.einsum("cr,brn->bcn",
+                                jnp.asarray(mix, raw_traces.dtype),
+                                self._window_cut(raw_traces, group))
+            out = {}
+            bank = (filterbank.device_bank_1x1(banks["b1x1"])
+                    if "b1x1" in banks else None)
+            vffts = {}
+            if needs_fft:
+                sel = traces[:, jnp.asarray(needs_fft), :]
+                vf = of1x1.signal_fft(sel)
+                for j, ci in enumerate(needs_fft):
+                    vffts[ci] = vf[:, j, :]
+
+            for spec in specs:
+                name = spec.algorithm
+                fc = spec.feature_channel
+                kwargs = spec.kwargs
+                if spec.base in OF_1X1_ALGORITHMS:
+                    vfft = vffts[spec.chan_idx][:, None, :]
+                    phi = bank.phi[spec.slot:spec.slot + 1]
+                    s_fft = bank.s_fft[spec.slot:spec.slot + 1]
+                    dinv = bank.denom_inv[spec.slot:spec.slot + 1]
+                    norm = bank.norm[spec.slot:spec.slot + 1]
+                    lmask = low_mask_for(spec)
+                    if spec.base == "of1x1_nodelay":
+                        r = of1x1.of1x1_nodelay(vfft, phi, norm, dinv,
+                                                s_fft, lmask)
+                        out[f"amp_{name}_{fc}"] = r.amp[:, 0]
+                        out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
+                        out[f"lowchi2_{name}_{fc}"] = r.lowchi2[:, 0]
+                    else:
+                        wmask = (window_mask_for(spec)
+                                 if spec.base == "of1x1_constrained" else None)
+                        r = of1x1.of1x1_withdelay(
+                            vfft, phi, norm, dinv, s_fft, pretrig, fs,
+                            window_mask=wmask, low_mask=lmask,
+                            interpolate_t0=bool(kwargs.get("interpolate",
+                                                           False)))
+                        out[f"amp_{name}_{fc}"] = r.amp[:, 0]
+                        out[f"t0_{name}_{fc}"] = r.t0[:, 0]
+                        out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
+                        out[f"lowchi2_{name}_{fc}"] = r.lowchi2[:, 0]
+                        if spec.base == "of1x1_constrained":
+                            out[f"chi2nopulse_{name}_{fc}"] = r.chi2_nopulse[:, 0]
+                            ampres = of1x1.energy_resolution(norm)[0]
+                            out[f"ampres_{name}_{fc}"] = jnp.broadcast_to(
+                                ampres, r.amp[:, 0].shape)
+                            out[f"timeres_{name}_{fc}"] = (
+                                of1x1.time_resolution(
+                                    r.amp[:, 0], s_fft[0], dinv[0], fs))
+                elif spec.base == "of1x2x2":
+                    vfft = vffts[spec.chan_idx][:, None, :]
+                    r = of1x1.of1x2(
+                        vfft,
+                        bank.phi[spec.slot:spec.slot + 1],
+                        bank.norm[spec.slot:spec.slot + 1],
+                        bank.s_fft[spec.slot:spec.slot + 1],
+                        bank.phi[spec.slot2:spec.slot2 + 1],
+                        bank.norm[spec.slot2:spec.slot2 + 1],
+                        bank.s_fft[spec.slot2:spec.slot2 + 1],
+                        bank.denom_inv[spec.slot:spec.slot + 1],
+                        pretrig, fs)
+                    out[f"scintillation_amp_{name}_{fc}"] = r.amp1[:, 0]
+                    out[f"evaporation_amp_{name}_{fc}"] = r.amp2[:, 0]
+                    out[f"time_diff_{name}_{fc}"] = r.time_diff[:, 0]
+                elif spec.base == "ofnxm":
+                    nb = filterbank.device_bank_nxm(banks[spec.nxm_key])
+                    sel = traces[:, jnp.asarray(list(spec.nxm_chan_idx)), :]
+                    vfft = of1x1.signal_fft(sel)
+                    r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi, nb.iw_matrix,
+                                               nb.icsd, fs)
+                    wmask = window_mask_for(spec)
+                    r_wd = ofnxm.ofnxm_withdelay(
+                        vfft, nb.phi, nb.w_matrix, nb.iw_matrix, nb.icsd,
+                        pretrig, fs, window_mask=wmask,
+                        interpolate_t0=bool(kwargs.get("interpolate_t0",
+                                                       False)))
+                    m = r_nd.amps.shape[-1]
+                    amp_names = kwargs.get("amplitude_names") or [
+                        f"amp{i + 1}" for i in range(m)]
+                    for i, an in enumerate(amp_names):
+                        out[f"{an}_{name}_constrained_{fc}"] = r_wd.amps[:, i]
+                        out[f"{an}_{name}_nodelay_{fc}"] = r_nd.amps[:, i]
+                    out[f"chi2_{name}_constrained_{fc}"] = r_wd.chi2
+                    out[f"t0_{name}_constrained_{fc}"] = r_wd.t0
+                    out[f"chi2_{name}_nodelay_{fc}"] = r_nd.chi2
+                elif spec.base == "ofnxmx2":
+                    nb_bank = group.nxm_banks[spec.nxm_key]
+                    dev = filterbank.device_bank_nxm(banks[spec.nxm_key])
+                    sel = traces[:, jnp.asarray(list(spec.nxm_chan_idx)), :]
+                    vfft = of1x1.signal_fft(sel)
+                    gids = np.asarray(kwargs["template_group_ids"])
+                    fit_window = np.asarray(kwargs["fit_window"])
+                    w1 = np.zeros(n, bool)
+                    w1[fit_window[0][0]:fit_window[0][1] + 1] = True
+                    w2 = np.zeros(n, bool)
+                    w2[fit_window[1][0]:fit_window[1][1] + 1] = True
+                    (r, _) = ofnxm.ofnxmx2(vfft, dev.s_fft, dev.icsd, gids,
+                                           w1, w2, pretrig, fs)
+                    m = nb_bank.ntmps
+                    amp_names = kwargs.get("amplitude_names") or [
+                        f"amp{i + 1}" for i in range(m)]
+                    for i, an in enumerate(amp_names):
+                        out[f"{an}_{name}_{fc}"] = r.amps[:, i]
+                    out[f"chi2_{name}_{fc}"] = r.chi2
+                    out[f"delta_t_{name}_{fc}"] = r.deltat
+                elif spec.base == "psd_amp":
+                    freq_ranges, range_names = frequtils.cleanup_freq_ranges(
+                        kwargs.get("f_lims", []))
+                    freqs_fold = np.abs(
+                        np.fft.fftfreq(n, 1 / fs)[: n // 2 + 1])[1:]
+                    ind_ranges = frequtils.get_ind_freq_ranges(
+                        freq_ranges, freqs_fold)
+                    vals = psdfeatures.psd_amp(vffts[spec.chan_idx], fs,
+                                               ind_ranges)
+                    for i, rn in enumerate(range_names):
+                        out[f"{name}_{rn}_{fc}"] = vals[:, i]
+                elif spec.base in ("psd_peaks", "phase"):
+                    freq_ranges, range_names = frequtils.cleanup_freq_ranges(
+                        kwargs.get("f_lims", []))
+                    freqs_fold = np.abs(
+                        np.fft.fftfreq(n, 1 / fs)[: n // 2 + 1])[1:]
+                    npeaks = int(kwargs.get("npeaks", 1))
+                    min_sep = float(kwargs.get("min_separation_hz", 0.0))
+                    df = fs / n
+                    dist = int(np.ceil(min_sep / df)) if min_sep > 0 else 0
+                    for (fr, rn) in zip(freq_ranges, range_names):
+                        band = np.zeros(n // 2, dtype=bool)
+                        flo = fr[0]
+                        fhi = fr[1] if len(fr) == 2 else fr[0]
+                        band[(freqs_fold >= flo) & (freqs_fold <= fhi)] = True
+                        if not band.any():
+                            band[np.argmin(np.abs(freqs_fold - flo))] = True
+                        if spec.base == "psd_peaks":
+                            fpk, apk, dc = psdfeatures.psd_peaks(
+                                vffts[spec.chan_idx], fs, band, npeaks, dist)
+                            for i in range(npeaks):
+                                out[f"{name}_{rn}_amp_{i+1}_{fc}"] = apk[:, i]
+                                out[f"{name}_{rn}_freq_{i+1}_{fc}"] = fpk[:, i]
+                            out[f"{name}_dc_amp_{fc}"] = dc
+                        else:
+                            fpk, ppk = psdfeatures.phase_at_peaks(
+                                vffts[spec.chan_idx], fs, band, npeaks, dist,
+                                pretrigger=pretrig,
+                                threshold_factor=float(
+                                    kwargs.get("threshold_factor", 0.0)))
+                            for i in range(npeaks):
+                                out[f"{name}_{rn}_phase_{i+1}_{fc}"] = ppk[:, i]
+                                out[f"{name}_{rn}_freq_{i+1}_{fc}"] = fpk[:, i]
+                elif spec.base in TRACE_ALGORITHMS:
+                    tr = traces[:, spec.chan_idx, :]
+                    lo, hi = spec.window
+                    if spec.base == "baseline":
+                        out[f"{name}_{fc}"] = tracestats.baseline(tr, lo, hi)
+                    elif spec.base == "integral":
+                        out[f"{name}_{fc}"] = tracestats.integral(tr, fs, lo,
+                                                                  hi)
+                    elif spec.base == "maximum":
+                        out[f"{name}_{fc}"] = tracestats.maximum(tr, lo, hi)
+                    elif spec.base == "minimum":
+                        out[f"{name}_{fc}"] = tracestats.minimum(tr, lo, hi)
+                    elif spec.base == "energyabsorbed":
+                        out[f"{name}_{fc}"] = tracestats.energyabsorbed(
+                            tr, fs, kwargs["vb"], kwargs["i0"], kwargs["rl"],
+                            lo, hi)
+            return out
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def device_banks(self, real_dtype=np.float32):
+        """Pack all group banks for device transfer (real-only pytrees)."""
+        packed = []
+        for group in self._groups:
+            d = {}
+            if group.bank_1x1 is not None:
+                d["b1x1"] = jax.tree.map(
+                    jnp.asarray, group.bank_1x1.to_device(real_dtype))
+            for key, bank in group.nxm_banks.items():
+                d[key] = jax.tree.map(jnp.asarray, bank.to_device(real_dtype))
+            packed.append(d)
+        return packed
+
+    def process(self,
+                nevents: int = -1,
+                batch_size: int = 256,
+                dtype=np.float32,
+                lgc_save: bool = False,
+                output_path: Optional[str] = None,
+                output_format: str = "hdf5",
+                series_name: Optional[str] = None,
+                group_name: str = "features",
+                lgc_output: bool = True) -> Optional[pd.DataFrame]:
+        """Run feature extraction.
+
+        Reads events in batches, executes the compiled plan on device, and
+        assembles the feature table (with admin columns). With ``lgc_save``
+        the table is written per dump to ``output_path``.
+        """
+        banks = self.device_banks(np.float64 if dtype == np.float64
+                                  else np.float32)
+        frames: List[pd.DataFrame] = []
+        self._reader.rewind()
+        total = 0
+        dump_num = 0
+        out_series = series_name or create_series_name(self._facility)
+        if lgc_save:
+            if output_path is None:
+                raise ValueError("output_path required with lgc_save")
+            os.makedirs(output_path, exist_ok=True)
+
+        while nevents < 0 or total < nevents:
+            batch_traces, admins = [], []
+            want = batch_size if nevents < 0 else min(
+                batch_size, nevents - total)
+            for _ in range(want):
+                tr, admin = self._reader.read_next_event()
+                if tr is None:
+                    break
+                batch_traces.append(tr)
+                admins.append(admin)
+            if not batch_traces:
+                break
+            raw = jnp.asarray(np.stack(batch_traces), dtype)
+            feats: Dict[str, np.ndarray] = {}
+            for group_fn, bank in zip(self._group_fns, banks):
+                out = group_fn(raw, bank)
+                for k, v in out.items():
+                    feats[k] = np.asarray(v, np.float64)
+            nb = len(batch_traces)
+            total += nb
+            frame = {}
+            # admin columns (processing_data.py:774-887 conventions)
+            for col in ("event_number", "event_id", "event_time",
+                        "series_number", "dump_number", "trigger_type"):
+                frame[col] = np.asarray([a.get(col, 0) for a in admins])
+            frame["series_name"] = [a.get("series_name", "") for a in admins]
+            frame["group_name"] = [a.get("group_name", "") for a in admins]
+            frame["data_type"] = [a.get("data_type", "") for a in admins]
+            frame["processing_id"] = [self._processing_id or ""] * nb
+            # detector settings
+            det = self._reader.get_detector_config(admins[0]["file_name"])
+            for chan, cfg in det.items():
+                if "tes_bias" in cfg:
+                    frame[f"tes_bias_{chan}"] = [cfg["tes_bias"]] * nb
+                if "output_gain" in cfg:
+                    frame[f"output_gain_{chan}"] = [cfg["output_gain"]] * nb
+            frame.update(feats)
+            df = pd.DataFrame(frame)
+            frames.append(df)
+            if lgc_save:
+                dump_num += 1
+                path = tables.output_file_name(
+                    output_path, "feature", group_name, out_series, dump_num,
+                    "parquet" if output_format == "parquet" else "hdf5")
+                tables.write_table(df, path, fmt=output_format)
+            if self._verbose:
+                print(f"INFO: processed {total} events")
+
+        if not frames:
+            return pd.DataFrame() if lgc_output else None
+        result = pd.concat(frames, ignore_index=True)
+        return result if lgc_output else None

@@ -1,0 +1,168 @@
+"""Golden tests for NxM multichannel optimal-filter kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import filterbank, ofnxm, of1x1
+
+from reference_impl import RefOFNxM, generate_correlated_noise
+
+FS = 1.25e6
+N = 1024
+PRETRIG = 256
+C, M = 2, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    # two channels, two templates (fast/slow)
+    t_fast = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=10e-6,
+                                 tau_f1=60e-6)
+    t_slow = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                 tau_f1=300e-6)
+    templates = np.zeros((C, M, N))
+    templates[0, 0] = t_fast
+    templates[1, 0] = 0.4 * t_fast
+    templates[0, 1] = 0.3 * t_slow
+    templates[1, 1] = t_slow
+
+    # correlated noise CSD: white diagonals + mild correlation
+    csd = np.zeros((C, C, N), dtype=complex)
+    csd[0, 0] = 1e-20
+    csd[1, 1] = 2e-20
+    csd[0, 1] = 0.3e-20 * np.exp(1j * 0.2)
+    csd[1, 0] = np.conj(csd[0, 1])
+
+    traces = generate_correlated_noise(csd, FS, 16, rng)
+    amps_true = rng.uniform(0.5e-6, 2e-6, (16, M))
+    offsets = rng.integers(-40, 40, 16)
+    for i in range(16):
+        sig = np.einsum("cmn,m->cn", templates, amps_true[i])
+        traces[i] += np.roll(sig, offsets[i], axis=-1)
+
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, PRETRIG)
+    ref = RefOFNxM(templates, csd, FS, PRETRIG)
+    return templates, csd, traces, amps_true, offsets, bank, ref
+
+
+def test_weight_matrix_matches_reference(setup):
+    *_, bank, ref = setup
+    np.testing.assert_allclose(bank.w_matrix, ref.w, rtol=1e-10)
+    np.testing.assert_allclose(bank.iw_matrix, ref.iw, rtol=1e-10)
+
+
+def test_nodelay_matches_reference(setup):
+    _, _, traces, _, _, bank, ref = setup
+    vfft = of1x1.signal_fft(jnp.asarray(traces))        # [B, C, N]
+    res = ofnxm.ofnxm_nodelay(vfft, jnp.asarray(bank.phi),
+                              jnp.asarray(bank.iw_matrix),
+                              jnp.asarray(bank.icsd), FS)
+    for i in range(traces.shape[0]):
+        amps, chi2 = ref.fit_nodelay(traces[i])
+        np.testing.assert_allclose(np.asarray(res.amps[i]), amps, rtol=1e-8)
+        np.testing.assert_allclose(float(res.chi2[i]), chi2, rtol=1e-8)
+
+
+def test_withdelay_matches_reference(setup):
+    _, _, traces, _, _, bank, ref = setup
+    vfft = of1x1.signal_fft(jnp.asarray(traces))
+    res = ofnxm.ofnxm_withdelay(vfft, jnp.asarray(bank.phi),
+                                jnp.asarray(bank.w_matrix),
+                                jnp.asarray(bank.iw_matrix),
+                                jnp.asarray(bank.icsd), PRETRIG, FS)
+    for i in range(traces.shape[0]):
+        amps, t0, chi2 = ref.fit_withdelay(traces[i])
+        np.testing.assert_allclose(np.asarray(res.amps[i]), amps, rtol=1e-8)
+        np.testing.assert_allclose(float(res.t0[i]), t0, atol=1e-12)
+        np.testing.assert_allclose(float(res.chi2[i]), chi2, rtol=1e-8)
+
+
+def test_withdelay_recovers_injection(setup):
+    _, _, traces, amps_true, offsets, bank, _ = setup
+    vfft = of1x1.signal_fft(jnp.asarray(traces))
+    res = ofnxm.ofnxm_withdelay(vfft, jnp.asarray(bank.phi),
+                                jnp.asarray(bank.w_matrix),
+                                jnp.asarray(bank.iw_matrix),
+                                jnp.asarray(bank.icsd), PRETRIG, FS)
+    t0_samples = np.asarray(res.t0) * FS
+    # most events: time found within 2 samples, amplitudes within 5 sigma
+    sigma = bank.resolution
+    ok_t = np.abs(t0_samples - offsets) <= 2
+    assert np.mean(ok_t) > 0.8
+    err = np.asarray(res.amps) - amps_true
+    assert np.mean(np.abs(err[ok_t]) < 6 * sigma[None, :]) > 0.9
+
+
+def test_chi2_statistics_nxm(setup):
+    """On pure correlated noise, Δχ² at fixed t ~ χ²_M (mean ≈ M)."""
+    templates, csd, *_ , bank, _ = setup
+    rng = np.random.default_rng(5)
+    noise = generate_correlated_noise(csd, FS, 128, rng)
+    vfft = of1x1.signal_fft(jnp.asarray(noise))
+    res = ofnxm.ofnxm_nodelay(vfft, jnp.asarray(bank.phi),
+                              jnp.asarray(bank.iw_matrix),
+                              jnp.asarray(bank.icsd), FS)
+    q = np.einsum("cmk,bck->bm", bank.phi, np.fft.fft(noise, axis=-1)).real
+    dchi2 = np.einsum("bi,ij,bj->b", q, bank.iw_matrix, q)
+    assert abs(np.mean(dchi2) / M - 1.0) < 0.35
+
+
+def test_single_channel_nxm_equals_1x1(setup):
+    """NxM with C=M=1 must reproduce the 1x1 kernel exactly."""
+    rng = np.random.default_rng(3)
+    tmpl = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(N, 1e-20)
+    trace = rng.standard_normal(N) * 1e-9 + 1.3e-6 * np.roll(tmpl, 17)
+
+    bank1 = filterbank.make_of1x1_bank(tmpl, psd, FS, PRETRIG)
+    bankn = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS, PRETRIG)
+
+    vfft1 = of1x1.signal_fft(jnp.asarray(trace)[None, None, :])
+    res1 = of1x1.of1x1_withdelay(vfft1, jnp.asarray(bank1.phi),
+                                 jnp.asarray(bank1.norm),
+                                 jnp.asarray(bank1.denom_inv),
+                                 jnp.asarray(bank1.s_fft), PRETRIG, FS)
+    vfftn = of1x1.signal_fft(jnp.asarray(trace)[None, None, :])
+    resn = ofnxm.ofnxm_withdelay(vfftn, jnp.asarray(bankn.phi),
+                                 jnp.asarray(bankn.w_matrix),
+                                 jnp.asarray(bankn.iw_matrix),
+                                 jnp.asarray(bankn.icsd), PRETRIG, FS)
+    np.testing.assert_allclose(float(resn.amps[0, 0]), float(res1.amp[0, 0]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(resn.t0[0]), float(res1.t0[0, 0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(resn.chi2[0]), float(res1.chi2[0, 0]),
+                               rtol=1e-9)
+
+
+def test_ofnxmx2_two_pulse_separation():
+    """NxMx2: two template groups at different times are both recovered."""
+    rng = np.random.default_rng(9)
+    t1 = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=10e-6, tau_f1=80e-6)
+    t2 = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=30e-6, tau_f1=400e-6)
+    templates = np.stack([t1, t2])[None, :, :]     # C=1, M=2
+    csd = np.full((1, 1, N), 1e-20, dtype=complex)
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, PRETRIG)
+
+    d1_true, d2_true = -12, 23
+    trace = (rng.standard_normal(N) * 1e-10
+             + 2e-6 * np.roll(t1, d1_true)
+             + 1e-6 * np.roll(t2, d2_true))[None, :]
+
+    w1 = np.zeros(N, bool)
+    w1[PRETRIG - 40: PRETRIG + 41] = True
+    w2 = w1.copy()
+    vfft = of1x1.signal_fft(jnp.asarray(trace)[None])   # [1, C, N]
+    (res, (d1, d2)) = ofnxm.ofnxmx2(
+        vfft, jnp.asarray(bank.s_fft), jnp.asarray(bank.icsd),
+        np.array([0, 1]), w1, w2, PRETRIG, FS)
+    assert int(d1[0]) == PRETRIG + d1_true
+    assert int(d2[0]) == PRETRIG + d2_true
+    np.testing.assert_allclose(float(res.deltat[0]),
+                               (d2_true - d1_true) / FS, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.amps[0]), [2e-6, 1e-6],
+                               rtol=1e-3)

@@ -1,0 +1,100 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Asserts the reference's implicit invariant (SURVEY.md §4): results are
+independent of how events are split across workers/chips.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import filterbank, of1x1, spectral
+from detprocess_tpu.parallel import mesh as pmesh
+
+FS = 1.25e6
+N = 1024
+PRETRIG = 512
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(4)
+
+
+def test_entry_compiles():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out["amp"])))
+
+
+def test_sharded_psd_matches_single_device():
+    rng = np.random.default_rng(0)
+    traces = rng.standard_normal((32, N)).astype(np.float32)
+    mesh = pmesh.make_mesh(8)
+    psd_fn = pmesh.sharded_psd(mesh, FS)
+    sharded = np.asarray(psd_fn(pmesh.shard_batch(mesh, jnp.asarray(traces))))
+    single = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+
+
+def test_sharded_feature_step_shard_invariance():
+    """OF results identical on 1, 2 and 8 shards."""
+    rng = np.random.default_rng(1)
+    template = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    psd = np.full(N, 1e-20)
+    bank = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG)
+    traces = (rng.standard_normal((16, N)) * 1e-9
+              + 2e-6 * template[None, :]).astype(np.float32)
+
+    def local_fn(local_traces, dev):
+        bk = filterbank.device_bank_1x1(dev)
+        vfft = of1x1.signal_fft(local_traces[:, None, :])
+        wd = of1x1.of1x1_withdelay(vfft, bk.phi, bk.norm, bk.denom_inv,
+                                   bk.s_fft, PRETRIG, FS)
+        return wd.amp[:, 0]
+
+    results = []
+    for ndev in (1, 2, 8):
+        mesh = pmesh.make_mesh(ndev)
+        dev_bank = pmesh.replicate(
+            mesh, jax.tree.map(jnp.asarray, bank.to_device(np.float32)))
+        fn = jax.jit(pmesh.sharded_map(mesh, local_fn))
+        out = fn(pmesh.shard_batch(mesh, jnp.asarray(traces)), dev_bank)
+        results.append(np.asarray(out))
+    # invariance holds to float32 roundoff (XLA reduction order differs
+    # with the per-shard batch shape)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+    np.testing.assert_allclose(results[0], results[2], rtol=1e-5)
+
+
+def test_sharded_csd():
+    rng = np.random.default_rng(2)
+    traces = rng.standard_normal((16, 2, N)).astype(np.float32)
+    mesh = pmesh.make_mesh(8)
+    csd_fn = pmesh.sharded_csd(mesh, FS)
+    out = np.asarray(csd_fn(pmesh.shard_batch(mesh, jnp.asarray(traces))))
+    csd = out[..., 0] + 1j * out[..., 1]
+    single = np.asarray(spectral.welch_csd(jnp.asarray(
+        traces.astype(np.float64)), FS))
+    np.testing.assert_allclose(csd, single, rtol=1e-4, atol=1e-7)
