@@ -1,0 +1,128 @@
+"""Noise pipeline: PSD/CSD estimation from randoms → filter file.
+
+Replacement for the reference Noise class (detprocess/core/noise.py):
+sample randoms from continuous data (pipelines.randoms), read the windowed
+traces, apply automated quality cuts (ops.autocuts), estimate two-sided
+PSDs/CSDs on device (ops.spectral / parallel.mesh for multi-chip psum),
+and store the results in a FilterData store.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawReader
+from detprocess_tpu.ops import autocuts as cuts
+from detprocess_tpu.ops import spectral
+from detprocess_tpu.pipelines.randoms import Randoms
+
+
+class Noise(FilterData):
+    """PSD/CSD estimation driver (core/noise.py:52-970)."""
+
+    def __init__(self, raw_files: Sequence[str] | str | None = None,
+                 verbose: bool = True):
+        super().__init__(verbose=verbose)
+        self._raw_files = raw_files
+        self._reader = RawReader(raw_files) if raw_files is not None else None
+        self._randoms_df: Optional[pd.DataFrame] = None
+        self._traces: Optional[np.ndarray] = None
+        self._trace_channels = None
+
+    # ------------------------------------------------------------------
+    def set_randoms(self, randoms_df: pd.DataFrame):
+        """Use an existing randoms dataframe (core/noise.py:91)."""
+        self._randoms_df = randoms_df
+
+    def generate_randoms(self, random_rate: Optional[float] = None,
+                         nrandoms: Optional[int] = None,
+                         min_separation_msec: float = 100.0,
+                         edge_exclusion_msec: float = 50.0,
+                         seed: Optional[int] = None) -> pd.DataFrame:
+        """Sample randoms from the continuous data (core/noise.py:152)."""
+        if self._raw_files is None:
+            raise ValueError("raw data required to generate randoms")
+        randoms = Randoms(self._raw_files, verbose=self._verbose)
+        self._randoms_df = randoms.process(
+            random_rate=random_rate, nrandoms=nrandoms,
+            min_separation_msec=min_separation_msec,
+            edge_exclusion_msec=edge_exclusion_msec, seed=seed)
+        return self._randoms_df
+
+    def _get_traces(self, channels, trace_length_samples,
+                    pretrigger_length_samples):
+        if self._randoms_df is None:
+            raise ValueError("no randoms available — call generate_randoms "
+                             "or set_randoms first")
+        randoms = Randoms(self._raw_files, verbose=False)
+        traces = randoms.read_random_traces(
+            self._randoms_df, trace_length_samples,
+            pretrigger_length_samples, channels=channels)
+        return traces
+
+    # ------------------------------------------------------------------
+    def calc_psd(self, channels: Sequence[str] | str,
+                 trace_length_samples: Optional[int] = None,
+                 pretrigger_length_samples: Optional[int] = None,
+                 nsigma_cut: float = 2.5,
+                 tag: str = "default",
+                 window: Optional[str] = None,
+                 dtype=np.float64):
+        """Estimate per-channel two-sided PSDs from randoms with autocuts
+        (core/noise.py:216-373) and store them (``psd_{tag}``)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        md = self._reader.get_metadata()
+        fs = float(md["sample_rate"])
+        n = trace_length_samples or int(md["nb_samples"])
+        p = (pretrigger_length_samples
+             if pretrigger_length_samples is not None else n // 2)
+
+        traces = self._get_traces(channels, n, p)       # [B, C, N]
+        if traces.size == 0:
+            raise ValueError("no traces available for PSD estimation")
+        for i, chan in enumerate(channels):
+            tr = jnp.asarray(traces[:, i, :], dtype)
+            mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
+            kept = tr[jnp.asarray(np.where(mask)[0])]
+            psd = np.asarray(spectral.welch_psd(kept, fs, window=window))
+            self.set_psd(chan, psd, fs, tag=tag, metadata={
+                "nb_randoms": int(mask.sum()),
+                "nb_randoms_total": int(len(mask)),
+                "nb_pretrigger_samples": p,
+            })
+        return self
+
+    def calc_csd(self, channels: Sequence[str],
+                 trace_length_samples: Optional[int] = None,
+                 pretrigger_length_samples: Optional[int] = None,
+                 nsigma_cut: float = 2.5,
+                 tag: str = "default",
+                 window: Optional[str] = None,
+                 dtype=np.float64):
+        """Estimate the CSD matrix for a channel list and store it under
+        the compound channel 'c1|c2|...' (core/noise.py:374-500)."""
+        md = self._reader.get_metadata()
+        fs = float(md["sample_rate"])
+        n = trace_length_samples or int(md["nb_samples"])
+        p = (pretrigger_length_samples
+             if pretrigger_length_samples is not None else n // 2)
+
+        traces = self._get_traces(list(channels), n, p)  # [B, C, N]
+        if traces.size == 0:
+            raise ValueError("no traces available for CSD estimation")
+        tr = jnp.asarray(traces, dtype)
+        mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
+        kept = tr[jnp.asarray(np.where(mask)[0])]
+        csd = np.asarray(spectral.welch_csd(kept, fs, window=window))
+        self.set_csd(list(channels), csd, fs, tag=tag, metadata={
+            "nb_randoms": int(mask.sum()),
+            "nb_randoms_total": int(len(mask)),
+            "nb_pretrigger_samples": p,
+        })
+        return self

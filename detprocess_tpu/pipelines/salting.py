@@ -1,0 +1,199 @@
+"""Salting: injection of simulated pulses into raw traces.
+
+Replacement for the reference Salting core (detprocess/core/salting.py):
+generate salt metadata — energies sampled from a dark-matter recoil PDF by
+inverse-transform sampling (salting.py:192-287), times sampled like randoms
+— and inject scaled templates into raw traces on the fly during triggering
+or feature extraction (salting.py:479-621).
+
+Energy → amplitude normalization: for a template normalized to unit peak,
+``amplitude = energy / energy_norm`` where ``energy_norm`` is the
+energy-per-unit-amplitude of the template. With a dPdI responsivity
+available (models.didv), the proper normalization is
+``∫ template_power dt`` with template_power = |irfft(dPdI·fft(template))|
+(qetpy.get_energy_normalization equivalent); otherwise a user-provided
+calibration (eV per amp) is used.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.io import tables
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.utils.misc import create_series_name
+
+
+def sample_from_pdf(energies: np.ndarray, drde: np.ndarray, nsamples: int,
+                    rng: np.random.Generator) -> np.ndarray:
+    """Inverse-transform sampling from a tabulated dR/dE spectrum
+    (salting.py:192-287 sample_DMpdf equivalent)."""
+    drde = np.clip(np.asarray(drde, float), 0, None)
+    cdf = np.cumsum(drde)
+    if cdf[-1] <= 0:
+        raise ValueError("PDF has no positive weight")
+    cdf = cdf / cdf[-1]
+    u = rng.random(nsamples)
+    return np.interp(u, cdf, energies)
+
+
+class Salting:
+    """Salt generation + on-the-fly injection."""
+
+    def __init__(self, filter_data: FilterData | str,
+                 verbose: bool = True):
+        if isinstance(filter_data, str):
+            filter_data = FilterData(verbose=verbose).load_hdf5(filter_data)
+        self._filter_data = filter_data
+        self._verbose = verbose
+        self._df: Optional[pd.DataFrame] = None
+        self._templates: Dict[str, np.ndarray] = {}
+        self._pretriggers: Dict[str, int] = {}
+
+    @property
+    def dataframe(self) -> Optional[pd.DataFrame]:
+        return self._df
+
+    def set_dataframe(self, df: pd.DataFrame):
+        """Load an existing salting dataframe (salting.py:447)."""
+        self._df = df
+        for chan in df["salt_channel"].unique():
+            self._load_template(chan)
+
+    def _load_template(self, chan, template_tag="default"):
+        if chan not in self._templates:
+            tmpl, _, md = self._filter_data.get_template(
+                chan, tag=template_tag, return_metadata=True)
+            self._templates[chan] = np.asarray(tmpl)
+            self._pretriggers[chan] = int(
+                md.get("nb_pretrigger_samples",
+                       np.asarray(tmpl).shape[-1] // 2))
+
+    # ------------------------------------------------------------------
+    def generate_salt(self,
+                      raw_files,
+                      channels: Sequence[str],
+                      energies=None,
+                      dm_pdf: Optional[tuple] = None,
+                      nsalt: int = 100,
+                      energy_norm_ev_per_amp: float | dict = 1.0,
+                      channel_fractions: Optional[dict] = None,
+                      template_tag: str = "default",
+                      min_separation_msec: float = 100.0,
+                      edge_exclusion_msec: float = 50.0,
+                      coincident: bool = True,
+                      seed: Optional[int] = None) -> pd.DataFrame:
+        """Generate salt metadata over the continuous exposure.
+
+        Parameters mirror the reference (salting.py:288-445): either a list
+        of fixed ``energies`` (each repeated nsalt times) or a ``dm_pdf``
+        (energies_eV, dRdE) tuple sampled nsalt times.
+        ``channel_fractions`` splits each salt's energy across channels
+        (default: equal split). ``coincident`` injects every salt into all
+        channels at the same time.
+        """
+        from detprocess_tpu.pipelines.randoms import Randoms
+
+        rng = np.random.default_rng(seed)
+        for chan in channels:
+            self._load_template(chan, template_tag)
+
+        if dm_pdf is not None:
+            salt_energies = sample_from_pdf(dm_pdf[0], dm_pdf[1], nsalt, rng)
+        elif energies is not None:
+            energies = np.atleast_1d(energies)
+            salt_energies = np.repeat(energies, nsalt)
+        else:
+            raise ValueError('"energies" or "dm_pdf" required')
+        ntot = len(salt_energies)
+
+        # random times across the exposure (randoms machinery)
+        randoms = Randoms(raw_files, verbose=False)
+        times_df = randoms.process(
+            nrandoms=ntot, min_separation_msec=min_separation_msec,
+            edge_exclusion_msec=edge_exclusion_msec, seed=seed,
+            lgc_output=True)
+        if len(times_df) < ntot:
+            salt_energies = salt_energies[: len(times_df)]
+            ntot = len(salt_energies)
+
+        fractions = channel_fractions or {
+            c: 1.0 / len(channels) for c in channels}
+        rows = []
+        salt_id = 0
+        for i in range(ntot):
+            t = times_df.iloc[i]
+            salt_id += 1
+            for chan in channels:
+                frac = fractions.get(chan, 0.0)
+                e_chan = salt_energies[i] * frac
+                norm = (energy_norm_ev_per_amp.get(chan)
+                        if isinstance(energy_norm_ev_per_amp, dict)
+                        else energy_norm_ev_per_amp)
+                rows.append({
+                    "salt_id": salt_id,
+                    "salt_channel": chan,
+                    "salt_energy_ev": e_chan,
+                    "salt_amplitude": e_chan / norm,
+                    "salt_template_tag": template_tag,
+                    "trigger_index": int(t["trigger_index"]),
+                    "trigger_time": t["trigger_time"],
+                    "series_number": t["series_number"],
+                    "event_number": t["event_number"],
+                    "dump_number": t["dump_number"],
+                    "trigger_type": 6,
+                })
+        self._df = pd.DataFrame(rows)
+        return self._df
+
+    # ------------------------------------------------------------------
+    def inject_raw_salt(self, traces: np.ndarray, admin: dict,
+                        channel_list: Sequence[str]) -> np.ndarray:
+        """Add scaled templates into a continuous event's traces
+        (salting.py:479-621). Matches salts by (series, event)."""
+        if self._df is None or len(self._df) == 0:
+            return traces
+        sel = self._df[
+            (self._df["series_number"] == admin["series_number"])
+            & (self._df["event_number"] == admin["event_number"])]
+        if len(sel) == 0:
+            return traces
+        out = np.array(traces, copy=True)
+        nb = out.shape[-1]
+        for _, row in sel.iterrows():
+            chan = row["salt_channel"]
+            if chan not in channel_list:
+                continue
+            ci = channel_list.index(chan)
+            tmpl = self._templates[chan]
+            p = self._pretriggers[chan]
+            start = int(row["trigger_index"]) - p
+            amp = row["salt_amplitude"]
+            lo = max(start, 0)
+            hi = min(start + tmpl.shape[-1], nb)
+            if hi <= lo:
+                continue
+            out[ci, lo:hi] += amp * tmpl[lo - start: hi - start]
+        return out
+
+    def make_injector(self, channel_list: Sequence[str]):
+        """Injector callable for TriggerProcessing.set_salting."""
+        def injector(traces, admin):
+            return self.inject_raw_salt(traces, admin, channel_list)
+        return injector
+
+    # ------------------------------------------------------------------
+    def save(self, output_path: str, group_name: str = "salting",
+             series_name: Optional[str] = None, facility: int = 1,
+             output_format: str = "hdf5") -> str:
+        os.makedirs(output_path, exist_ok=True)
+        out_series = series_name or create_series_name(facility)
+        path = tables.output_file_name(
+            output_path, "salting", group_name, out_series, 1,
+            "parquet" if output_format == "parquet" else "hdf5")
+        tables.write_table(self._df, path, fmt=output_format)
+        return path

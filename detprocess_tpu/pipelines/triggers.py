@@ -1,0 +1,441 @@
+"""Trigger-processing pipeline: continuous raw data → trigger dataframes.
+
+TPU-native replacement for the reference TriggerProcessing + EventBuilder
+(detprocess/process/triggers.py, core/eventbuilder.py). The per-event flow:
+
+    continuous trace [C, L]
+      → (optional) salt injection (scatter-add of scaled templates)
+      → per trigger channel: jitted of_fir → Δχ² → threshold/pileup merge
+        (+ optional residual re-trigger with saturation veto) on device
+      → fixed-capacity TriggerSet compacted on host
+      → EventBuilder: cross-channel coincidence merge, metadata columns
+      → vaex-layout HDF5 / parquet dumps (``threshtrig_`` prefix)
+
+Output column schema follows the reference (SURVEY.md appendix):
+trigger_index/time/delta_chi2/amplitude[_i]/threshold_sigma/pileup_window/
+type(=4)/channel + per-channel suffixed duplicates + admin columns.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.config import YamlConfig
+from detprocess_tpu.io import tables
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawReader
+from detprocess_tpu.ops import filterbank, spectral, trigger as trig_ops
+from detprocess_tpu.utils import channels as chutils
+from detprocess_tpu.utils.misc import create_series_name
+
+
+class EventBuilder:
+    """Collects per-channel triggers and merges cross-channel coincidences
+    (core/eventbuilder.py:56-497)."""
+
+    def __init__(self):
+        self._event_df: Optional[pd.DataFrame] = None
+        self._current_trigger_id = 0
+        self._current_event_time = -np.inf
+        self._current_nb_samples = None
+
+    def clear_event(self):
+        self._event_df = None
+
+    def add_triggers(self, trigger_df: pd.DataFrame):
+        if trigger_df is None or len(trigger_df) == 0:
+            return
+        if self._event_df is None:
+            self._event_df = trigger_df
+        else:
+            self._event_df = pd.concat([self._event_df, trigger_df],
+                                       ignore_index=True)
+        self._event_df = self._event_df.sort_values(
+            "trigger_index", ignore_index=True)
+
+    def build_event(self, event_metadata: Optional[dict] = None,
+                    fs: Optional[float] = None,
+                    coincident_window_msec: Optional[float] = None,
+                    coincident_window_samples: Optional[int] = None,
+                    nb_trigger_channels: Optional[int] = None,
+                    trace_length_continuous_sec: Optional[float] = None
+                    ) -> Optional[pd.DataFrame]:
+        """Merge coincidences + attach event metadata; returns the event's
+        trigger dataframe (or None)."""
+        event_metadata = dict(event_metadata or {})
+        if fs is None:
+            fs = event_metadata.get("sample_rate")
+
+        if trace_length_continuous_sec is None:
+            nb = self._current_nb_samples or event_metadata.get("nb_samples")
+            if nb is None or fs is None:
+                raise ValueError(
+                    '"trace_length_continuous_sec" argument required')
+            trace_length_continuous_sec = nb / fs
+
+        event_time_start = np.nan
+        if "event_time" in event_metadata:
+            t = event_metadata["event_time"]
+            event_time_start = max(t, self._current_event_time)
+            self._current_event_time = (event_time_start
+                                        + trace_length_continuous_sec)
+
+        if self._event_df is None or len(self._event_df) == 0:
+            return None
+
+        if nb_trigger_channels is None or nb_trigger_channels > 1:
+            self._merge_coincident_triggers(
+                fs=fs, coincident_window_msec=coincident_window_msec,
+                coincident_window_samples=coincident_window_samples)
+
+        df = self._event_df
+        n = len(df)
+        for key in ("processing_id", "data_type", "group_name"):
+            df[key] = str(event_metadata.get(key, "")) or None
+        for key in ("series_number", "event_number", "dump_number",
+                    "fridge_run_number"):
+            df[key] = np.int64(event_metadata.get(key, -1))
+
+        trigger_times = df["trigger_time"].to_numpy()
+        if np.isfinite(event_time_start):
+            event_times = np.int64(np.round(trigger_times
+                                            + event_time_start))
+        else:
+            event_times = np.full(n, -1, dtype=np.int64)
+        df["event_time"] = event_times
+        df["trigger_prod_id"] = (np.arange(n, dtype=np.int64)
+                                 + self._current_trigger_id + 1)
+        self._current_trigger_id = int(df["trigger_prod_id"].iloc[-1])
+        self._event_df = df
+        return df
+
+    def set_current_nb_samples(self, nb):
+        self._current_nb_samples = nb
+
+    def _merge_coincident_triggers(self, fs=None,
+                                   coincident_window_msec=None,
+                                   coincident_window_samples=None):
+        merge_window = 0
+        if coincident_window_msec is not None:
+            if fs is None:
+                raise ValueError('sample rate "fs" needs to be provided')
+            merge_window = int(coincident_window_msec * fs / 1000)
+        elif coincident_window_samples is not None:
+            merge_window = coincident_window_samples
+        if merge_window == 0:
+            return
+
+        df = self._event_df.reset_index(drop=True)
+        idx = df["trigger_index"].to_numpy()
+        d = df["trigger_delta_chi2"].to_numpy()
+        names = df["trigger_channel"].to_numpy()
+
+        # ranges of consecutive triggers closer than the window
+        close = np.diff(idx) < merge_window
+        close = np.concatenate(([0], close, [0]))
+        edges = np.abs(np.diff(close))
+        ranges = np.where(edges == 1)[0].reshape(-1, 2)
+
+        coincident_groups: List[np.ndarray] = []
+        for lo, hi in ranges:
+            inds = np.arange(lo, hi + 1)
+            chans = names[inds]
+            uniq = np.unique(chans)
+            if len(uniq) == 1:
+                continue  # single channel = pileup, not coincidence
+            if len(uniq) == len(chans):
+                coincident_groups.append(inds)
+                continue
+            # mixed pileup/coincidence: split greedily so each sub-group
+            # has unique channels (eventbuilder.py:405-442)
+            current_chans: List[str] = []
+            current_inds: List[int] = []
+            splits: List[List[int]] = []
+            for c, i in zip(chans, inds):
+                if c in current_chans:
+                    splits.append(current_inds)
+                    current_chans, current_inds = [], []
+                current_chans.append(c)
+                current_inds.append(int(i))
+            if current_inds:
+                splits.append(current_inds)
+            for sub in splits:
+                if len(sub) > 1:
+                    coincident_groups.append(np.asarray(sub))
+
+        rows_to_drop: List[int] = []
+        for inds in coincident_groups:
+            inds = np.asarray(inds)
+            primary = int(inds[np.argmax(d[inds])])
+            primary_chan = names[primary]
+            for other in inds[inds != primary]:
+                other = int(other)
+                other_chan = str(names[other])
+                # copy the other channel's suffixed columns into the
+                # primary row
+                for col in df.columns:
+                    if other_chan in col and pd.notnull(df.at[other, col]):
+                        df.at[primary, col] = df.at[other, col]
+                rows_to_drop.append(other)
+
+        if rows_to_drop:
+            df = df.drop(rows_to_drop).reset_index(drop=True)
+        self._event_df = df
+
+
+@dataclass
+class _TriggerChannel:
+    name: str                 # trigger name (dataframe channel label)
+    channel_name: str         # raw channel (possibly 'a|b' compound)
+    chan_indices: List[int]   # raw channel rows
+    kernel: trig_ops.TriggerKernel
+    threshold_sigma: float
+    pileup_window: int
+    chi2_threshold: float
+    run_residual: bool
+    sat_amps: Optional[list]
+    edge_exclusion_msec: Optional[float]
+
+
+class TriggerProcessing:
+    """End-to-end continuous-data triggering (process/triggers.py:56-947)."""
+
+    def __init__(self,
+                 raw_files: Sequence[str] | str,
+                 config: YamlConfig | str,
+                 filter_data: FilterData | str | None = None,
+                 processing_id: Optional[str] = None,
+                 facility: int = 1,
+                 verbose: bool = True):
+        self._verbose = verbose
+        self._facility = facility
+        self._processing_id = processing_id
+        self._reader = RawReader(raw_files)
+        self._fs = self._reader.sample_rate
+        self._available_channels = self._reader.channels
+
+        if isinstance(config, str):
+            config = YamlConfig(config, self._available_channels,
+                                sample_rate=self._fs)
+        self._config = config
+        self._trigger_config = config.get_config("trigger")
+
+        if isinstance(filter_data, str):
+            filter_data = FilterData(verbose=verbose).load_hdf5(filter_data)
+        if filter_data is None:
+            path = (self._trigger_config.get("overall", {}) or {}).get(
+                "filter_file")
+            if path:
+                filter_data = FilterData(verbose=verbose).load_hdf5(path)
+        self._filter_data = filter_data
+
+        self._channels: List[_TriggerChannel] = []
+        self._build_channels()
+        self._salt_injector = None  # set via set_salting
+
+    # ------------------------------------------------------------------
+    def set_salting(self, injector):
+        """Attach a salting injector: callable(trace [C, L], admin) →
+        salted trace (see pipelines.salting)."""
+        self._salt_injector = injector
+
+    def _build_channels(self):
+        cfg = self._trigger_config["channels"]
+        for trig_name, tcfg in cfg.items():
+            chan = tcfg["channel_name"]
+            template_tag = tcfg.get("template_tag", "default")
+            csd_tag = tcfg.get("csd_tag", "default")
+            chans, sep = chutils.split_channel_name(
+                chan, self._available_channels)
+            if sep == "|":
+                template, _ = self._filter_data.get_template(
+                    chan, tag=template_tag)
+                csd, _ = self._filter_data.get_csd(chan, tag=csd_tag)
+            else:
+                template, _ = self._filter_data.get_template(
+                    chan, tag=template_tag)
+                psd, _ = self._filter_data.get_psd(chan, tag=csd_tag)
+                csd = psd.astype(complex)
+            _, _, tmeta = self._filter_data.get_template(
+                chan, tag=template_tag, return_metadata=True)
+            pretrig = int(tcfg.get("pretrigger_length_samples")
+                          or tmeta.get("nb_pretrigger_samples")
+                          or np.atleast_1d(template).shape[-1] // 2)
+            bank = filterbank.make_ofnxm_bank(
+                np.asarray(template), np.asarray(csd), self._fs, pretrig,
+                ignored_frequency_peaks=tcfg.get("ignored_frequency_peaks"),
+                ignore_harmonics=tcfg.get("ignore_harmonics", False))
+            kernel = trig_ops.make_trigger_kernel(bank)
+
+            thresh = float(tcfg.get("threshold_sigma", 5.0))
+            pileup_msec = tcfg.get("pileup_window_msec")
+            pileup = (int(pileup_msec * self._fs / 1000)
+                      if pileup_msec is not None
+                      else int(tcfg.get("pileup_window_samples", 0)))
+            self._channels.append(_TriggerChannel(
+                name=trig_name,
+                channel_name=chan,
+                chan_indices=[self._available_channels.index(c)
+                              for c in chans],
+                kernel=kernel,
+                threshold_sigma=thresh,
+                pileup_window=pileup,
+                chi2_threshold=trig_ops.chi2_threshold(thresh, bank.ntmps),
+                run_residual=bool(tcfg.get("run_residual", False)),
+                sat_amps=tcfg.get("saturation_amplitudes"),
+                edge_exclusion_msec=tcfg.get("edge_exclusion_msec"),
+            ))
+
+    # ------------------------------------------------------------------
+    def _make_channel_fn(self, tc: _TriggerChannel, capacity: int):
+        kernel = tc.kernel
+
+        @jax.jit
+        def run(trace):
+            q = trig_ops.of_fir(trace, kernel)
+            dchi2, amps = trig_ops.delta_chi2(
+                q, jnp.asarray(kernel.iw_matrix))
+            ts = trig_ops.find_triggers_kernel(
+                dchi2, amps, tc.chi2_threshold, tc.pileup_window, capacity)
+            if tc.run_residual:
+                if tc.sat_amps is not None:
+                    lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
+                    sat = trig_ops.saturation_mask(
+                        lpf, tc.sat_amps, kernel.nt // 4)
+                else:
+                    sat = None
+                resid = trig_ops.residual_subtract(dchi2, ts, kernel, sat)
+                ts2 = trig_ops.find_triggers_kernel(
+                    resid, amps, tc.chi2_threshold, tc.pileup_window,
+                    capacity)
+                return ts, ts2
+            return ts, None
+
+        return run
+
+    def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
+                           ) -> pd.DataFrame:
+        count = int(ts.count)
+        if count == 0:
+            return pd.DataFrame()
+        idx = np.asarray(ts.indices)[:count]
+        d = np.asarray(ts.dchi2)[:count]
+        amps = np.asarray(ts.amplitudes)[:, :count]
+        data = {
+            "trigger_index": idx.astype(np.int64),
+            "trigger_time": idx / self._fs,
+            "trigger_delta_chi2": d.astype(np.float64),
+            "trigger_threshold_sigma": np.full(count, tc.threshold_sigma),
+            "trigger_pileup_window": np.full(count, tc.pileup_window,
+                                             dtype=np.int64),
+            "trigger_type": np.full(count, trigger_type, dtype=np.int64),
+        }
+        m = amps.shape[0]
+        for i in range(m):
+            data[f"trigger_amplitude_{i}"] = amps[i].astype(np.float64)
+        if m == 1:
+            data["trigger_amplitude"] = amps[0].astype(np.float64)
+        data["trigger_channel"] = [tc.name] * count
+        df = pd.DataFrame(data)
+        # per-channel suffixed duplicates (oftrigger.py:1029-1034)
+        for col in list(df.columns):
+            df[f"{col}_{tc.name}"] = df[col]
+        return df
+
+    # ------------------------------------------------------------------
+    def process(self,
+                nevents: int = -1,
+                capacity: int = 4096,
+                lgc_save: bool = False,
+                output_path: Optional[str] = None,
+                output_format: str = "hdf5",
+                series_name: Optional[str] = None,
+                group_name: str = "trigger",
+                coincident_window_msec: Optional[float] = None,
+                coincident_window_samples: Optional[int] = None,
+                lgc_output: bool = True) -> Optional[pd.DataFrame]:
+        overall = self._trigger_config.get("overall", {}) or {}
+        if coincident_window_msec is None:
+            coincident_window_msec = overall.get("coincident_window_msec")
+        if coincident_window_samples is None:
+            coincident_window_samples = overall.get(
+                "coincident_window_samples")
+
+        fns = {tc.name: self._make_channel_fn(tc, capacity)
+               for tc in self._channels}
+        builder = EventBuilder()
+        frames: List[pd.DataFrame] = []
+        out_series = series_name or create_series_name(self._facility)
+        if lgc_save:
+            if output_path is None:
+                raise ValueError("output_path required with lgc_save")
+            os.makedirs(output_path, exist_ok=True)
+
+        self._reader.rewind()
+        total = 0
+        dump_num = 0
+        while nevents < 0 or total < nevents:
+            traces, admin = self._reader.read_next_event()
+            if traces is None:
+                break
+            total += 1
+            if self._salt_injector is not None:
+                traces = self._salt_injector(traces, admin)
+            dev_traces = jnp.asarray(traces, jnp.float32)
+
+            builder.clear_event()
+            builder.set_current_nb_samples(traces.shape[-1])
+            for tc in self._channels:
+                sub = dev_traces[jnp.asarray(tc.chan_indices), :]
+                ts, ts2 = fns[tc.name](sub)
+                df = self._trigger_set_to_df(tc, ts)
+                if ts2 is not None:
+                    df2 = self._trigger_set_to_df(tc, ts2)
+                    if len(df2):
+                        # keep only residual triggers at new indices
+                        if len(df):
+                            new = ~df2["trigger_index"].isin(
+                                df["trigger_index"])
+                            df2 = df2[new]
+                        df = pd.concat([df, df2], ignore_index=True)
+                if tc.edge_exclusion_msec is not None and len(df):
+                    tmin = tc.edge_exclusion_msec * 1e-3
+                    tmax = traces.shape[-1] / self._fs - tmin
+                    keep = ((df["trigger_time"] > tmin)
+                            & (df["trigger_time"] < tmax))
+                    df = df[keep].reset_index(drop=True)
+                    df[f"trigger_edge_exclusion_time_{tc.name}"] = tmin
+                builder.add_triggers(df)
+
+            meta = dict(admin)
+            meta["sample_rate"] = self._fs
+            meta["processing_id"] = self._processing_id or ""
+            event_df = builder.build_event(
+                event_metadata=meta, fs=self._fs,
+                coincident_window_msec=coincident_window_msec,
+                coincident_window_samples=coincident_window_samples,
+                nb_trigger_channels=len(self._channels))
+            if event_df is not None and len(event_df):
+                frames.append(event_df.copy())
+
+            if self._verbose and total % 100 == 0:
+                ntrig = sum(len(f) for f in frames)
+                print(f"INFO: processed {total} continuous events, "
+                      f"{ntrig} triggers")
+
+        result = (pd.concat(frames, ignore_index=True)
+                  if frames else pd.DataFrame())
+        if lgc_save and len(result):
+            dump_num += 1
+            path = tables.output_file_name(
+                output_path, "threshtrig", group_name, out_series, dump_num,
+                "parquet" if output_format == "parquet" else "hdf5")
+            tables.write_table(result, path, fmt=output_format)
+        return result if lgc_output else None

@@ -1,0 +1,213 @@
+"""Tests for randoms sampling, autocuts, the noise pipeline, and salting."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import pandas as pd
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawWriter
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import autocuts
+from detprocess_tpu.pipelines.randoms import Randoms
+from detprocess_tpu.pipelines.noise import Noise
+from detprocess_tpu.pipelines.salting import Salting, sample_from_pdf
+from detprocess_tpu.pipelines.triggers import TriggerProcessing
+import yaml
+
+FS = 1.25e6
+L = 250000       # 0.2 s continuous traces
+CHANNELS = ["chan1", "chan2"]
+
+
+@pytest.fixture(scope="module")
+def contdata(tmp_path_factory):
+    root = tmp_path_factory.mktemp("noise")
+    rng = np.random.default_rng(0)
+    sigma = 2e-6
+    traces = rng.standard_normal((4, 2, L)) * sigma
+    # event 2 of chan1 gets a huge glitch (should be cut)
+    traces[1, 0, 100000:100500] += 50e-6
+    writer = RawWriter(str(root / "raw"), "I1_D20260816_T160000", FS,
+                       CHANNELS, data_type="continuous")
+    writer.write_dump(traces, dump_num=1)
+    raw_files = sorted(str(p) for p in (root / "raw").glob("*.hdf5"))
+    return dict(root=root, raw_files=raw_files, sigma=sigma, traces=traces)
+
+
+class TestRandoms:
+    def test_rate_sampling(self, contdata):
+        r = Randoms(contdata["raw_files"], verbose=False)
+        df = r.process(random_rate=50.0, min_separation_msec=2.0,
+                       edge_exclusion_msec=2.0, seed=1)
+        # 0.2 s traces × 4 events × 50 Hz = 40 randoms
+        assert len(df) == 40
+        assert (df["trigger_type"] == 3).all()
+        # constraints respected
+        edge = int(np.ceil(FS * 2e-3))
+        assert df["trigger_index"].min() >= edge
+        assert df["trigger_index"].max() <= L - edge
+        for _, g in df.groupby("event_number"):
+            seps = np.diff(np.sort(g["trigger_index"].to_numpy()))
+            assert (seps >= int(np.ceil(FS * 2e-3))).all()
+
+    def test_count_capped(self, contdata):
+        r = Randoms(contdata["raw_files"], verbose=False)
+        df = r.process(random_rate=100.0, nrandoms=10, seed=2,
+                       min_separation_msec=1.0, edge_exclusion_msec=1.0)
+        assert len(df) == 10
+
+    def test_windowed_trace_read(self, contdata):
+        r = Randoms(contdata["raw_files"], verbose=False)
+        df = r.process(random_rate=20.0, seed=3, min_separation_msec=2.0,
+                       edge_exclusion_msec=5.0)
+        n, p = 4096, 2048
+        traces = r.read_random_traces(df, n, p, channels=CHANNELS)
+        assert traces.shape[1:] == (2, n)
+        # values match the raw data at the right window
+        row = df.iloc[0]
+        ev = int(row["event_number"]) - 1
+        start = int(row["trigger_index"]) - p
+        np.testing.assert_allclose(
+            traces[0, 0], contdata["traces"][ev, 0, start:start + n],
+            rtol=1e-6)
+
+
+class TestAutocuts:
+    def test_glitch_cut(self):
+        rng = np.random.default_rng(5)
+        traces = rng.standard_normal((64, 2048))
+        traces[7] += 25.0          # baseline jump
+        traces[21, 1000:1100] += 30.0  # glitch
+        traces[40] *= 6.0          # noisy trace
+        mask = np.asarray(autocuts.autocuts_noise(jnp.asarray(traces)))
+        assert not mask[7] and not mask[21] and not mask[40]
+        assert mask.sum() >= 55
+
+    def test_passes_clean_noise(self):
+        rng = np.random.default_rng(6)
+        traces = rng.standard_normal((128, 1024))
+        mask = np.asarray(autocuts.autocuts_noise(jnp.asarray(traces)))
+        # sigma clipping at 2.5σ keeps the bulk
+        assert mask.mean() > 0.8
+
+    def test_didv_mean_removal(self):
+        rng = np.random.default_rng(7)
+        t = np.arange(2048)
+        square = 5.0 * np.sign(np.sin(2 * np.pi * t / 512))
+        traces = square[None, :] + rng.standard_normal((32, 2048)) * 0.1
+        traces[3] += 8.0  # offset outlier
+        mask = np.asarray(autocuts.autocuts_didv(jnp.asarray(traces)))
+        assert not mask[3]
+        assert mask.sum() >= 28
+
+
+class TestNoisePipeline:
+    def test_psd_estimation(self, contdata):
+        noise = Noise(contdata["raw_files"], verbose=False)
+        noise.generate_randoms(random_rate=100.0, seed=4,
+                               min_separation_msec=1.0,
+                               edge_exclusion_msec=2.0)
+        noise.calc_psd(CHANNELS, trace_length_samples=4096,
+                       pretrigger_length_samples=2048)
+        psd, freqs = noise.get_psd("chan1")
+        assert psd.shape == (4096,)
+        # white noise: two-sided PSD = sigma²/fs
+        expected = contdata["sigma"] ** 2 / FS
+        np.testing.assert_allclose(np.median(psd[1:]), expected, rtol=0.1)
+
+    def test_csd_estimation_and_save(self, contdata, tmp_path):
+        noise = Noise(contdata["raw_files"], verbose=False)
+        noise.generate_randoms(random_rate=100.0, seed=5,
+                               min_separation_msec=1.0,
+                               edge_exclusion_msec=2.0)
+        noise.calc_csd(CHANNELS, trace_length_samples=2048,
+                       pretrigger_length_samples=1024)
+        csd, freqs = noise.get_csd("chan1|chan2")
+        assert csd.shape == (2, 2, 2048)
+        # independent channels: off-diagonal much smaller than diagonal
+        diag = np.median(np.abs(csd[0, 0, 1:]))
+        off = np.median(np.abs(csd[0, 1, 1:]))
+        assert off < 0.5 * diag
+        # persists through the filter file
+        path = str(tmp_path / "filter.h5")
+        noise.save_hdf5(path)
+        back = FilterData(verbose=False).load_hdf5(path)
+        csd2, _ = back.get_csd("chan1|chan2")
+        np.testing.assert_allclose(csd2, csd, rtol=1e-12)
+
+
+class TestSalting:
+    def test_sample_from_pdf(self):
+        rng = np.random.default_rng(8)
+        e = np.linspace(1, 100, 200)
+        drde = np.exp(-e / 20.0)
+        samples = sample_from_pdf(e, drde, 20000, rng)
+        assert samples.min() >= 1 and samples.max() <= 100
+        # exponential-ish: mean near 20 (truncated)
+        assert 15 < samples.mean() < 25
+
+    def test_generate_and_inject(self, contdata, tmp_path):
+        nt, pretrig = 4096, 1024
+        tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+        fd = FilterData(verbose=False)
+        for chan in CHANNELS:
+            fd.set_template(chan, tmpl, FS,
+                            pretrigger_length_samples=pretrig)
+            fd.set_psd(chan, np.full(nt, contdata["sigma"]**2 / FS), FS)
+
+        salting = Salting(fd, verbose=False)
+        df = salting.generate_salt(
+            contdata["raw_files"], CHANNELS, energies=[100.0], nsalt=10,
+            energy_norm_ev_per_amp=1e7, seed=9,
+            min_separation_msec=20.0, edge_exclusion_msec=10.0)
+        assert len(df) == 10 * len(CHANNELS)
+        assert (df["salt_amplitude"] > 0).all()
+        np.testing.assert_allclose(df["salt_energy_ev"], 50.0)  # equal split
+
+        # injection modifies the trace at the salt position
+        admin = {"series_number": df["series_number"].iloc[0],
+                 "event_number": df["event_number"].iloc[0]}
+        ev = int(admin["event_number"]) - 1
+        traces = contdata["traces"][ev]
+        salted = salting.inject_raw_salt(traces, admin, CHANNELS)
+        diff = salted - traces
+        sel = df[df["event_number"] == admin["event_number"]]
+        for _, row in sel.iterrows():
+            ci = CHANNELS.index(row["salt_channel"])
+            ti = int(row["trigger_index"])
+            peak_region = diff[ci, ti:ti + nt]
+            assert np.max(peak_region) > 0
+
+    def test_salted_triggering(self, contdata, tmp_path):
+        """Salts injected into continuous data are found by the trigger."""
+        nt, pretrig = 4096, 1024
+        tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+        fd = FilterData(verbose=False)
+        for chan in CHANNELS:
+            fd.set_template(chan, tmpl, FS,
+                            pretrigger_length_samples=pretrig)
+            fd.set_psd(chan, np.full(nt, contdata["sigma"]**2 / FS), FS)
+
+        salting = Salting(fd, verbose=False)
+        df = salting.generate_salt(
+            contdata["raw_files"], ["chan1"], energies=[100.0], nsalt=6,
+            energy_norm_ev_per_amp=2e6,  # 50 eV → 2.5e-5 A: loud
+            channel_fractions={"chan1": 1.0},
+            seed=11, min_separation_msec=50.0, edge_exclusion_msec=20.0)
+
+        config = {"trigger": {
+            "chan1": {"run": True, "template_tag": "default",
+                      "threshold_sigma": 10.0, "pileup_window_msec": 0.5}}}
+        cpath = str(tmp_path / "t.yaml")
+        yaml.safe_dump(config, open(cpath, "w"))
+        proc = TriggerProcessing(contdata["raw_files"], cpath,
+                                 filter_data=fd, verbose=False)
+        proc.set_salting(salting.make_injector(CHANNELS))
+        out = proc.process(capacity=128)
+        # every salt recovered within ±2 samples
+        found = out["trigger_index"].to_numpy()
+        for ti in df["trigger_index"]:
+            assert np.min(np.abs(found - ti)) <= 2

@@ -1,0 +1,152 @@
+"""End-to-end trigger pipeline test: continuous raw data → trigger tables,
+with cross-channel coincidence merging."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawWriter, RawReader
+from detprocess_tpu.models import pulse
+from detprocess_tpu.pipelines.triggers import EventBuilder, TriggerProcessing
+
+FS = 1.25e6
+NT = 1024
+PRETRIG = 256
+L = 60000
+CHANNELS = ["chan1", "chan2"]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trig")
+    rng = np.random.default_rng(42)
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(NT, 4e-18)
+    sigma = np.sqrt(psd[0] * FS)
+
+    # event 1: coincident pulses in both channels at 20000 (within window),
+    #          isolated pulse in chan1 at 40000
+    # event 2: isolated pulse in chan2 at 15000
+    def continuous(positions_amps):
+        tr = rng.standard_normal((len(CHANNELS), L)) * sigma
+        for ch, pos, a in positions_amps:
+            start = pos - PRETRIG
+            tr[ch, start:start + NT] += a * tmpl
+        return tr
+
+    ev1 = continuous([(0, 20000, 20e-6), (1, 20010, 15e-6),
+                      (0, 40000, 25e-6)])
+    ev2 = continuous([(1, 15000, 30e-6)])
+    traces = np.stack([ev1, ev2])
+
+    raw_dir = root / "raw"
+    writer = RawWriter(str(raw_dir), "I1_D20260816_T140000", FS, CHANNELS,
+                       data_type="continuous")
+    writer.write_dump(traces, dump_num=1)
+
+    fd = FilterData(verbose=False)
+    for chan in CHANNELS:
+        fd.set_template(chan, tmpl, FS, pretrigger_length_samples=PRETRIG)
+        fd.set_psd(chan, psd, FS)
+    filter_path = str(root / "filter.h5")
+    fd.save_hdf5(filter_path)
+
+    config = {
+        "trigger": {
+            "coincident_window_msec": 0.1,
+            "chan1": {"run": True, "template_tag": "default",
+                      "threshold_sigma": 8.0, "pileup_window_msec": 0.2},
+            "chan2": {"run": True, "template_tag": "default",
+                      "threshold_sigma": 8.0, "pileup_window_msec": 0.2},
+        },
+    }
+    config_path = str(root / "trig.yaml")
+    with open(config_path, "w") as fh:
+        yaml.safe_dump(config, fh)
+    raw_files = sorted(str(p) for p in raw_dir.glob("*.hdf5"))
+    return dict(raw_files=raw_files, config_path=config_path,
+                filter_path=filter_path)
+
+
+def test_trigger_pipeline_finds_injected_pulses(dataset, tmp_path):
+    proc = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    df = proc.process(capacity=256, lgc_save=True,
+                      output_path=str(tmp_path / "out"))
+    assert len(df) == 3  # coincidence merged into one + 2 isolated
+
+    idx = np.sort(df["trigger_index"].to_numpy())
+    # merged coincidence keeps the primary (max Δχ² → chan1 at 20000)
+    assert abs(idx[0] - 15000) <= 2
+    assert abs(idx[1] - 20000) <= 2
+    assert abs(idx[2] - 40000) <= 2
+
+    # schema
+    for col in ("trigger_index", "trigger_time", "trigger_delta_chi2",
+                "trigger_amplitude", "trigger_threshold_sigma",
+                "trigger_pileup_window", "trigger_type", "trigger_channel",
+                "trigger_prod_id", "series_number", "event_number",
+                "dump_number", "processing_id", "group_name"):
+        assert col in df.columns, col
+    assert (df["trigger_type"] == 4).all()
+
+    # coincidence row carries both channels' suffixed amplitudes
+    merged_row = df[np.abs(df["trigger_index"] - 20000) <= 2].iloc[0]
+    assert merged_row["trigger_channel"] == "chan1"
+    assert np.isfinite(merged_row["trigger_amplitude_chan1"])
+    assert np.isfinite(merged_row["trigger_amplitude_chan2"])
+    np.testing.assert_allclose(merged_row["trigger_amplitude_chan1"], 20e-6,
+                               rtol=0.05)
+    np.testing.assert_allclose(merged_row["trigger_amplitude_chan2"], 15e-6,
+                               rtol=0.05)
+
+    # trigger_prod_id strictly increasing across events
+    ids = df["trigger_prod_id"].to_numpy()
+    assert np.all(np.diff(np.sort(ids)) > 0)
+
+    # output file written
+    files = list((tmp_path / "out").glob("threshtrig_*"))
+    assert len(files) == 1
+
+
+def test_event_builder_pileup_not_merged():
+    """Two triggers in the SAME channel within the window stay separate
+    (pileup, not coincidence — eventbuilder.py:391-393)."""
+    builder = EventBuilder()
+    df = pd.DataFrame({
+        "trigger_index": [1000, 1050],
+        "trigger_time": [1000 / FS, 1050 / FS],
+        "trigger_delta_chi2": [500.0, 400.0],
+        "trigger_channel": ["chan1", "chan1"],
+        "trigger_amplitude_chan1": [1e-6, 2e-6],
+    })
+    builder.add_triggers(df)
+    builder.set_current_nb_samples(L)
+    out = builder.build_event({"event_time": 0.0}, fs=FS,
+                              coincident_window_samples=100)
+    assert len(out) == 2
+
+
+def test_event_builder_mixed_split():
+    """Mixed pileup + coincidence chains split into unique-channel groups
+    (eventbuilder.py:399-442)."""
+    builder = EventBuilder()
+    df = pd.DataFrame({
+        "trigger_index": [1000, 1020, 1040, 1060],
+        "trigger_time": np.array([1000, 1020, 1040, 1060]) / FS,
+        "trigger_delta_chi2": [500.0, 400.0, 600.0, 100.0],
+        "trigger_channel": ["chan1", "chan2", "chan1", "chan2"],
+        "trigger_amplitude_chan1": [1e-6, np.nan, 3e-6, np.nan],
+        "trigger_amplitude_chan2": [np.nan, 2e-6, np.nan, 4e-6],
+    })
+    builder.add_triggers(df)
+    builder.set_current_nb_samples(L)
+    out = builder.build_event({"event_time": 0.0}, fs=FS,
+                              coincident_window_samples=100)
+    # (1000,1020) merge; (1040,1060) merge → 2 rows
+    assert len(out) == 2
+    assert set(out["trigger_index"]) == {1000, 1040}
