@@ -1,0 +1,183 @@
+"""dIdV analysis driver: raw square-wave data → fits → TES parameters.
+
+Replacement for the reference DIDVAnalysis (detprocess/core/didv.py):
+process raw traces (cuts + lock-in), run 1/2/3-pole fits, derive
+small-signal parameters with uncertainties, infinite-loop-gain bias
+parameters, dPdI, and energy resolution; persist everything into the
+FilterData store under the reference's key schema
+(``didv_results_{poles}poles_{tag}``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawReader
+from detprocess_tpu.models import didv as didv_models
+from detprocess_tpu.ops import lockin
+
+
+class DIDVAnalysis(FilterData):
+    """Per-channel dIdV analysis (core/didv.py:63-1800)."""
+
+    def __init__(self, verbose: bool = True):
+        super().__init__(verbose=verbose)
+        self._didv_data: Dict[str, lockin.DIDVData] = {}
+        self._fits: Dict[str, Dict[int, didv_models.DIDVFit]] = {}
+        self._bias_params: Dict[str, dict] = {}
+        self._ssp: Dict[str, Dict[int, dict]] = {}
+
+    # ------------------------------------------------------------------
+    def process_raw_data(self, channels: Sequence[str] | str,
+                         raw_files, sgfreq: float, sgamp: float,
+                         rsh: float, nsigma_cut: float = 2.5,
+                         nevents: Optional[int] = None):
+        """Read raw dIdV events, apply cuts, lock-in average
+        (core/didv.py:159-206, :1521-1645)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        reader = RawReader(raw_files)
+        fs = reader.sample_rate
+        traces, _ = reader.read_many_events(nevents)
+        chan_list = reader.channels
+        for chan in channels:
+            ci = chan_list.index(chan)
+            data = lockin.process_didv_traces(
+                traces[:, ci, :], fs, sgfreq, sgamp, rsh,
+                nsigma_cut=nsigma_cut)
+            self.set_processed_data(chan, data)
+        return self
+
+    def set_processed_data(self, channel: str, data: lockin.DIDVData):
+        """Inject already-processed dIdV data (core/didv.py:207 —
+        qetpy.didvinitfromdata equivalent)."""
+        self._didv_data[channel] = data
+
+    def get_didv_data(self, channel: str) -> lockin.DIDVData:
+        return self._didv_data[channel]
+
+    # ------------------------------------------------------------------
+    def set_ivsweep_results(self, channel: str, results: dict,
+                            iv_type: str = "noise"):
+        """Attach IV-sweep results (i0/r0/p0/rp/rshunt) needed for the
+        small-signal conversion (core/didv.py:239-303)."""
+        self._bias_params[channel] = dict(results)
+
+    def dofit(self, channels: Sequence[str] | str, poles=(2, 3),
+              nharmonics: Optional[int] = 200):
+        """Fit the measured dIdV(f) with the requested pole models
+        (core/didv.py:489-560)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        if isinstance(poles, int):
+            poles = [poles]
+        for chan in channels:
+            data = self._didv_data[chan]
+            nh = (len(data.freqs) if nharmonics is None
+                  else min(nharmonics, len(data.freqs)))
+            fits = self._fits.setdefault(chan, {})
+            for p in poles:
+                fits[p] = didv_models.fit_didv(
+                    data.freqs[:nh], data.didv[:nh], poles=p,
+                    weights=data.weights[:nh])
+                tag = "default"
+                self._set(chan, f"didv_results_{p}poles_fit_{tag}", {
+                    "params": fits[p].params,
+                    "cov": fits[p].cov,
+                    "cost": fits[p].cost,
+                    "poles": p,
+                }, {"sgfreq": data.sgfreq, "sgamp": data.sgamp,
+                    "rsh": data.rsh})
+        return self
+
+    def get_fit(self, channel: str, poles: int) -> didv_models.DIDVFit:
+        return self._fits[channel][poles]
+
+    # ------------------------------------------------------------------
+    def calc_smallsignal_params(self, channels: Sequence[str] | str,
+                                poles=(2, 3), tag: str = "default"):
+        """Small-signal parameters + errors (core/didv.py:561-645).
+        Requires IV-sweep bias results (r0, rp, rshunt)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        if isinstance(poles, int):
+            poles = [poles]
+        for chan in channels:
+            bias = self._bias_params.get(chan)
+            if bias is None:
+                raise ValueError(
+                    f"IV sweep results required for channel {chan} — call "
+                    "set_ivsweep_results first")
+            r0 = bias["r0"]
+            rl = bias.get("rshunt", bias.get("rsh", 0.0)) + bias.get("rp",
+                                                                     0.0)
+            for p in poles:
+                if p not in self._fits.get(chan, {}):
+                    continue
+                fit = self._fits[chan][p]
+                ssp = didv_models.smallsignal_with_errors(fit, r0, rl)
+                self._ssp.setdefault(chan, {})[p] = ssp
+                light = {k: v for k, v in ssp.items() if k != "cov"}
+                self._set(chan,
+                          f"didv_results_{p}poles_smallsignalparams_{tag}",
+                          light, {"r0": r0, "rl": rl})
+        return self
+
+    def get_smallsignal_params(self, channel: str, poles: int) -> dict:
+        return self._ssp[channel][poles]
+
+    def calc_bias_params_infinite_loop_gain(self, channels, poles: int = 2,
+                                            tag: str = "default"):
+        """ILG bias point from the dIdV fit (core/didv.py:646-744)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        out = {}
+        for chan in channels:
+            bias = self._bias_params.get(chan, {})
+            rsh = bias.get("rshunt", bias.get("rsh", 5e-3))
+            rp = bias.get("rp", 0.0)
+            ibias = bias.get("ibias", bias.get("tes_bias", 0.0))
+            fit = self._fits[chan][poles]
+            ilg = didv_models.biasparams_ilg(fit.params, rsh + rp, rsh,
+                                            ibias, poles)
+            self._set(chan, f"didv_results_{poles}poles_biasparams_{tag}",
+                      ilg, {"method": "infinite_loop_gain"})
+            out[chan] = ilg
+        return out
+
+    # ------------------------------------------------------------------
+    def calc_dpdi(self, channels, freqs: np.ndarray, poles: int = 2,
+                  tag: str = "default"):
+        """dPdI(f) with uncertainties, stored as ``dpdi_{poles}poles_{tag}``
+        (core/didv.py:745-797)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        out = {}
+        for chan in channels:
+            bias = self._bias_params[chan]
+            fit = self._fits[chan][poles]
+            r0 = bias["r0"]
+            rl = (bias.get("rshunt", bias.get("rsh", 0.0))
+                  + bias.get("rp", 0.0))
+            i0 = bias["i0"]
+            dpdi, dpdi_err = didv_models.dpdi_with_uncertainties(
+                fit, freqs, i0, r0, rl)
+            self.set_dpdi(chan, dpdi, np.asarray(freqs), poles, tag=tag)
+            out[chan] = (dpdi, dpdi_err)
+        return out
+
+    def calc_energy_resolution(self, channel: str, template: np.ndarray,
+                               psd: np.ndarray, fs: float,
+                               poles: int = 2) -> float:
+        """Baseline energy resolution using the stored dPdI
+        (core/didv.py:798-866)."""
+        dpdi, freqs = self.get_dpdi(channel, poles)
+        if len(dpdi) != len(template):
+            raise ValueError(
+                f"dPdI length {len(dpdi)} != template length "
+                f"{len(template)} — recompute dPdI on the template's "
+                "frequency axis")
+        return didv_models.energy_resolution(template, psd, dpdi, fs)

@@ -1,0 +1,260 @@
+"""IV/dIdV sweep processing + analysis.
+
+Replacement for the reference IVSweepProcessing (process/ivprocess.py) and
+IVSweepAnalysis (core/ivsweep.py):
+
+- **IVSweepProcessing**: per-bias-point raw processing — noise-type series
+  give autocut PSDs + DC offsets; dIdV-type series give lock-in averages —
+  with SC/normal state tagging by linearity of imeas vs ibias.
+- **IVSweepAnalysis**: the bias analysis (models.ivbias IBIS), per-state
+  dIdV fits (batched over bias points), noise modeling across the sweep,
+  and energy-resolution vs %Rn.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawReader
+from detprocess_tpu.models import didv as didv_models
+from detprocess_tpu.models import ivbias
+from detprocess_tpu.ops import autocuts as cuts
+from detprocess_tpu.ops import lockin, spectral
+from detprocess_tpu.utils.misc import find_linear_segment
+
+import jax.numpy as jnp
+
+
+class IVSweepProcessing(FilterData):
+    """Raw sweep processing (process/ivprocess.py:46-1003).
+
+    The caller supplies, per bias point, the raw files for the noise and/or
+    dIdV data (the reference discovers these by scanning file metadata for
+    tes_bias changes; here the mapping can also be passed directly).
+    """
+
+    def __init__(self, verbose: bool = True):
+        super().__init__(verbose=verbose)
+
+    def process(self,
+                channel: str,
+                bias_points: Sequence[dict],
+                sgfreq: Optional[float] = None,
+                sgamp: Optional[float] = None,
+                rsh: float = 5e-3,
+                nsigma_cut: float = 2.5,
+                tag: str = "default") -> pd.DataFrame:
+        """Process a sweep for one channel.
+
+        bias_points: list of dicts with keys
+            ``tes_bias`` [A], and either/both
+            ``noise_files`` (list of raw file paths) and
+            ``didv_files`` (list of raw file paths).
+        Returns (and stores) the per-bias-point dataframe
+        (``ivsweep_data_{tag}``).
+        """
+        rows: List[dict] = []
+        for bp in bias_points:
+            row: dict = {"tes_bias": bp["tes_bias"]}
+            if bp.get("noise_files"):
+                reader = RawReader(bp["noise_files"])
+                fs = reader.sample_rate
+                ci = reader.channels.index(channel)
+                traces, _ = reader.read_many_events()
+                tr = traces[:, ci, :]
+                mask = np.asarray(cuts.autocuts_noise(
+                    jnp.asarray(tr), nsigma=nsigma_cut))
+                kept = tr[mask]
+                psd = np.asarray(spectral.welch_psd(jnp.asarray(kept), fs))
+                row["psd"] = psd
+                row["offset_noise"] = float(kept.mean())
+                row["offset_noise_err"] = float(
+                    kept.mean(axis=-1).std() / np.sqrt(max(len(kept), 1)))
+                row["fs"] = fs
+                row["avgtrace_noise"] = kept.mean(axis=0)
+            if bp.get("didv_files"):
+                if sgfreq is None or sgamp is None:
+                    raise ValueError("sgfreq/sgamp required for dIdV data")
+                reader = RawReader(bp["didv_files"])
+                fs = reader.sample_rate
+                ci = reader.channels.index(channel)
+                traces, _ = reader.read_many_events()
+                data = lockin.process_didv_traces(
+                    traces[:, ci, :], fs, sgfreq, sgamp, rsh,
+                    nsigma_cut=nsigma_cut)
+                row["didv_freqs"] = data.freqs
+                row["didv"] = data.didv
+                row["didv_weights"] = data.weights
+                row["offset_didv"] = data.offset
+                row["offset_didv_err"] = data.offset_err
+                row["sgfreq"] = sgfreq
+                row["sgamp"] = sgamp
+                row["fs"] = fs
+            rows.append(row)
+
+        # state tagging by linearity (ivprocess.py:291-315)
+        df_rows = self._tag_states(rows)
+        self._set(channel, f"ivsweep_data_{tag}", df_rows,
+                  {"rsh": rsh, "channel": channel})
+        return df_rows
+
+    @staticmethod
+    def _tag_states(rows: List[dict]) -> pd.DataFrame:
+        bias = np.array([r["tes_bias"] for r in rows])
+        offs = np.array([r.get("offset_noise", r.get("offset_didv", np.nan))
+                         for r in rows])
+        order = np.argsort(-np.abs(bias))   # normal branch first
+        state = np.array(["transition"] * len(rows), dtype=object)
+        x, y = np.abs(bias[order]), offs[order]
+        # normal side
+        lin_n = find_linear_segment(x, y)
+        for idx in lin_n:
+            state[order[idx]] = "normal"
+        # SC side (reverse)
+        lin_s = find_linear_segment(x[::-1], y[::-1])
+        for idx in lin_s:
+            state[order[::-1][idx]] = "sc"
+        simple = []
+        for r, s in zip(rows, state):
+            rr = dict(r)
+            rr["state"] = s
+            simple.append(rr)
+        return pd.DataFrame(simple)
+
+
+class IVSweepAnalysis(FilterData):
+    """Sweep analysis (core/ivsweep.py:53-2073)."""
+
+    def __init__(self, verbose: bool = True):
+        super().__init__(verbose=verbose)
+        self._sweep_df: Dict[str, pd.DataFrame] = {}
+        self._ibis: Dict[str, ivbias.IBISResult] = {}
+        self._rsh: Dict[str, float] = {}
+        self._nnorm: Dict[str, int] = {}
+        self._nsc: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    def set_data_from_dataframe(self, channel: str, df: pd.DataFrame,
+                                rsh: float = 5e-3):
+        self._sweep_df[channel] = df.reset_index(drop=True)
+        self._rsh[channel] = rsh
+
+    def set_data_from_processing(self, channel: str,
+                                 proc: IVSweepProcessing,
+                                 tag: str = "default", rsh: float = 5e-3):
+        self.set_data_from_dataframe(
+            channel, proc._get(channel, f"ivsweep_data_{tag}"), rsh)
+
+    def set_nb_sc_normal_points(self, channel: str, nnorm: int, nsc: int):
+        """Override automatic state counts (ivsweep.py:326-399)."""
+        self._nnorm[channel] = nnorm
+        self._nsc[channel] = nsc
+
+    # ------------------------------------------------------------------
+    def analyze_sweep(self, channel: str, offset_key: str = "offset_noise",
+                      rp: Optional[float] = None,
+                      tag: str = "default") -> pd.DataFrame:
+        """IBIS bias analysis over the sweep (ivsweep.py:401-757)."""
+        df = self._sweep_df[channel].copy()
+        df = df.sort_values("tes_bias", key=np.abs, ascending=False,
+                            ignore_index=True)
+        ibias = df["tes_bias"].to_numpy(dtype=float)
+        imeas = df[offset_key].to_numpy(dtype=float)
+        err_key = offset_key + "_err"
+        imeas_err = (df[err_key].to_numpy(dtype=float)
+                     if err_key in df else None)
+
+        nnorm = self._nnorm.get(channel, int((df["state"] == "normal").sum())
+                                if "state" in df else 3)
+        nsc = self._nsc.get(channel, int((df["state"] == "sc").sum())
+                            if "state" in df else 3)
+        nnorm = max(nnorm, 2)
+        nsc = max(nsc, 0)
+
+        res = ivbias.analyze_ibis(ibias, imeas, self._rsh[channel],
+                                  nnorm=nnorm, nsc=nsc,
+                                  imeas_err=imeas_err, rp=rp)
+        self._ibis[channel] = res
+        df["i0"] = res.i0
+        df["i0_err"] = res.i0_err
+        df["r0"] = res.r0
+        df["r0_err"] = res.r0_err
+        df["p0"] = res.p0
+        df["p0_err"] = res.p0_err
+        df["percent_rn"] = res.r0 / res.rn * 100.0
+        self._sweep_df[channel] = df
+        results = {
+            "rn": res.rn, "rn_err": res.rn_err,
+            "rp": res.rp, "rp_err": res.rp_err,
+            "ioffset": res.ioffset, "ioffset_err": res.ioffset_err,
+            "rshunt": self._rsh[channel],
+            "nnorm": nnorm, "nsc": nsc,
+        }
+        self.set_ivsweep_results(channel, results, "noise", tag=tag)
+        self.set_ivsweep_data(channel, df, tag=tag)
+        return df
+
+    def get_ibis(self, channel: str) -> ivbias.IBISResult:
+        return self._ibis[channel]
+
+    # ------------------------------------------------------------------
+    def analyze_didv(self, channel: str, poles=(2, 3),
+                     tag: str = "default") -> pd.DataFrame:
+        """dIdV fits per transition bias point (ivsweep.py:762-826,
+        :1600-1799) with small-signal parameters."""
+        df = self._sweep_df[channel]
+        if "didv" not in df.columns:
+            raise ValueError("no dIdV data in the sweep dataframe")
+        results = []
+        rsh = self._rsh[channel]
+        rp = self._ibis[channel].rp if channel in self._ibis else 0.0
+        for idx, row in df.iterrows():
+            if not isinstance(row.get("didv"), np.ndarray):
+                results.append({})
+                continue
+            entry = {}
+            for p in (poles if not isinstance(poles, int) else [poles]):
+                fit = didv_models.fit_didv(
+                    row["didv_freqs"], row["didv"], poles=p,
+                    weights=row.get("didv_weights"))
+                entry[f"fit_{p}poles"] = fit
+                if row.get("state") == "transition" and "r0" in row:
+                    ssp = didv_models.smallsignal_with_errors(
+                        fit, row["r0"], rsh + rp)
+                    entry[f"ssp_{p}poles"] = ssp
+            results.append(entry)
+        df = df.copy()
+        df["didv_fits"] = results
+        self._sweep_df[channel] = df
+        return df
+
+    def calc_energy_resolution(self, channel: str, template: np.ndarray,
+                               fs: float, poles: int = 2) -> pd.DataFrame:
+        """σ_E per transition bias point using each point's dIdV fit + PSD
+        (ivsweep.py:1040-1196)."""
+        df = self._sweep_df[channel]
+        sigmas = []
+        n = len(template)
+        freqs = np.fft.fftfreq(n, d=1.0 / fs)
+        for _, row in df.iterrows():
+            fits = row.get("didv_fits")
+            if (not isinstance(fits, dict) or f"fit_{poles}poles" not in fits
+                    or not isinstance(row.get("psd"), np.ndarray)
+                    or row.get("state") != "transition"):
+                sigmas.append(np.nan)
+                continue
+            fit = fits[f"fit_{poles}poles"]
+            rl = self._rsh[channel] + (self._ibis[channel].rp
+                                       if channel in self._ibis else 0.0)
+            dpdi, _ = didv_models.dpdi_with_uncertainties(
+                fit, freqs, row["i0"], row["r0"], rl)
+            sigmas.append(didv_models.energy_resolution(
+                template, row["psd"], dpdi, fs))
+        df = self._sweep_df[channel].copy()
+        df["energy_resolution"] = sigmas
+        self._sweep_df[channel] = df
+        return df

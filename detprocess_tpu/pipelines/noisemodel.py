@@ -1,0 +1,151 @@
+"""Physical TES noise modeling: SQUID extraction, Tload fit, noise budget.
+
+Replacement for the reference NoiseModel (detprocess/core/noisemodel.py):
+
+- ``calc_squid_noise``: SQUID+electronics noise from the normal-state PSD
+  after subtracting predicted Johnson noise (:354-492)
+- ``fit_sc_noise``: load temperature from the superconducting-state PSD
+  (:748-913, lmfit → ops.lm here)
+- ``analyze_noise``: transition-state Irwin–Hilton noise budget
+  (:979-1290) built from dIdV small-signal parameters + IV bias point
+  (models.tesnoise)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.models import tesnoise
+from detprocess_tpu.ops import lm
+
+
+class NoiseModel(FilterData):
+    """Noise decomposition driver (core/noisemodel.py:40-1411)."""
+
+    def __init__(self, verbose: bool = True):
+        super().__init__(verbose=verbose)
+        self._squid: Dict[str, np.ndarray] = {}
+        self._tload: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def calc_squid_noise(self, channel: str,
+                         psd_normal: np.ndarray, freqs: np.ndarray,
+                         rn: float, rl: float, L: float,
+                         tc: float, tload_guess: float = 0.03,
+                         tag: str = "default") -> np.ndarray:
+        """SQUID noise amplitude [A/√Hz] per frequency from the
+        normal-state PSD (noisemodel.py:354-492)."""
+        mask = np.asarray(freqs) != 0
+        squid = np.zeros_like(np.asarray(psd_normal))
+        squid[mask] = tesnoise.squid_noise_from_normal(
+            np.asarray(psd_normal)[mask], rn, rl, L, tc, tload_guess,
+            np.asarray(freqs)[mask])
+        self._squid[channel] = squid
+        self._set(channel, f"squid_noise_{tag}", squid,
+                  {"rn": rn, "rl": rl, "L": L, "tc": tc})
+        return squid
+
+    def get_squid_noise(self, channel: str) -> np.ndarray:
+        return self._squid[channel]
+
+    # ------------------------------------------------------------------
+    def fit_sc_noise(self, channel: str, psd_sc: np.ndarray,
+                     freqs: np.ndarray, rl: float, L: float,
+                     squiddc: Optional[float] = None,
+                     tag: str = "default") -> float:
+        """Fit Tload (and optionally a flat SQUID level) to the SC-state
+        PSD (noisemodel.py:748-913)."""
+        mask = np.asarray(freqs) != 0
+        f = jnp.asarray(np.asarray(freqs)[mask])
+        data = jnp.asarray(np.asarray(psd_sc)[mask])
+
+        if squiddc is None and channel in self._squid:
+            squiddc = float(np.median(self._squid[channel][mask]))
+        squiddc = squiddc or 0.0
+
+        def residual(params, f, data):
+            tload = jnp.abs(params[0])
+            model = (4 * tesnoise.KB * tload * rl
+                     / (rl**2 + (2 * jnp.pi * f * L) ** 2) + squiddc**2)
+            # fit in log space (PSD spans decades)
+            return jnp.log(model) - jnp.log(data)
+
+        res = lm.levenberg_marquardt(residual, jnp.asarray([0.03]),
+                                     args=(f, data), max_iter=100)
+        tload = float(abs(np.asarray(res.params)[0]))
+        self._tload[channel] = tload
+        self._set(channel, f"sc_noise_fit_{tag}",
+                  {"tload": tload, "squiddc": squiddc, "rl": rl, "L": L},
+                  None)
+        return tload
+
+    def get_tload(self, channel: str) -> float:
+        return self._tload[channel]
+
+    # ------------------------------------------------------------------
+    def analyze_noise(self, channel: str,
+                      freqs: np.ndarray,
+                      ssp: dict,
+                      bias: dict,
+                      tc: float,
+                      tbath: float,
+                      gta: Optional[float] = None,
+                      squiddc: Optional[float] = None,
+                      tload: Optional[float] = None,
+                      psd_measured: Optional[np.ndarray] = None,
+                      tag: str = "default") -> dict:
+        """Transition-state noise budget (noisemodel.py:979-1290).
+
+        ssp: small-signal params (beta, l, L, tau0) from DIDVAnalysis;
+        bias: IV bias point (r0, i0, rp, rshunt, p0);
+        gta: thermal conductance (default from P0 and temperatures,
+        G = n·P0/(Tc·(1−(Tb/Tc)^n)) with n=5).
+        """
+        freqs = np.asarray(freqs)
+        r0 = bias["r0"]
+        rl = bias.get("rshunt", bias.get("rsh", 0.0)) + bias.get("rp", 0.0)
+        i0 = bias["i0"]
+        p0 = bias.get("p0", i0**2 * r0)
+        n_exp = 5.0
+        if gta is None:
+            ratio = (tbath / tc) ** n_exp
+            gta = n_exp * p0 / (tc * max(1.0 - ratio, 1e-12))
+        if squiddc is None and channel in self._squid:
+            squiddc = float(np.median(
+                self._squid[channel][np.asarray(freqs) != 0]))
+        if tload is None:
+            tload = self._tload.get(channel, tbath)
+
+        params = tesnoise.TESParams(
+            r0=r0, rl=rl, beta=ssp["beta"], l=ssp["l"], L=ssp["L"],
+            tau0=ssp["tau0"], G=gta, tc=tc, tload=tload, tb=tbath,
+            i0=i0, squiddc=squiddc or 0.0, n=n_exp)
+
+        budget = {
+            "freqs": freqs,
+            "s_ites": tesnoise.s_ites(params, freqs),
+            "s_iload": tesnoise.s_iload(params, freqs),
+            "s_itfn": tesnoise.s_itfn(params, freqs),
+            "s_isquid": tesnoise.s_isquid(params, freqs),
+        }
+        budget["s_itot"] = (budget["s_ites"] + budget["s_iload"]
+                            + budget["s_itfn"] + budget["s_isquid"])
+        # power-referred versions
+        for key in ("s_ites", "s_iload", "s_itfn", "s_isquid", "s_itot"):
+            budget[key.replace("s_i", "s_p")] = tesnoise.current_to_power(
+                budget[key], params, freqs)
+        if psd_measured is not None:
+            budget["s_imeas"] = np.asarray(psd_measured)
+            budget["s_pmeas"] = tesnoise.current_to_power(
+                psd_measured, params, freqs)
+        budget["params"] = params._asdict()
+        self._set(channel, f"noise_budget_{tag}",
+                  {k: v for k, v in budget.items()
+                   if isinstance(v, np.ndarray)},
+                  {"tc": tc, "tbath": tbath, "gta": gta, "tload": tload,
+                   "squiddc": squiddc or 0.0})
+        return budget
