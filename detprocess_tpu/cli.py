@@ -1,0 +1,197 @@
+"""Command-line driver: chain salting → randoms → trigger → feature
+processing over a raw data group.
+
+Replacement for the reference CLI (scripts/process.py:27-794). Workloads
+are selected with --enable-* flags and chained in the reference's order
+(salting feeds the trigger, the trigger dataframe feeds feature
+extraction). Example:
+
+    python -m detprocess_tpu.cli \
+        --raw_path /data/run42/raw --processing_setup process.yaml \
+        --enable-rand --enable-trig --enable-feature \
+        --output_group_path /data/run42/processed
+
+Multi-chip scaling is SPMD over the event batch (parallel/mesh) rather
+than the reference's multiprocessing pool; --batch-size controls the
+per-step batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from detprocess_tpu.config import YamlConfig
+from detprocess_tpu.io.rawdata import RawData, RawReader
+from detprocess_tpu.utils.misc import convert_to_seconds, create_series_name
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="detprocess-tpu",
+        description="TPU-native detector data processing")
+    p.add_argument("--raw_path", type=str, required=True,
+                   help="raw data group directory")
+    p.add_argument("--processing_setup", type=str,
+                   help="processing YAML configuration")
+    p.add_argument("--filter_file", type=str, default=None)
+    p.add_argument("--output_group_path", type=str, default=None)
+    p.add_argument("--series", nargs="+", default=None)
+    p.add_argument("--processing_id", type=str, default=None)
+    p.add_argument("--facility", type=int, default=1)
+    p.add_argument("--nevents", type=int, default=-1)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--restricted", action="store_true")
+    p.add_argument("--calib", action="store_true",
+                   help="process calibration data")
+    p.add_argument("--output-format", choices=("hdf5", "parquet"),
+                   default="hdf5")
+
+    p.add_argument("--enable-salting", action="store_true")
+    p.add_argument("--enable-rand", action="store_true")
+    p.add_argument("--enable-trig", action="store_true")
+    p.add_argument("--enable-feature", action="store_true")
+    p.add_argument("--calc-filter", action="store_true",
+                   help="generate the filter file (noise/didv/template)")
+
+    p.add_argument("--trigger_dataframe_path", type=str, default=None,
+                   help="existing trigger dataframe for feature processing")
+    p.add_argument("--random_rate", type=float, default=None)
+    p.add_argument("--nrandoms", type=int, default=None)
+    p.add_argument("--salting_energies", type=float, nargs="+",
+                   default=None)
+    p.add_argument("--nsalt", type=int, default=100)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--verbose", action="store_true", default=True)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    data_type = "calib" if args.calib else "continuous"
+    rawdata = RawData(args.raw_path, data_type=data_type,
+                      series=args.series, restricted=args.restricted)
+    series_map = rawdata.get_data_files()
+    raw_files = sorted(f for files in series_map.values() for f in files)
+    if not raw_files:
+        print(f"ERROR: no {data_type} raw files found in {args.raw_path}")
+        return 1
+
+    out_base = args.output_group_path or os.path.join(args.raw_path, "..",
+                                                      "processed")
+    os.makedirs(out_base, exist_ok=True)
+    out_series = create_series_name(args.facility)
+
+    config = None
+    if args.processing_setup:
+        reader = RawReader(raw_files)
+        config = YamlConfig(args.processing_setup, reader.channels,
+                            sample_rate=reader.sample_rate)
+
+    filter_file = args.filter_file
+    if filter_file is None and config is not None:
+        filter_file = (config.get_config("feature").get("overall", {})
+                       or {}).get("filter_file")
+
+    # ---- filter generation --------------------------------------------
+    if args.calc_filter:
+        from detprocess_tpu.pipelines.filtergen import FilterDataProcessing
+        proc = FilterDataProcessing(raw_path=args.raw_path, config=config,
+                                    series=args.series,
+                                    facility=args.facility,
+                                    verbose=args.verbose)
+        out_dir = os.path.join(out_base, "filterdata")
+        proc.process(lgc_save=True, output_path=out_dir,
+                     nrandoms=args.nrandoms, random_rate=args.random_rate,
+                     seed=args.seed)
+        print(f"INFO: filter data written to {out_dir}")
+
+    # ---- salting ------------------------------------------------------
+    salting = None
+    if args.enable_salting:
+        from detprocess_tpu.pipelines.salting import Salting
+        if filter_file is None:
+            print("ERROR: salting requires a filter file")
+            return 1
+        salting_cfg = (config.get_config("salting")
+                       if config else {"overall": {}, "channel_list": []})
+        channels = salting_cfg.get("channel_list") or RawReader(
+            raw_files).channels
+        overall = salting_cfg.get("overall", {}) or {}
+        energies = args.salting_energies or overall.get("energies") or [100.0]
+        salting = Salting(filter_file, verbose=args.verbose)
+        salting.generate_salt(
+            raw_files, channels, energies=energies,
+            nsalt=overall.get("nsalt", args.nsalt), seed=args.seed)
+        out_dir = os.path.join(out_base, "salting")
+        path = salting.save(out_dir, series_name=out_series,
+                            facility=args.facility,
+                            output_format=args.output_format)
+        print(f"INFO: salting dataframe written to {path}")
+
+    # ---- randoms ------------------------------------------------------
+    if args.enable_rand:
+        from detprocess_tpu.pipelines.randoms import Randoms
+        randoms = Randoms(raw_files, processing_id=args.processing_id,
+                          facility=args.facility, verbose=args.verbose)
+        out_dir = os.path.join(out_base, "randoms")
+        randoms.process(random_rate=args.random_rate,
+                        nrandoms=args.nrandoms, seed=args.seed,
+                        lgc_save=True, output_path=out_dir,
+                        output_format=args.output_format,
+                        series_name=out_series, lgc_output=False)
+        print(f"INFO: randoms written to {out_dir}")
+
+    # ---- triggering ---------------------------------------------------
+    trigger_df = None
+    if args.enable_trig:
+        from detprocess_tpu.pipelines.triggers import TriggerProcessing
+        proc = TriggerProcessing(raw_files, config,
+                                 filter_data=filter_file,
+                                 processing_id=args.processing_id,
+                                 facility=args.facility,
+                                 verbose=args.verbose)
+        if salting is not None:
+            proc.set_salting(salting.make_injector(
+                RawReader(raw_files).channels))
+        out_dir = os.path.join(out_base, "trigger")
+        trigger_df = proc.process(nevents=args.nevents, lgc_save=True,
+                                  output_path=out_dir,
+                                  output_format=args.output_format,
+                                  series_name=out_series)
+        print(f"INFO: {len(trigger_df)} triggers written to {out_dir}")
+
+    # ---- feature extraction ------------------------------------------
+    if args.enable_feature:
+        from detprocess_tpu.pipelines.features import FeatureProcessing
+        tdf = trigger_df
+        if tdf is None and args.trigger_dataframe_path:
+            from detprocess_tpu.io import tables
+            import glob
+            paths = sorted(glob.glob(os.path.join(
+                args.trigger_dataframe_path, "*.hdf5")) + glob.glob(
+                os.path.join(args.trigger_dataframe_path, "*.parquet")))
+            if paths:
+                tdf = tables.concat_tables(paths)
+        proc = FeatureProcessing(raw_files, config,
+                                 filter_data=filter_file,
+                                 trigger_dataframe=tdf,
+                                 processing_id=args.processing_id,
+                                 facility=args.facility,
+                                 verbose=args.verbose)
+        out_dir = os.path.join(out_base, "feature")
+        proc.process(nevents=args.nevents, batch_size=args.batch_size,
+                     lgc_save=True, output_path=out_dir,
+                     output_format=args.output_format,
+                     series_name=out_series, lgc_output=False)
+        print(f"INFO: features written to {out_dir}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

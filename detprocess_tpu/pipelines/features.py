@@ -39,7 +39,8 @@ from detprocess_tpu.config import YamlConfig
 from detprocess_tpu.io import tables
 from detprocess_tpu.io.filterfile import FilterData
 from detprocess_tpu.io.rawdata import RawReader
-from detprocess_tpu.ops import filterbank, of1x1, ofnxm, psdfeatures, tracestats
+from detprocess_tpu.ops import (filterbank, of1x1, ofnxm, psdfeatures,
+                                pulsefit, tracestats)
 from detprocess_tpu.utils import channels as chutils
 from detprocess_tpu.utils import freq as frequtils
 from detprocess_tpu.utils import windows as winutils
@@ -93,6 +94,8 @@ class FeatureProcessing:
                  raw_files: Sequence[str] | str,
                  config: YamlConfig | str,
                  filter_data: FilterData | str | None = None,
+                 trigger_dataframe: Optional[pd.DataFrame | str] = None,
+                 external_file: Optional[str] = None,
                  processing_id: Optional[str] = None,
                  facility: int = 1,
                  verbose: bool = True):
@@ -104,11 +107,27 @@ class FeatureProcessing:
         self._fs = self._reader.sample_rate
         self._available_channels = self._reader.channels
 
+        # trigger-dataframe-driven mode: windowed reads around each trigger
+        # (processing_data.py:555-705)
+        if isinstance(trigger_dataframe, str):
+            trigger_dataframe = tables.read_table(trigger_dataframe)
+        self._trigger_df = trigger_dataframe
+        self._trigger_geometry = None  # (nb_samples, pretrigger), set later
+
         if isinstance(config, str):
             config = YamlConfig(config, self._available_channels,
                                 sample_rate=self._fs)
         self._config = config
         self._feature_config = config.get_config("feature")
+
+        # external user extractors (features.py:1002-1029): a python module
+        # providing EXTRACTORS = {name: fn}; fn(traces [B, N], fs=..., ...)
+        # must be jax-traceable and return {feature_name: [B] array}
+        self._ext_extractors = {}
+        ext = external_file or (self._feature_config.get("overall", {})
+                                or {}).get("external_file")
+        if ext:
+            self._ext_extractors = _load_external_extractors(ext)
 
         if isinstance(filter_data, str):
             fd = FilterData(verbose=verbose)
@@ -130,10 +149,14 @@ class FeatureProcessing:
     # plan compilation
     # ------------------------------------------------------------------
     def _raw_nb_samples(self) -> int:
+        if self._trigger_geometry is not None:
+            return self._trigger_geometry[0]
         md = self._reader.get_metadata()
         return int(md["nb_samples"])
 
     def _raw_pretrigger(self) -> int:
+        if self._trigger_geometry is not None:
+            return self._trigger_geometry[1]
         md = self._reader.get_metadata()
         if "nb_pretrigger_samples" in md:
             return int(md["nb_pretrigger_samples"])
@@ -142,6 +165,27 @@ class FeatureProcessing:
     def _build_plan(self):
         channels_cfg = self._feature_config["channels"]
         weights_cfg = self._feature_config.get("weights", {}) or {}
+
+        if self._trigger_df is not None:
+            overall = self._feature_config.get("overall", {}) or {}
+            n0 = overall.get("trace_length_samples")
+            p0 = overall.get("pretrigger_length_samples")
+            if n0 is None:
+                # fall back to the largest per-algorithm length
+                lengths = [ac.get("nb_samples")
+                           for cc in channels_cfg.values()
+                           if isinstance(cc, dict)
+                           for ac in cc.values()
+                           if isinstance(ac, dict) and ac.get("nb_samples")]
+                if not lengths:
+                    raise ValueError(
+                        "trigger-dataframe mode requires a trace length "
+                        "(global trace_length_samples or per-algorithm)")
+                n0 = max(lengths)
+            if p0 is None:
+                p0 = n0 // 2
+            self._trigger_geometry = (int(n0), int(p0))
+
         raw_n = self._raw_nb_samples()
         raw_pre = self._raw_pretrigger()
 
@@ -181,6 +225,17 @@ class FeatureProcessing:
                                 feature_channel=feature_channel,
                                 kwargs=kwargs, window=window)
                 group.specs.append(spec)
+
+        if self._trigger_df is not None and groups:
+            # the read window must cover every group geometry around the
+            # trigger point
+            pre = max(g.nb_pretrigger for g in groups.values())
+            post = max(g.nb_samples - g.nb_pretrigger
+                       for g in groups.values())
+            n0, p0 = self._trigger_geometry
+            pre = max(pre, p0)
+            post = max(post, n0 - p0)
+            self._trigger_geometry = (pre + post, pre)
 
         # resolve compound channels & banks per group
         for key in sorted(groups.keys()):
@@ -284,12 +339,16 @@ class FeatureProcessing:
                     spec.channel, self._available_channels, separator="|")
                 spec.nxm_chan_idx = tuple(
                     compound_index(c) for c in sub_chans)
-            elif spec.base in PSD_ALGORITHMS or spec.base in TRACE_ALGORITHMS:
+            elif (spec.base in PSD_ALGORITHMS
+                  or spec.base in TRACE_ALGORITHMS
+                  or spec.base == "rftau"
+                  or spec.base in self._ext_extractors):
                 spec.chan_idx = compound_index(spec.channel)
             else:
                 raise ValueError(
                     f'Cannot find algorithm "{spec.base}" — check feature '
-                    f"extractor exists")
+                    f"extractor exists (built-ins + external: "
+                    f"{sorted(self._ext_extractors)})")
 
         group.compound_channels = compound
         group.mix_matrix = (np.stack(mix_rows)
@@ -527,6 +586,30 @@ class FeatureProcessing:
                             for i in range(npeaks):
                                 out[f"{name}_{rn}_phase_{i+1}_{fc}"] = ppk[:, i]
                                 out[f"{name}_{rn}_freq_{i+1}_{fc}"] = fpk[:, i]
+                elif spec.base == "rftau":
+                    tr = traces[:, spec.chan_idx, :]
+                    r = pulsefit.rftau(
+                        tr, fs,
+                        rtau0=float(kwargs.get("rtau") or 30.0),
+                        ftau0=float(kwargs.get("ftau") or 100.0),
+                        t0_index=kwargs.get("t0"))
+                    out[f"risetime_{name}_{fc}"] = r.risetime
+                    out[f"falltime_{name}_{fc}"] = r.falltime
+                    out[f"amplitud_{name}_{fc}"] = r.amplitude
+                    out[f"chisq_{name}_{fc}"] = r.chisq
+                elif spec.base in self._ext_extractors:
+                    ext_fn = self._ext_extractors[spec.base]
+                    tr = traces[:, spec.chan_idx, :]
+                    ext_kwargs = {k: v for k, v in kwargs.items()
+                                  if k not in ("base_algorithm",
+                                               "feature_channel",
+                                               "nb_samples",
+                                               "nb_pretrigger_samples")}
+                    res = ext_fn(tr, fs=fs,
+                                 nb_pretrigger_samples=pretrig,
+                                 **ext_kwargs)
+                    for k, v in res.items():
+                        out[f"{k}_{fc}"] = v
                 elif spec.base in TRACE_ALGORITHMS:
                     tr = traces[:, spec.chan_idx, :]
                     lo, hi = spec.window
@@ -550,6 +633,71 @@ class FeatureProcessing:
     # ------------------------------------------------------------------
     # execution
     # ------------------------------------------------------------------
+    def _file_for_row(self, row) -> Optional[str]:
+        for f in self._reader.files:
+            md = self._reader.get_metadata(f)
+            if (int(md.get("series_num", -1)) == int(row["series_number"])
+                    and int(md.get("dump_num", -1))
+                    == int(row["dump_number"])):
+                return f
+        return None
+
+    def _iter_trigger_batches(self, batch_size: int):
+        """Yield (raw [B, C, N], admins) batches of windowed reads around
+        each trigger-dataframe row (processing_data.py:555-705)."""
+        n, pre = self._trigger_geometry
+        df = self._trigger_df
+        batch_traces, admins = [], []
+        dropped = 0
+        for _, row in df.iterrows():
+            fname = self._file_for_row(row)
+            if fname is None:
+                dropped += 1
+                continue
+            start = int(row["trigger_index"]) - pre
+            raw_n = int(self._reader.get_metadata(fname)["nb_samples"])
+            if start < 0 or start + n > raw_n:
+                dropped += 1
+                continue
+            traces, admin = self._reader.read_single_event(
+                int(row["event_number"]), file_name=fname,
+                trace_window=(start, n))
+            admin = dict(admin)
+            for col in ("trigger_index", "trigger_time",
+                        "trigger_delta_chi2", "trigger_amplitude",
+                        "trigger_type", "trigger_prod_id",
+                        "trigger_channel"):
+                if col in row and not pd.isna(row[col]):
+                    admin[col] = row[col]
+            batch_traces.append(traces)
+            admins.append(admin)
+            if len(batch_traces) == batch_size:
+                yield np.stack(batch_traces), admins
+                batch_traces, admins = [], []
+        if batch_traces:
+            yield np.stack(batch_traces), admins
+        if dropped and self._verbose:
+            print(f"INFO: dropped {dropped} triggers with out-of-bounds "
+                  f"windows or unmatched files")
+
+    def _iter_full_batches(self, batch_size: int, nevents: int):
+        self._reader.rewind()
+        total = 0
+        while nevents < 0 or total < nevents:
+            batch_traces, admins = [], []
+            want = batch_size if nevents < 0 else min(batch_size,
+                                                      nevents - total)
+            for _ in range(want):
+                tr, admin = self._reader.read_next_event()
+                if tr is None:
+                    break
+                batch_traces.append(tr)
+                admins.append(admin)
+            if not batch_traces:
+                return
+            total += len(batch_traces)
+            yield np.stack(batch_traces), admins
+
     def device_banks(self, real_dtype=np.float32):
         """Pack all group banks for device transfer (real-only pytrees)."""
         packed = []
@@ -582,7 +730,6 @@ class FeatureProcessing:
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
-        self._reader.rewind()
         total = 0
         dump_num = 0
         out_series = series_name or create_series_name(self._facility)
@@ -591,31 +738,30 @@ class FeatureProcessing:
                 raise ValueError("output_path required with lgc_save")
             os.makedirs(output_path, exist_ok=True)
 
-        while nevents < 0 or total < nevents:
-            batch_traces, admins = [], []
-            want = batch_size if nevents < 0 else min(
-                batch_size, nevents - total)
-            for _ in range(want):
-                tr, admin = self._reader.read_next_event()
-                if tr is None:
-                    break
-                batch_traces.append(tr)
-                admins.append(admin)
-            if not batch_traces:
-                break
-            raw = jnp.asarray(np.stack(batch_traces), dtype)
+        batches = (self._iter_trigger_batches(batch_size)
+                   if self._trigger_df is not None
+                   else self._iter_full_batches(batch_size, nevents))
+        for raw_np, admins in batches:
+            raw = jnp.asarray(raw_np, dtype)
             feats: Dict[str, np.ndarray] = {}
             for group_fn, bank in zip(self._group_fns, banks):
                 out = group_fn(raw, bank)
                 for k, v in out.items():
                     feats[k] = np.asarray(v, np.float64)
-            nb = len(batch_traces)
+            nb = raw_np.shape[0]
             total += nb
             frame = {}
             # admin columns (processing_data.py:774-887 conventions)
             for col in ("event_number", "event_id", "event_time",
                         "series_number", "dump_number", "trigger_type"):
                 frame[col] = np.asarray([a.get(col, 0) for a in admins])
+            # trigger-mode carry-over columns
+            if self._trigger_df is not None:
+                for col in ("trigger_index", "trigger_time",
+                            "trigger_delta_chi2", "trigger_amplitude",
+                            "trigger_prod_id", "trigger_channel"):
+                    if any(col in a for a in admins):
+                        frame[col] = [a.get(col, np.nan) for a in admins]
             frame["series_name"] = [a.get("series_name", "") for a in admins]
             frame["group_name"] = [a.get("group_name", "") for a in admins]
             frame["data_type"] = [a.get("data_type", "") for a in admins]
@@ -643,3 +789,30 @@ class FeatureProcessing:
             return pd.DataFrame() if lgc_output else None
         result = pd.concat(frames, ignore_index=True)
         return result if lgc_output else None
+
+
+def _load_external_extractors(path: str) -> dict:
+    """Load user feature extractors from a python file
+    (features.py:1002-1029 plug-in story, TPU-native contract:
+    module defines ``EXTRACTORS = {name: fn}`` with jax-traceable fns
+    ``fn(traces [B, N], fs=..., nb_pretrigger_samples=..., **kwargs) ->
+    {feature_name: [B] array}``)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("detprocess_tpu_ext",
+                                                  path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    if hasattr(module, "EXTRACTORS"):
+        registry = dict(module.EXTRACTORS)
+    else:
+        registry = {name: fn for name, fn in vars(module).items()
+                    if callable(fn) and not name.startswith("_")}
+    builtin = (set(OF_1X1_ALGORITHMS) | set(OF_NXM_ALGORITHMS)
+               | set(PSD_ALGORITHMS) | set(TRACE_ALGORITHMS) | {"rftau"})
+    dupes = set(registry) & builtin
+    if dupes:
+        raise ValueError(
+            f"external extractors duplicate built-in algorithms: {dupes} "
+            "(features.py:1124-1128 duplicate rejection)")
+    return registry

@@ -80,9 +80,24 @@ class Randoms:
 
         nb_reduced = (nb_samples - 2 * edge - (per_event - 1) * min_sep)
         if nb_reduced <= per_event:
-            raise ValueError(
-                "min separation / edge exclusion leave no sample space for "
-                f"{per_event} randoms per event")
+            # shrink the separation (then the edges) to fit the trace —
+            # the defaults target multi-second continuous dumps
+            margin = 4 * per_event
+            min_sep = max((nb_samples - 2 * edge - margin)
+                          // max(per_event - 1, 1), 0)
+            nb_reduced = (nb_samples - 2 * edge
+                          - (per_event - 1) * min_sep)
+            if nb_reduced <= per_event:
+                edge = max((nb_samples - margin
+                            - (per_event - 1) * min_sep) // 2, 0)
+                nb_reduced = (nb_samples - 2 * edge
+                              - (per_event - 1) * min_sep)
+            if nb_reduced <= per_event:
+                raise ValueError(
+                    f"trace too short for {per_event} randoms per event")
+            if self._verbose:
+                print(f"INFO: reduced randoms min separation to "
+                      f"{min_sep / fs * 1e3:.1f} msec to fit the trace")
 
         rows = []
         trigger_id = 0

@@ -1,0 +1,117 @@
+"""Tests for the CLI driver and the filter-generation pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from detprocess_tpu import cli
+from detprocess_tpu.io import tables
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawWriter
+from detprocess_tpu.models import pulse
+from detprocess_tpu.pipelines.filtergen import FilterDataProcessing
+
+FS = 1.25e6
+NT = 2048
+PRETRIG = 512
+L = 100000
+
+
+@pytest.fixture(scope="module")
+def rawgroup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cligroup")
+    raw = root / "raw"
+    rng = np.random.default_rng(31)
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    sigma = 2e-6
+    traces = rng.standard_normal((3, 1, L)) * sigma
+    for ev, pos in enumerate([30000, 60000, 45000]):
+        traces[ev, 0, pos - PRETRIG:pos - PRETRIG + NT] += 40e-6 * tmpl
+    w = RawWriter(str(raw), "I1_D20260816_T230000", FS, ["chan1"],
+                  prefix="cont")
+    w.write_dump(traces, dump_num=1)
+
+    # filter file (pre-made for trigger/feature chain)
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_psd("chan1", np.full(NT, sigma**2 / FS), FS)
+    fpath = str(root / "filter.h5")
+    fd.save_hdf5(fpath)
+
+    config = {
+        "filter_file": fpath,
+        "trigger": {"chan1": {"run": True, "template_tag": "default",
+                              "threshold_sigma": 8.0,
+                              "pileup_window_msec": 0.5}},
+        "feature": {
+            "trace_length_samples": NT,
+            "pretrigger_length_samples": PRETRIG,
+            "chan1": {"of1x1_nodelay": {"run": True,
+                                        "template_tag": "default"},
+                      "baseline": {"run": True}},
+        },
+        "noise": {},
+        "template": {"chan1": {"run": True,
+                               "trace_length_samples": NT,
+                               "pretrigger_length_samples": PRETRIG,
+                               "tau_r": 20e-6, "tau_f1": 200e-6}},
+    }
+    cpath = str(root / "process.yaml")
+    yaml.safe_dump(config, open(cpath, "w"))
+    return dict(root=root, raw=str(raw), cpath=cpath, fpath=fpath)
+
+
+def test_cli_trigger_feature_chain(rawgroup, tmp_path):
+    out = str(tmp_path / "processed")
+    rc = cli.main([
+        "--raw_path", rawgroup["raw"],
+        "--processing_setup", rawgroup["cpath"],
+        "--filter_file", rawgroup["fpath"],
+        "--output_group_path", out,
+        "--enable-trig", "--enable-feature",
+    ])
+    assert rc == 0
+    trig_files = os.listdir(os.path.join(out, "trigger"))
+    feat_files = os.listdir(os.path.join(out, "feature"))
+    assert len(trig_files) == 1 and trig_files[0].startswith("threshtrig_")
+    assert len(feat_files) >= 1 and feat_files[0].startswith("feature_")
+    feat = tables.read_table(os.path.join(out, "feature", feat_files[0]))
+    assert len(feat) == 3
+    np.testing.assert_allclose(feat["amp_of1x1_nodelay_chan1"],
+                               np.full(3, 40e-6), rtol=0.05)
+
+
+def test_cli_randoms(rawgroup, tmp_path):
+    out = str(tmp_path / "processed2")
+    rc = cli.main([
+        "--raw_path", rawgroup["raw"],
+        "--output_group_path", out,
+        "--enable-rand", "--nrandoms", "12", "--seed", "5",
+    ])
+    assert rc == 0
+    rand_files = os.listdir(os.path.join(out, "randoms"))
+    assert len(rand_files) == 1 and rand_files[0].startswith("rand_")
+    df = tables.read_table(os.path.join(out, "randoms", rand_files[0]))
+    assert len(df) == 12
+
+
+def test_cli_missing_raw(tmp_path):
+    rc = cli.main(["--raw_path", str(tmp_path / "nothing")])
+    assert rc == 1
+
+
+def test_filtergen_pipeline(rawgroup, tmp_path):
+    proc = FilterDataProcessing(raw_path=rawgroup["raw"],
+                                config=rawgroup["cpath"], verbose=False)
+    fd = proc.process(nrandoms=30, seed=7, lgc_save=True,
+                      output_path=str(tmp_path / "fd"))
+    # PSD estimated and template created
+    psd, freqs = fd.get_psd("chan1")
+    assert psd.shape[-1] == L  # full-trace randoms geometry
+    tmpl, _ = fd.get_template("chan1")
+    assert tmpl.shape == (NT,)
+    files = os.listdir(tmp_path / "fd")
+    assert len(files) == 1 and files[0].startswith("filter_")
