@@ -52,12 +52,12 @@ def bench_tpu(bank, traces):
 
     @jax.jit
     def feature_step(traces, dev):
-        bk = filterbank.device_bank_1x1(dev)
-        vfft = of1x1.signal_fft(traces[:, None, :])
-        nod = of1x1.of1x1_nodelay(vfft, bk.phi, bk.norm, bk.denom_inv,
-                                  bk.s_fft)
-        wd = of1x1.of1x1_withdelay(vfft, bk.phi, bk.norm, bk.denom_inv,
-                                   bk.s_fft, PRETRIG, FS)
+        bh = filterbank.device_bank_1x1_half(dev)
+        vr = of1x1.signal_rfft(traces[:, None, :])
+        nod = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                       bh.s_fft, bh.bin_w, n=N)
+        wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                        bh.s_fft, bh.bin_w, PRETRIG, FS)
         return (nod.amp, nod.chi2, wd.amp, wd.t0, wd.chi2,
                 tracestats.baseline(traces),
                 tracestats.integral(traces, FS))

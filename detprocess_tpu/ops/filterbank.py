@@ -149,12 +149,27 @@ class OF1x1Bank(NamedTuple):
     def to_device(self, real_dtype=np.float32) -> dict:
         """Pack the bank into a real-only pytree safe to pass into jit on
         TPU (complex transfers are unsupported there). Rejoin with
-        :func:`device_bank_1x1` inside the jitted function."""
+        :func:`device_bank_1x1` inside the jitted function.
+
+        Includes half-spectrum (rfft) views — the hot kernels work on the
+        N//2+1 non-negative-frequency bins with per-bin weights
+        (1, 2, …, 2, 1) so only half the FFT work is done per event.
+        """
+        n = self.nbins
+        nh = n // 2 + 1
+        bin_w = np.full(nh, 2.0)
+        bin_w[0] = 1.0
+        if n % 2 == 0:
+            bin_w[-1] = 1.0
         return {
             "phi": split_complex(self.phi, real_dtype),
             "s_fft": split_complex(self.s_fft, real_dtype),
             "denom_inv": self.denom_inv.astype(real_dtype),
             "norm": self.norm.astype(real_dtype),
+            "phi_h": split_complex(self.phi[:, :nh], real_dtype),
+            "s_fft_h": split_complex(self.s_fft[:, :nh], real_dtype),
+            "denom_inv_h": self.denom_inv[:, :nh].astype(real_dtype),
+            "bin_w": bin_w.astype(real_dtype),
         }
 
 
@@ -299,6 +314,26 @@ def device_bank_1x1(dev: dict) -> DeviceBank1x1:
         s_fft=join_complex(dev["s_fft"]),
         denom_inv=dev["denom_inv"],
         norm=dev["norm"],
+    )
+
+
+class DeviceBank1x1Half(NamedTuple):
+    """Half-spectrum (rfft) 1x1 bank view for the fast kernels."""
+
+    phi: "jnp.ndarray"        # [S, N//2+1] complex
+    s_fft: "jnp.ndarray"      # [S, N//2+1] complex
+    denom_inv: "jnp.ndarray"  # [S, N//2+1]
+    norm: "jnp.ndarray"       # [S]
+    bin_w: "jnp.ndarray"      # [N//2+1] — 1 at DC/Nyquist, 2 elsewhere
+
+
+def device_bank_1x1_half(dev: dict) -> DeviceBank1x1Half:
+    return DeviceBank1x1Half(
+        phi=join_complex(dev["phi_h"]),
+        s_fft=join_complex(dev["s_fft_h"]),
+        denom_inv=dev["denom_inv_h"],
+        norm=dev["norm"],
+        bin_w=dev["bin_w"],
     )
 
 

@@ -175,6 +175,115 @@ def of1x1_withdelay(
     return OF1x1Result(amp, t0, chi2, lowchi2, c0)
 
 
+# ---------------------------------------------------------------------------
+# half-spectrum (rfft) fast path
+#
+# For real traces all OF sums over the two-sided spectrum reduce to sums
+# over the N//2+1 non-negative bins with per-bin weights w = (1, 2, …, 2, 1)
+# (bank.bin_w). One packed rfft replaces the full complex FFT (ops/fft.rfft)
+# and the delay scan uses one packed irfft — ~2× less FFT work and memory
+# traffic per event. Results are identical to the full kernels (tested).
+# ---------------------------------------------------------------------------
+
+def signal_rfft(traces: jnp.ndarray) -> jnp.ndarray:
+    """Half-spectrum FFT of a batch of real traces → [..., N//2+1]."""
+    return dfft.rfft(traces, axis=-1)
+
+
+def chi2_base_half(vr, denom_inv_h, bin_w):
+    p2 = vr.real**2 + vr.imag**2
+    return jnp.sum(p2 * denom_inv_h * bin_w, axis=-1)
+
+
+def _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h, bin_w, mask_h,
+                        n):
+    nh = vr.shape[-1]
+    k = jnp.arange(nh)
+    phase = jnp.exp(-2j * jnp.pi * k * shift[..., None] / n)
+    resid = vr - amp[..., None] * s_fft_h * phase
+    p2 = resid.real**2 + resid.imag**2
+    return jnp.sum(p2 * denom_inv_h * bin_w * mask_h, axis=-1)
+
+
+def lowfreq_mask_half(n: int, fs: float, fcutoff: float) -> np.ndarray:
+    """Static boolean mask on the half axis: f < fcutoff, DC excluded."""
+    f = np.fft.rfftfreq(n, d=1.0 / fs)
+    mask = f < fcutoff
+    mask[0] = False
+    return mask
+
+
+def of1x1_nodelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
+                       low_mask_h=None, n=None) -> OF1x1Result:
+    """Half-spectrum no-delay OF fit; numerically equal to of1x1_nodelay."""
+    n = n if n is not None else 2 * (vr.shape[-1] - 1)
+    q = jnp.sum((phi_h * vr).real * bin_w, axis=-1)
+    amp = q / norm
+    c0 = chi2_base_half(vr, denom_inv_h, bin_w)
+    chi2 = c0 - q * q / norm
+    if low_mask_h is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        zero = jnp.zeros_like(amp)
+        lowchi2 = _residual_chi2_half(vr, amp, zero, s_fft_h, denom_inv_h,
+                                      bin_w, low_mask_h, n)
+    return OF1x1Result(amp, jnp.zeros_like(amp), chi2, lowchi2, c0)
+
+
+def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
+                         pretrigger: int, fs: float,
+                         window_mask=None, low_mask_h=None,
+                         interpolate_t0: bool = False) -> OF1x1Result:
+    """Half-spectrum delay-scan OF fit; equal to of1x1_withdelay.
+
+    The delay series is one packed irfft:
+    q(d) = Σ_k∈full phi_k ṽ_k e^{2πikd/N} = N·irfft(phi_h·ṽ_h)(d).
+    """
+    nh = vr.shape[-1]
+    n = 2 * (nh - 1)
+    prod = phi_h * vr
+    qt = dfft.irfft(prod, n, axis=-1) * n                 # [..., S, N]
+    q_abs = jnp.roll(qt, pretrigger, axis=-1)
+    c0 = chi2_base_half(vr, denom_inv_h, bin_w)
+    dchi2 = q_abs * q_abs / norm[..., None]
+
+    if window_mask is None:
+        masked = dchi2
+    else:
+        masked = jnp.where(window_mask, dchi2, -jnp.inf)
+    imin = jnp.argmax(masked, axis=-1)
+    q_best = jnp.take_along_axis(q_abs, imin[..., None], axis=-1)[..., 0]
+    amp = q_best / norm
+    chi2 = c0 - q_best * q_best / norm
+    t0_idx = imin.astype(q_abs.dtype) - pretrigger
+    shift = t0_idx
+
+    if interpolate_t0:
+        im1 = (imin - 1) % n
+        ip1 = (imin + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
+        y0 = -jnp.take_along_axis(dchi2, imin[..., None], axis=-1)[..., 0]
+        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
+        am1 = jnp.take_along_axis(q_abs, im1[..., None], axis=-1)[..., 0] / norm
+        ap1 = jnp.take_along_axis(q_abs, ip1[..., None], axis=-1)[..., 0] / norm
+        a_denom = am1 - 2.0 * amp + ap1
+        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
+        shift = t0_idx + delta
+
+    t0 = shift / fs
+    if low_mask_h is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        lowchi2 = _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h,
+                                      bin_w, low_mask_h, n)
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
 def energy_resolution(norm: jnp.ndarray) -> jnp.ndarray:
     """σ_amp = 1/sqrt(norm) — OF amplitude resolution
     (qetpy OF1x1.get_energy_resolution equivalent)."""

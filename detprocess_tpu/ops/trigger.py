@@ -212,6 +212,87 @@ def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     )
 
 
+def find_triggers_dynamic(dchi2: np.ndarray, amps: np.ndarray,
+                          threshold: float, threshold_function,
+                          capacity: int | None = None):
+    """Host-side dynamic-pileup-window triggering.
+
+    Equivalent of the reference's ``dynamic=True`` path
+    (oftrigger.py:78-142, :982-985): the merge window between successive
+    above-threshold samples is a user function of the running maximum
+    amplitude in the current group — inherently sequential and
+    user-code-driven, so it runs on host over the (compacted)
+    above-threshold samples.
+
+    Returns (indices, dchi2_values, amplitudes [M, K]).
+    """
+    dchi2 = np.asarray(dchi2)
+    amps = np.asarray(amps)
+    above = np.where(dchi2 > threshold)[0]
+    if len(above) == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0),
+                np.zeros((amps.shape[0], 0)))
+    starts = [0]
+    current = 0
+    for i in range(1, len(above)):
+        window = threshold_function(
+            float(np.max(dchi2[above[current: i + 1]])))
+        if above[i] - above[i - 1] > window:
+            starts.append(i)
+            current = i
+    starts.append(len(above))
+    idx_out, d_out = [], []
+    for a, b in zip(starts[:-1], starts[1:]):
+        group = above[a:b]
+        best = group[np.argmax(dchi2[group])]
+        idx_out.append(best)
+        d_out.append(dchi2[best])
+        if capacity is not None and len(idx_out) >= capacity:
+            break
+    idx_out = np.asarray(idx_out, dtype=np.int64)
+    return idx_out, np.asarray(d_out), amps[:, idx_out]
+
+
+def shift_templates_to_match_chi2(fs: float, primary_template,
+                                  secondary_templates, noisecsd,
+                                  relative_amplitudes=None,
+                                  block: int = 16384):
+    """Shift secondary templates so the primary trigger peaks at the same
+    time on all of them (oftrigger.py:146-259 equivalent).
+
+    Runs the primary trigger kernel over each template rendered as a trace
+    and rolls the secondaries by the Δχ²-peak offset. Returns
+    (shifted_templates, shift_samples).
+    """
+    from detprocess_tpu.ops.filterbank import (make_ofnxm_bank,
+                                               _reshape_template_3d)
+
+    primary = _reshape_template_3d(np.asarray(primary_template))
+    c, m, n = primary.shape
+    if relative_amplitudes is None:
+        relative_amplitudes = np.ones(m)
+    bank = make_ofnxm_bank(primary, np.asarray(noisecsd), fs, n // 2)
+    kernel = make_trigger_kernel(bank, block=block, real_dtype=np.float64)
+
+    def peak_time(template_3d):
+        trace = np.einsum("cmn,m->cn", template_3d, relative_amplitudes)
+        # embed in a longer trace so edge zeroing doesn't clip the pulse
+        pad = np.zeros((c, 4 * n))
+        pad[:, int(1.5 * n):int(2.5 * n)] = trace
+        q = of_fir(jnp.asarray(pad), kernel)
+        d, _ = delta_chi2(q, jnp.asarray(kernel.iw_matrix))
+        return int(jnp.argmax(d))
+
+    t_primary = peak_time(primary)
+    shifted, shifts = [], np.zeros(len(secondary_templates), dtype=int)
+    for i, sec in enumerate(secondary_templates):
+        sec3 = _reshape_template_3d(np.asarray(sec))
+        t_sec = peak_time(sec3)
+        shifts[i] = t_primary - t_sec
+        shifted.append(np.roll(sec3, shifts[i], axis=-1))
+    return shifted, shifts
+
+
 def saturation_mask(lpf_trace: jnp.ndarray, sat_amplitudes,
                     window: int, positive_pulses: bool = True) -> jnp.ndarray:
     """Per-sample saturation flag: any channel's LPF trace beyond its

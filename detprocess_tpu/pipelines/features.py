@@ -435,6 +435,13 @@ class FeatureProcessing:
                 mask = ~mask
             return jnp.asarray(mask)
 
+        # channels needing only the half spectrum (1x1 OF fast path) vs
+        # those needing the full spectrum (psd features, of1x2x2)
+        needs_half = sorted({s.chan_idx for s in specs
+                             if s.base in OF_1X1_ALGORITHMS})
+        needs_full = sorted({s.chan_idx for s in specs
+                             if s.base in ("of1x2x2",) + PSD_ALGORITHMS})
+
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
             traces = jnp.einsum("cr,brn->bcn",
@@ -443,36 +450,48 @@ class FeatureProcessing:
             out = {}
             bank = (filterbank.device_bank_1x1(banks["b1x1"])
                     if "b1x1" in banks else None)
+            bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
+                      if "b1x1" in banks else None)
             vffts = {}
-            if needs_fft:
-                sel = traces[:, jnp.asarray(needs_fft), :]
+            if needs_full:
+                sel = traces[:, jnp.asarray(needs_full), :]
                 vf = of1x1.signal_fft(sel)
-                for j, ci in enumerate(needs_fft):
+                for j, ci in enumerate(needs_full):
                     vffts[ci] = vf[:, j, :]
+            vhalf = {}
+            if needs_half:
+                sel = traces[:, jnp.asarray(needs_half), :]
+                vh = of1x1.signal_rfft(sel)
+                for j, ci in enumerate(needs_half):
+                    vhalf[ci] = vh[:, j, :]
 
             for spec in specs:
                 name = spec.algorithm
                 fc = spec.feature_channel
                 kwargs = spec.kwargs
                 if spec.base in OF_1X1_ALGORITHMS:
-                    vfft = vffts[spec.chan_idx][:, None, :]
-                    phi = bank.phi[spec.slot:spec.slot + 1]
-                    s_fft = bank.s_fft[spec.slot:spec.slot + 1]
-                    dinv = bank.denom_inv[spec.slot:spec.slot + 1]
-                    norm = bank.norm[spec.slot:spec.slot + 1]
-                    lmask = low_mask_for(spec)
+                    # half-spectrum fast path (ops/of1x1.py half kernels)
+                    vr = vhalf[spec.chan_idx][:, None, :]
+                    phi = bank_h.phi[spec.slot:spec.slot + 1]
+                    s_fft = bank_h.s_fft[spec.slot:spec.slot + 1]
+                    dinv = bank_h.denom_inv[spec.slot:spec.slot + 1]
+                    norm = bank_h.norm[spec.slot:spec.slot + 1]
+                    binw = bank_h.bin_w
+                    lmask = jnp.asarray(of1x1.lowfreq_mask_half(
+                        n, fs, spec.kwargs.get("lowchi2_fcutoff", 10000)))
                     if spec.base == "of1x1_nodelay":
-                        r = of1x1.of1x1_nodelay(vfft, phi, norm, dinv,
-                                                s_fft, lmask)
+                        r = of1x1.of1x1_nodelay_half(vr, phi, norm, dinv,
+                                                     s_fft, binw, lmask,
+                                                     n=n)
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
                         out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
                         out[f"lowchi2_{name}_{fc}"] = r.lowchi2[:, 0]
                     else:
                         wmask = (window_mask_for(spec)
                                  if spec.base == "of1x1_constrained" else None)
-                        r = of1x1.of1x1_withdelay(
-                            vfft, phi, norm, dinv, s_fft, pretrig, fs,
-                            window_mask=wmask, low_mask=lmask,
+                        r = of1x1.of1x1_withdelay_half(
+                            vr, phi, norm, dinv, s_fft, binw, pretrig, fs,
+                            window_mask=wmask, low_mask_h=lmask,
                             interpolate_t0=bool(kwargs.get("interpolate",
                                                            False)))
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
@@ -486,7 +505,8 @@ class FeatureProcessing:
                                 ampres, r.amp[:, 0].shape)
                             out[f"timeres_{name}_{fc}"] = (
                                 of1x1.time_resolution(
-                                    r.amp[:, 0], s_fft[0], dinv[0], fs))
+                                    r.amp[:, 0], bank.s_fft[spec.slot],
+                                    bank.denom_inv[spec.slot], fs))
                 elif spec.base == "of1x2x2":
                     vfft = vffts[spec.chan_idx][:, None, :]
                     r = of1x1.of1x2(

@@ -29,6 +29,51 @@ from detprocess_tpu.utils.misc import find_linear_segment
 import jax.numpy as jnp
 
 
+def discover_bias_points(raw_path: str, channel: str,
+                         series: Optional[Sequence[str]] = None,
+                         bias_tolerance_percent: float = 1.0) -> List[dict]:
+    """Scan an IV/dIdV sweep raw group and build the bias-point map.
+
+    Equivalent of IVSweepProcessing._get_file_list
+    (process/ivprocess.py:678-916): series are classified iv (noise) vs
+    didv by filename prefix, the per-series ``tes_bias`` is read from the
+    detector config, and iv/didv series are matched by bias within a
+    tolerance. Returns the ``bias_points`` list consumed by
+    IVSweepProcessing.process.
+    """
+    from detprocess_tpu.io.rawdata import RawData, RawReader
+
+    points: dict = {}
+
+    def scan(data_type, key):
+        rd = RawData(raw_path, data_type=data_type, series=series)
+        for s, files in rd.get_data_files().items():
+            if not files:
+                continue
+            reader = RawReader(files)
+            det = reader.get_detector_config(files[0])
+            cfg = det.get(channel, {})
+            if "tes_bias" not in cfg:
+                continue
+            bias = float(cfg["tes_bias"])
+            # match an existing point within tolerance
+            tol = abs(bias) * bias_tolerance_percent / 100.0 + 1e-15
+            for b in points:
+                if abs(b - bias) <= tol:
+                    bias = b
+                    break
+            entry = points.setdefault(bias, {"tes_bias": bias,
+                                             "noise_files": [],
+                                             "didv_files": []})
+            entry[key].extend(files)
+
+    scan("iv", "noise_files")
+    scan("noise", "noise_files")
+    scan("didv", "didv_files")
+    # normal-branch first (largest |bias|), matching the analysis ordering
+    return [points[b] for b in sorted(points, key=abs, reverse=True)]
+
+
 class IVSweepProcessing(FilterData):
     """Raw sweep processing (process/ivprocess.py:46-1003).
 

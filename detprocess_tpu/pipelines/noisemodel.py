@@ -87,6 +87,46 @@ class NoiseModel(FilterData):
         return self._tload[channel]
 
     # ------------------------------------------------------------------
+    def fit_normal_noise(self, channel: str, psd_normal: np.ndarray,
+                         freqs: np.ndarray, rn: float, rl: float,
+                         tc: float,
+                         fit_inductance: bool = True,
+                         squiddc_guess: Optional[float] = None,
+                         tag: str = "default") -> dict:
+        """Fit the normal-state PSD for (L, Tload, squid level)
+        (noisemodel.py:493-747, lmfit Model → ops.lm here).
+
+        The normal-state model is passive Johnson noise through the
+        R+iωL loop plus a flat SQUID term; Rn is held fixed (known from
+        the IV sweep)."""
+        mask = np.asarray(freqs) != 0
+        f = jnp.asarray(np.asarray(freqs)[mask])
+        data = jnp.asarray(np.asarray(psd_normal)[mask])
+        if squiddc_guess is None:
+            squiddc_guess = float(np.sqrt(
+                max(np.median(np.asarray(psd_normal)[mask]) * 0.1, 1e-30)))
+
+        def residual(params, f, data):
+            ind = jnp.abs(params[0])
+            tload = jnp.abs(params[1])
+            squid = jnp.abs(params[2])
+            ztot2 = (rn + rl) ** 2 + (2 * jnp.pi * f * ind) ** 2
+            model = ((4 * tesnoise.KB * tc * rn
+                      + 4 * tesnoise.KB * tload * rl) / ztot2 + squid**2)
+            return jnp.log(model) - jnp.log(data)
+
+        x0 = jnp.asarray([4e-7 if fit_inductance else 0.0, 0.03,
+                          squiddc_guess])
+        res = lm.levenberg_marquardt(residual, x0, args=(f, data),
+                                     max_iter=150)
+        p = np.abs(np.asarray(res.params))
+        out = {"L": float(p[0]), "tload": float(p[1]),
+               "squiddc": float(p[2]), "cost": float(res.cost),
+               "rn": rn, "rl": rl, "tc": tc}
+        self._set(channel, f"normal_noise_fit_{tag}", out, None)
+        return out
+
+    # ------------------------------------------------------------------
     def analyze_noise(self, channel: str,
                       freqs: np.ndarray,
                       ssp: dict,

@@ -36,6 +36,45 @@ from detprocess_tpu.utils import channels as chutils
 from detprocess_tpu.utils.misc import create_series_name
 
 
+def get_trigger_template_info(trigger_config: dict,
+                              filter_data: FilterData) -> dict:
+    """Template length/pretrigger summary for deadtime estimates
+    (detprocess/utils/utils.py:715-778 equivalent)."""
+    info = {}
+    pre_list, post_list = [], []
+    for trig_chan, tcfg in trigger_config.get("channels", {}).items():
+        if not tcfg.get("run", True):
+            continue
+        chan = tcfg.get("channel_name", trig_chan)
+        template_tag = tcfg.get("template_tag", "default")
+        _, _, md = filter_data.get_template(chan, tag=template_tag,
+                                            return_metadata=True)
+        fs = md["sample_rate"]
+        pre = int(md["nb_pretrigger_samples"])
+        nb = int(md["nb_samples"])
+        post = nb - pre
+        info[trig_chan] = {
+            "nb_pretrigger_samples": pre,
+            "nb_posttrigger_samples": post,
+            "nb_samples": nb,
+            "pretrigger_length_msec": 1e3 * pre / fs,
+            "posttrigger_length_msec": 1e3 * post / fs,
+            "trace_length_msec": 1e3 * nb / fs,
+        }
+        pre_list.append(1e3 * pre / fs)
+        post_list.append(1e3 * post / fs)
+    if pre_list:
+        info["min_pretrigger_length_msec"] = min(pre_list)
+        info["max_pretrigger_length_msec"] = max(pre_list)
+        info["min_posttrigger_length_msec"] = min(post_list)
+        info["max_posttrigger_length_msec"] = max(post_list)
+        info["min_edge_exclusion"] = min(info["min_pretrigger_length_msec"],
+                                         info["min_posttrigger_length_msec"])
+        info["max_edge_exclusion"] = max(info["max_pretrigger_length_msec"],
+                                         info["max_posttrigger_length_msec"])
+    return info
+
+
 class EventBuilder:
     """Collects per-channel triggers and merges cross-channel coincidences
     (core/eventbuilder.py:56-497)."""
@@ -381,11 +420,17 @@ class TriggerProcessing:
         self._reader.rewind()
         total = 0
         dump_num = 0
+        livetime = 0.0   # processed exposure minus edge exclusions
+                         # (scripts/process.py:459-463 livetime accounting)
         while nevents < 0 or total < nevents:
             traces, admin = self._reader.read_next_event()
             if traces is None:
                 break
             total += 1
+            event_sec = traces.shape[-1] / self._fs
+            max_edge = max((tc.edge_exclusion_msec or 0.0
+                            for tc in self._channels), default=0.0)
+            livetime += max(event_sec - 2 * max_edge * 1e-3, 0.0)
             if self._salt_injector is not None:
                 traces = self._salt_injector(traces, admin)
             dev_traces = jnp.asarray(traces, jnp.float32)
@@ -412,6 +457,7 @@ class TriggerProcessing:
                             & (df["trigger_time"] < tmax))
                     df = df[keep].reset_index(drop=True)
                     df[f"trigger_edge_exclusion_time_{tc.name}"] = tmin
+                    df[f"trigger_livetime_{tc.name}"] = livetime
                 builder.add_triggers(df)
 
             meta = dict(admin)

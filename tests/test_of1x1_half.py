@@ -1,0 +1,80 @@
+"""Half-spectrum OF kernels must equal the full-spectrum kernels exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import filterbank, of1x1
+
+FS = 1.25e6
+N = 8192
+PRETRIG = 2048
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    template = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    f = np.abs(np.fft.fftfreq(N, 1 / FS))
+    f[0] = f[1]
+    psd = 1e-20 * (1 + 100 / f)
+    traces = rng.standard_normal((8, N)) * 1e-8
+    traces += rng.uniform(1e-6, 3e-6, 8)[:, None] * np.stack(
+        [np.roll(template, s) for s in rng.integers(-100, 100, 8)])
+    bank = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG)
+    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float64))
+    return traces, bank, dev
+
+
+def test_rfft_equals_fft_half(setup):
+    traces, _, _ = setup
+    vr = np.asarray(of1x1.signal_rfft(jnp.asarray(traces)))
+    full = np.fft.fft(traces, axis=-1)
+    np.testing.assert_allclose(vr, full[:, : N // 2 + 1], rtol=1e-10,
+                               atol=1e-9 * np.max(np.abs(full)))
+
+
+def test_nodelay_half_equals_full(setup):
+    traces, bank, dev = setup
+    bk = filterbank.device_bank_1x1(dev)
+    bh = filterbank.device_bank_1x1_half(dev)
+    vfft = of1x1.signal_fft(jnp.asarray(traces)[:, None, :])
+    vr = of1x1.signal_rfft(jnp.asarray(traces)[:, None, :])
+    lm_full = jnp.asarray(of1x1.lowfreq_mask(N, FS, 10000.0))
+    lm_half = jnp.asarray(of1x1.lowfreq_mask_half(N, FS, 10000.0))
+    full = of1x1.of1x1_nodelay(vfft, bk.phi, bk.norm, bk.denom_inv,
+                               bk.s_fft, lm_full)
+    half = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                    bh.s_fft, bh.bin_w, lm_half, n=N)
+    np.testing.assert_allclose(np.asarray(half.amp), np.asarray(full.amp),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(half.chi2), np.asarray(full.chi2),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(half.lowchi2),
+                               np.asarray(full.lowchi2), rtol=1e-9)
+
+
+def test_withdelay_half_equals_full(setup):
+    traces, bank, dev = setup
+    bk = filterbank.device_bank_1x1(dev)
+    bh = filterbank.device_bank_1x1_half(dev)
+    vfft = of1x1.signal_fft(jnp.asarray(traces)[:, None, :])
+    vr = of1x1.signal_rfft(jnp.asarray(traces)[:, None, :])
+    wmask = np.zeros(N, dtype=bool)
+    wmask[PRETRIG - 200:PRETRIG + 200] = True
+    for kwargs in ({}, {"window_mask": jnp.asarray(wmask)},
+                   {"interpolate_t0": True}):
+        full = of1x1.of1x1_withdelay(vfft, bk.phi, bk.norm, bk.denom_inv,
+                                     bk.s_fft, PRETRIG, FS, **kwargs)
+        half = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm,
+                                          bh.denom_inv, bh.s_fft, bh.bin_w,
+                                          PRETRIG, FS, **kwargs)
+        np.testing.assert_allclose(np.asarray(half.amp),
+                                   np.asarray(full.amp), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(half.t0),
+                                   np.asarray(full.t0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(half.chi2),
+                                   np.asarray(full.chi2), rtol=1e-9)
