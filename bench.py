@@ -1,11 +1,20 @@
 """Benchmark: of1x1 optimal-filter feature extraction events/sec on one chip.
 
 BASELINE.json config 1: of1x1 (nodelay + unconstrained delay scan) +
-baseline/integral on synthetic 32768-sample TES pulse batches (1024 events).
-The baseline is the reference's processing model — a single-CPU-core
-per-event Python loop over the same float64 numpy math
-(tests/reference_impl.py, standing in for detprocess+QETpy which run exactly
-such a loop, detprocess/process/features.py:533-851).
+baseline/integral on synthetic 32768-sample TES pulse batches. The
+baseline is the reference's processing model — a single-CPU-core per-event
+Python loop over the same float64 numpy math (tests/reference_impl.py,
+standing in for detprocess+QETpy, which run exactly such a loop:
+detprocess/process/features.py:533-851).
+
+Measurement notes:
+- Test traces are synthesized ON DEVICE (jax.random): this session's TPU
+  is reached through a tunnel whose host↔device link runs at ~20 MB/s,
+  which would otherwise dominate; on-device staging reflects the real
+  pipeline design (io feeds batches asynchronously).
+- Batches are PIPELINED (several dispatches in flight, one sync at the
+  end) — the tunnel adds ~30 ms round-trip latency per synchronous call,
+  which production batch processing does not pay per batch.
 
 Prints ONE JSON line:
     {"metric": ..., "value": events_per_sec, "unit": "events/s",
@@ -22,33 +31,40 @@ import numpy as np
 FS = 1.25e6
 N = 32768
 PRETRIG = N // 2
-BATCH = 1024
+BATCH = 4096
+NBATCH = 8
 CPU_BASELINE_EVENTS = 24
 
 
-def build_data():
+def build_bank():
     from detprocess_tpu.models import pulse
     from detprocess_tpu.ops import filterbank
 
-    rng = np.random.default_rng(0)
     template = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
                                    tau_f1=200e-6)
     f = np.abs(np.fft.fftfreq(N, 1 / FS))
     f[0] = f[1]
     psd = 1e-20 * (1.0 + 100.0 / f)
     bank = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG)
-    amps = rng.uniform(1e-6, 5e-6, BATCH)
-    traces = (rng.standard_normal((BATCH, N)) * 3e-9
-              + amps[:, None] * template[None, :]).astype(np.float32)
-    return template, psd, bank, traces, amps
+    return template, psd, bank
 
 
-def bench_tpu(bank, traces):
+def bench_tpu(bank, template):
     import jax
     import jax.numpy as jnp
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
 
     dev_bank = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    tmpl_dev = jnp.asarray(template, jnp.float32)
+
+    @jax.jit
+    def make_batch(key):
+        """Synthesize a batch on device: noise + random-amplitude pulses."""
+        knoise, kamp = jax.random.split(key)
+        noise = jax.random.normal(knoise, (BATCH, N), jnp.float32) * 3e-9
+        amps = jax.random.uniform(kamp, (BATCH,), jnp.float32,
+                                  1e-6, 5e-6)
+        return noise + amps[:, None] * tmpl_dev[None, :], amps
 
     @jax.jit
     def feature_step(traces, dev):
@@ -58,29 +74,40 @@ def bench_tpu(bank, traces):
                                        bh.s_fft, bh.bin_w, n=N)
         wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
                                         bh.s_fft, bh.bin_w, PRETRIG, FS)
-        return (nod.amp, nod.chi2, wd.amp, wd.t0, wd.chi2,
-                tracestats.baseline(traces),
+        return (nod.amp[:, 0], nod.chi2[:, 0], wd.amp[:, 0], wd.t0[:, 0],
+                wd.chi2[:, 0], tracestats.baseline(traces),
                 tracestats.integral(traces, FS))
 
-    dev_traces = jnp.asarray(traces)
-    out = feature_step(dev_traces, dev_bank)
-    np.asarray(out[2])  # compile + host sync (block_until_ready does not
-    # reliably synchronize on this backend)
-    n_iter = 5
+    keys = jax.random.split(jax.random.PRNGKey(0), NBATCH)
+    batches = [make_batch(k) for k in keys]
+    # compile + warm up (block via host transfer: block_until_ready does
+    # not reliably synchronize on this backend)
+    out = feature_step(batches[0][0], dev_bank)
+    np.asarray(out[2])
+
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = feature_step(dev_traces, dev_bank)
-        amps = np.asarray(out[2])[:, 0]  # D2H forces completion (4 KB)
-    dt = (time.perf_counter() - t0) / n_iter
-    return BATCH / dt, amps
+    outs = [feature_step(tr, dev_bank) for tr, _ in batches]
+    amps_rec = [np.asarray(o[2]) for o in outs]   # sync all
+    dt = time.perf_counter() - t0
+    events_per_sec = BATCH * NBATCH / dt
+
+    # correctness: recovered amplitudes match the injected ones
+    amps_true = np.asarray(batches[0][1])
+    err = np.abs(amps_rec[0] - amps_true)
+    if not np.all(err < 1e-7):
+        raise RuntimeError(f"benchmark correctness check failed: "
+                           f"max amp error {err.max():.3e}")
+    return events_per_sec
 
 
-def bench_cpu_baseline(template, psd, traces):
+def bench_cpu_baseline(template, psd):
     sys.path.insert(0, "tests")
     from reference_impl import RefOF1x1
 
+    rng = np.random.default_rng(0)
     ref = RefOF1x1(template, psd, FS, PRETRIG)
-    sub = traces[:CPU_BASELINE_EVENTS].astype(np.float64)
+    sub = (rng.standard_normal((CPU_BASELINE_EVENTS, N)) * 3e-9
+           + 2e-6 * template[None, :])
     t0 = time.perf_counter()
     for i in range(len(sub)):
         ref.fit_nodelay(sub[i])
@@ -92,14 +119,9 @@ def bench_cpu_baseline(template, psd, traces):
 
 
 def main():
-    template, psd, bank, traces, amps_true = build_data()
-    events_per_sec, amps = bench_tpu(bank, traces)
-    # sanity: recovered amplitudes must match injection
-    err = np.abs(amps - amps_true)
-    if not np.all(err < 1e-7):
-        raise RuntimeError(f"benchmark correctness check failed: "
-                           f"max amp error {err.max():.3e}")
-    cpu_rate = bench_cpu_baseline(template, psd, traces)
+    template, psd, bank = build_bank()
+    events_per_sec = bench_tpu(bank, template)
+    cpu_rate = bench_cpu_baseline(template, psd)
     print(json.dumps({
         "metric": "of1x1 feature extraction (32k samples, nodelay+delay-scan"
                   "+trace stats)",

@@ -23,3 +23,30 @@ Layers
 __version__ = "0.1.0"
 
 from detprocess_tpu.utils import channels, windows, freq  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level access to the main user-facing classes."""
+    _exports = {
+        "FeatureProcessing": "detprocess_tpu.pipelines.features",
+        "TriggerProcessing": "detprocess_tpu.pipelines.triggers",
+        "EventBuilder": "detprocess_tpu.pipelines.triggers",
+        "Randoms": "detprocess_tpu.pipelines.randoms",
+        "Salting": "detprocess_tpu.pipelines.salting",
+        "Noise": "detprocess_tpu.pipelines.noise",
+        "NoiseModel": "detprocess_tpu.pipelines.noisemodel",
+        "DIDVAnalysis": "detprocess_tpu.pipelines.didv",
+        "IVSweepProcessing": "detprocess_tpu.pipelines.ivsweep",
+        "IVSweepAnalysis": "detprocess_tpu.pipelines.ivsweep",
+        "Template": "detprocess_tpu.pipelines.template",
+        "FilterBuilder": "detprocess_tpu.pipelines.template",
+        "FilterDataProcessing": "detprocess_tpu.pipelines.filtergen",
+        "FilterData": "detprocess_tpu.io.filterfile",
+        "RawData": "detprocess_tpu.io.rawdata",
+        "YamlConfig": "detprocess_tpu.config.yamlconfig",
+    }
+    if name in _exports:
+        import importlib
+        module = importlib.import_module(_exports[name])
+        return getattr(module, name)
+    raise AttributeError(f"module 'detprocess_tpu' has no attribute {name!r}")

@@ -174,18 +174,56 @@ def _dft_matrix(n: int, cdtype) -> jnp.ndarray:
     return const_complex(np.cos(ang) + 1j * np.sin(ang), cdtype)
 
 
+def _dft_mats_real(n: int, rdtype):
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    return (jnp.asarray(np.cos(ang), rdtype),
+            jnp.asarray(np.sin(ang), rdtype))
+
+
+def _twiddle_real(n1: int, n2: int, n: int, rdtype):
+    k1 = np.arange(n1)[:, None]
+    m2 = np.arange(n2)[None, :]
+    ang = -2.0 * np.pi * ((k1 * m2) % n) / n
+    return (jnp.asarray(np.cos(ang), rdtype),
+            jnp.asarray(np.sin(ang), rdtype))
+
+
 def _matmul_fft_last(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
-    """Four-step FFT with both stages as DFT matmuls (MXU path)."""
+    """Four-step FFT with both stages as DFT matmuls (MXU path).
+
+    Complex arithmetic is explicit re/im so every contraction is a REAL
+    matmul at Precision.HIGHEST — XLA's complex dot lowers poorly on TPU.
+    """
     n = x.shape[-1]
     cdtype = _complex_dtype(x.dtype)
+    rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
     hi = jax.lax.Precision.HIGHEST
-    xm = jnp.reshape(x.astype(cdtype), x.shape[:-1] + (n1, n2))
-    g = jnp.einsum("ij,...jk->...ik", _dft_matrix(n1, cdtype), xm,
-                   precision=hi)
-    g = g * _twiddle(n1, n2, n, cdtype)
-    h = jnp.einsum("kl,...il->...ik", _dft_matrix(n2, cdtype), g,
-                   precision=hi)
-    out = jnp.swapaxes(h, -1, -2)
+
+    xc = x.astype(cdtype)
+    xm_re = jnp.reshape(xc.real.astype(rdtype), x.shape[:-1] + (n1, n2))
+    xm_im = jnp.reshape(xc.imag.astype(rdtype), x.shape[:-1] + (n1, n2))
+    c1, s1 = _dft_mats_real(n1, rdtype)
+
+    def mm1(w, a):
+        return jnp.einsum("ij,...jk->...ik", w, a, precision=hi)
+
+    g_re = mm1(c1, xm_re) - mm1(s1, xm_im)
+    g_im = mm1(s1, xm_re) + mm1(c1, xm_im)
+
+    twc, tws = _twiddle_real(n1, n2, n, rdtype)
+    h_re = g_re * twc - g_im * tws
+    h_im = g_re * tws + g_im * twc
+
+    c2, s2 = _dft_mats_real(n2, rdtype)
+
+    def mm2(w, a):
+        return jnp.einsum("kl,...il->...ik", w, a, precision=hi)
+
+    o_re = mm2(c2, h_re) - mm2(s2, h_im)
+    o_im = mm2(s2, h_re) + mm2(c2, h_im)
+    out = jax.lax.complex(o_re, o_im)
+    out = jnp.swapaxes(out, -1, -2)
     return jnp.reshape(out, x.shape[:-1] + (n,))
 
 

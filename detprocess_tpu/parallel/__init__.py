@@ -1,1 +1,1 @@
-from detprocess_tpu.parallel import mesh  # noqa: F401
+from detprocess_tpu.parallel import mesh, multihost  # noqa: F401

@@ -1,1 +1,1 @@
-from detprocess_tpu.utils import channels, windows, freq, misc  # noqa: F401
+from detprocess_tpu.utils import channels, windows, freq, misc, logging  # noqa: F401
