@@ -735,6 +735,7 @@ class FeatureProcessing:
                 nevents: int = -1,
                 batch_size: int = 256,
                 dtype=np.float32,
+                pipeline_depth: int = 4,
                 lgc_save: bool = False,
                 output_path: Optional[str] = None,
                 output_format: str = "hdf5",
@@ -746,12 +747,16 @@ class FeatureProcessing:
         Reads events in batches, executes the compiled plan on device, and
         assembles the feature table (with admin columns). With ``lgc_save``
         the table is written per dump to ``output_path``.
+
+        ``pipeline_depth`` batches stay in flight before their results are
+        pulled to host — device dispatch latency and compute overlap with
+        the next batch's file reads (the reference pays neither: its loop
+        is synchronous per event).
         """
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
-        total = 0
-        dump_num = 0
+        state = {"total": 0, "dump": 0}
         out_series = series_name or create_series_name(self._facility)
         if lgc_save:
             if output_path is None:
@@ -761,54 +766,71 @@ class FeatureProcessing:
         batches = (self._iter_trigger_batches(batch_size)
                    if self._trigger_df is not None
                    else self._iter_full_batches(batch_size, nevents))
+
+        inflight: List[tuple] = []
+
+        def emit(entry):
+            dev_feats, admins, nb = entry
+            feats = {k: np.asarray(v, np.float64)
+                     for k, v in dev_feats.items()}
+            state["total"] += nb
+            self._emit_frame(feats, admins, nb, frames, state, lgc_save,
+                             output_path, output_format, out_series,
+                             group_name)
+
         for raw_np, admins in batches:
             raw = jnp.asarray(raw_np, dtype)
-            feats: Dict[str, np.ndarray] = {}
+            dev_feats: Dict[str, jnp.ndarray] = {}
             for group_fn, bank in zip(self._group_fns, banks):
-                out = group_fn(raw, bank)
-                for k, v in out.items():
-                    feats[k] = np.asarray(v, np.float64)
-            nb = raw_np.shape[0]
-            total += nb
-            frame = {}
-            # admin columns (processing_data.py:774-887 conventions)
-            for col in ("event_number", "event_id", "event_time",
-                        "series_number", "dump_number", "trigger_type"):
-                frame[col] = np.asarray([a.get(col, 0) for a in admins])
-            # trigger-mode carry-over columns
-            if self._trigger_df is not None:
-                for col in ("trigger_index", "trigger_time",
-                            "trigger_delta_chi2", "trigger_amplitude",
-                            "trigger_prod_id", "trigger_channel"):
-                    if any(col in a for a in admins):
-                        frame[col] = [a.get(col, np.nan) for a in admins]
-            frame["series_name"] = [a.get("series_name", "") for a in admins]
-            frame["group_name"] = [a.get("group_name", "") for a in admins]
-            frame["data_type"] = [a.get("data_type", "") for a in admins]
-            frame["processing_id"] = [self._processing_id or ""] * nb
-            # detector settings
-            det = self._reader.get_detector_config(admins[0]["file_name"])
-            for chan, cfg in det.items():
-                if "tes_bias" in cfg:
-                    frame[f"tes_bias_{chan}"] = [cfg["tes_bias"]] * nb
-                if "output_gain" in cfg:
-                    frame[f"output_gain_{chan}"] = [cfg["output_gain"]] * nb
-            frame.update(feats)
-            df = pd.DataFrame(frame)
-            frames.append(df)
-            if lgc_save:
-                dump_num += 1
-                path = tables.output_file_name(
-                    output_path, "feature", group_name, out_series, dump_num,
-                    "parquet" if output_format == "parquet" else "hdf5")
-                tables.write_table(df, path, fmt=output_format)
-            if self._verbose:
-                print(f"INFO: processed {total} events")
+                dev_feats.update(group_fn(raw, bank))
+            inflight.append((dev_feats, admins, raw_np.shape[0]))
+            if len(inflight) > max(pipeline_depth, 0):
+                emit(inflight.pop(0))
+        for entry in inflight:
+            emit(entry)
 
+        if self._verbose and state["total"]:
+            print(f"INFO: processed {state['total']} events")
         if not frames:
             return pd.DataFrame() if lgc_output else None
         result = pd.concat(frames, ignore_index=True)
         return result if lgc_output else None
+
+    def _emit_frame(self, feats, admins, nb, frames, state, lgc_save,
+                    output_path, output_format, out_series, group_name):
+        frame = {}
+        # admin columns (processing_data.py:774-887 conventions)
+        for col in ("event_number", "event_id", "event_time",
+                    "series_number", "dump_number", "trigger_type"):
+            frame[col] = np.asarray([a.get(col, 0) for a in admins])
+        # trigger-mode carry-over columns
+        if self._trigger_df is not None:
+            for col in ("trigger_index", "trigger_time",
+                        "trigger_delta_chi2", "trigger_amplitude",
+                        "trigger_prod_id", "trigger_channel"):
+                if any(col in a for a in admins):
+                    frame[col] = [a.get(col, np.nan) for a in admins]
+        frame["series_name"] = [a.get("series_name", "") for a in admins]
+        frame["group_name"] = [a.get("group_name", "") for a in admins]
+        frame["data_type"] = [a.get("data_type", "") for a in admins]
+        frame["processing_id"] = [self._processing_id or ""] * nb
+        # detector settings
+        det = self._reader.get_detector_config(admins[0]["file_name"])
+        for chan, cfg in det.items():
+            if "tes_bias" in cfg:
+                frame[f"tes_bias_{chan}"] = [cfg["tes_bias"]] * nb
+            if "output_gain" in cfg:
+                frame[f"output_gain_{chan}"] = [cfg["output_gain"]] * nb
+        frame.update(feats)
+        df = pd.DataFrame(frame)
+        frames.append(df)
+        if lgc_save:
+            state["dump"] += 1
+            path = tables.output_file_name(
+                output_path, "feature", group_name, out_series,
+                state["dump"],
+                "parquet" if output_format == "parquet" else "hdf5")
+            tables.write_table(df, path, fmt=output_format)
 
 
 def _load_external_extractors(path: str) -> dict:

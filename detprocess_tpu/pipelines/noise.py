@@ -83,11 +83,26 @@ class Noise(FilterData):
         p = (pretrigger_length_samples
              if pretrigger_length_samples is not None else n // 2)
 
-        traces = self._get_traces(channels, n, p)       # [B, C, N]
+        # resolve +/- channel combinations into weighted trace sums
+        # (reference Noise supports combined channels, core/noise.py:91-215)
+        from detprocess_tpu.utils import channels as chutils
+
+        reader_channels = self._reader.channels
+        combos = []
+        for chan in channels:
+            subs, weights = chutils.channel_combination_weights(
+                chan, reader_channels)
+            combos.append((chan, subs, weights))
+        needed = sorted({s for _, subs, _ in combos for s in subs},
+                        key=reader_channels.index)
+
+        traces = self._get_traces(needed, n, p)         # [B, C, N]
         if traces.size == 0:
             raise ValueError("no traces available for PSD estimation")
-        for i, chan in enumerate(channels):
-            tr = jnp.asarray(traces[:, i, :], dtype)
+        for chan, subs, weights in combos:
+            tr_np = sum(w * traces[:, needed.index(s), :]
+                        for s, w in zip(subs, weights))
+            tr = jnp.asarray(tr_np, dtype)
             mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
             kept = tr[jnp.asarray(np.where(mask)[0])]
             psd = np.asarray(spectral.welch_psd(kept, fs, window=window))

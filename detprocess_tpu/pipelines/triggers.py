@@ -336,8 +336,7 @@ class TriggerProcessing:
     def _make_channel_fn(self, tc: _TriggerChannel, capacity: int):
         kernel = tc.kernel
 
-        @jax.jit
-        def run(trace):
+        def run_one(trace):
             q = trig_ops.of_fir(trace, kernel)
             dchi2, amps = trig_ops.delta_chi2(
                 q, jnp.asarray(kernel.iw_matrix))
@@ -357,7 +356,10 @@ class TriggerProcessing:
                 return ts, ts2
             return ts, None
 
-        return run
+        # batched over continuous events: [E, C, L] → TriggerSets with a
+        # leading E axis (the reference loops events in Python,
+        # triggers.py:559-834)
+        return jax.jit(jax.vmap(run_one))
 
     def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
                            ) -> pd.DataFrame:
@@ -392,6 +394,8 @@ class TriggerProcessing:
     def process(self,
                 nevents: int = -1,
                 capacity: int = 4096,
+                event_batch: int = 4,
+                pipeline_depth: int = 2,
                 lgc_save: bool = False,
                 output_path: Optional[str] = None,
                 output_format: str = "hdf5",
@@ -422,24 +426,17 @@ class TriggerProcessing:
         dump_num = 0
         livetime = 0.0   # processed exposure minus edge exclusions
                          # (scripts/process.py:459-463 livetime accounting)
-        while nevents < 0 or total < nevents:
-            traces, admin = self._reader.read_next_event()
-            if traces is None:
-                break
-            total += 1
-            event_sec = traces.shape[-1] / self._fs
-            max_edge = max((tc.edge_exclusion_msec or 0.0
-                            for tc in self._channels), default=0.0)
-            livetime += max(event_sec - 2 * max_edge * 1e-3, 0.0)
-            if self._salt_injector is not None:
-                traces = self._salt_injector(traces, admin)
-            dev_traces = jnp.asarray(traces, jnp.float32)
+        max_edge = max((tc.edge_exclusion_msec or 0.0
+                        for tc in self._channels), default=0.0)
 
+        def handle_event(traces_np, admin, per_channel):
+            nonlocal livetime
+            event_sec = traces_np.shape[-1] / self._fs
+            livetime += max(event_sec - 2 * max_edge * 1e-3, 0.0)
             builder.clear_event()
-            builder.set_current_nb_samples(traces.shape[-1])
+            builder.set_current_nb_samples(traces_np.shape[-1])
             for tc in self._channels:
-                sub = dev_traces[jnp.asarray(tc.chan_indices), :]
-                ts, ts2 = fns[tc.name](sub)
+                ts, ts2 = per_channel[tc.name]
                 df = self._trigger_set_to_df(tc, ts)
                 if ts2 is not None:
                     df2 = self._trigger_set_to_df(tc, ts2)
@@ -452,7 +449,7 @@ class TriggerProcessing:
                         df = pd.concat([df, df2], ignore_index=True)
                 if tc.edge_exclusion_msec is not None and len(df):
                     tmin = tc.edge_exclusion_msec * 1e-3
-                    tmax = traces.shape[-1] / self._fs - tmin
+                    tmax = traces_np.shape[-1] / self._fs - tmin
                     keep = ((df["trigger_time"] > tmin)
                             & (df["trigger_time"] < tmax))
                     df = df[keep].reset_index(drop=True)
@@ -471,10 +468,55 @@ class TriggerProcessing:
             if event_df is not None and len(event_df):
                 frames.append(event_df.copy())
 
-            if self._verbose and total % 100 == 0:
+        def slice_sets(batch_sets, e):
+            out = {}
+            for name, (ts, ts2) in batch_sets.items():
+                def pick(t):
+                    if t is None:
+                        return None
+                    return trig_ops.TriggerSet(
+                        indices=np.asarray(t.indices)[e],
+                        dchi2=np.asarray(t.dchi2)[e],
+                        amplitudes=np.asarray(t.amplitudes)[e],
+                        count=np.asarray(t.count)[e])
+                out[name] = (pick(ts), pick(ts2))
+            return out
+
+        # batched + pipelined event processing: ``event_batch`` continuous
+        # events per dispatch, ``pipeline_depth`` dispatches in flight
+        inflight = []
+        while nevents < 0 or total < nevents:
+            batch_traces, batch_admins = [], []
+            want = event_batch if nevents < 0 else min(
+                event_batch, nevents - total)
+            for _ in range(want):
+                traces, admin = self._reader.read_next_event()
+                if traces is None:
+                    break
+                if self._salt_injector is not None:
+                    traces = self._salt_injector(traces, admin)
+                batch_traces.append(traces)
+                batch_admins.append(admin)
+            if not batch_traces:
+                break
+            total += len(batch_traces)
+            stacked = jnp.asarray(np.stack(batch_traces), jnp.float32)
+            batch_sets = {}
+            for tc in self._channels:
+                sub = stacked[:, jnp.asarray(tc.chan_indices), :]
+                batch_sets[tc.name] = fns[tc.name](sub)
+            inflight.append((batch_traces, batch_admins, batch_sets))
+            while len(inflight) > max(pipeline_depth, 0):
+                btr, badm, bsets = inflight.pop(0)
+                for e in range(len(btr)):
+                    handle_event(btr[e], badm[e], slice_sets(bsets, e))
+            if self._verbose and total % 100 < event_batch:
                 ntrig = sum(len(f) for f in frames)
                 print(f"INFO: processed {total} continuous events, "
                       f"{ntrig} triggers")
+        for btr, badm, bsets in inflight:
+            for e in range(len(btr)):
+                handle_event(btr[e], badm[e], slice_sets(bsets, e))
 
         result = (pd.concat(frames, ignore_index=True)
                   if frames else pd.DataFrame())

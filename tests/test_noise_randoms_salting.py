@@ -211,3 +211,22 @@ class TestSalting:
         found = out["trigger_index"].to_numpy()
         for ti in df["trigger_index"]:
             assert np.min(np.abs(found - ti)) <= 2
+
+
+class TestCompoundChannelPSD:
+    def test_sum_channel_psd(self, contdata):
+        noise = Noise(contdata["raw_files"], verbose=False)
+        noise.generate_randoms(random_rate=60.0, seed=6,
+                               min_separation_msec=1.0,
+                               edge_exclusion_msec=2.0)
+        noise.calc_psd(["chan1", "chan1+chan2", "chan1-chan2"],
+                       trace_length_samples=2048,
+                       pretrigger_length_samples=1024)
+        psd_sum, _ = noise.get_psd("chan1+chan2")
+        psd_single, _ = noise.get_psd("chan1")
+        # independent equal-variance channels: sum PSD ≈ 2× single PSD
+        ratio = np.median(psd_sum[1:] / psd_single[1:])
+        assert 1.6 < ratio < 2.4
+        psd_diff, _ = noise.get_psd("chan1-chan2")
+        ratio2 = np.median(psd_diff[1:] / psd_single[1:])
+        assert 1.6 < ratio2 < 2.4
