@@ -1,0 +1,292 @@
+"""Benchmark all five BASELINE.json configs on the TPU vs single-CPU-core
+reference loops (tests/reference_impl.py = the per-event numpy/QETpy-style
+math the reference runs).
+
+Usage:  python benchmarks/run_all.py [--quick]
+Prints one JSON line per config and a summary table; results go into
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FS = 1.25e6
+
+
+def _sync(x):
+    np.asarray(x).ravel()[:1]
+
+
+def timeit_pipelined(fn, args_list, warmup_args):
+    out = fn(*warmup_args)
+    _sync(out[0] if isinstance(out, tuple) else out)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for a in args_list]
+    for o in outs:
+        _sync(o[0] if isinstance(o, tuple) else o)
+    return time.perf_counter() - t0
+
+
+def bench_of1x1_basic(quick=False):
+    """Config 1: of1x1_nodelay + baseline/integral, 32k samples."""
+    import jax
+    import jax.numpy as jnp
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, of1x1, tracestats
+    from reference_impl import RefOF1x1
+
+    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 8)
+    tmpl = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(n, 1e-20)
+    bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
+    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+
+    @jax.jit
+    def step(key, d):
+        bh = filterbank.device_bank_1x1_half(d)
+        x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
+            jnp.asarray(tmpl, jnp.float32)[None, :]
+        vr = of1x1.signal_rfft(x[:, None, :])
+        r = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                     bh.s_fft, bh.bin_w, n=n)
+        return (r.amp[:, 0], tracestats.baseline(x),
+                tracestats.integral(x, FS))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), k)
+    dt = timeit_pipelined(step, [(kk, dev) for kk in keys],
+                          (keys[0], dev))
+    tpu_rate = b * k / dt
+
+    ref = RefOF1x1(tmpl, psd, FS, pretrig)
+    rng = np.random.default_rng(0)
+    sub = rng.standard_normal((12, n)) * 3e-9 + 2e-6 * tmpl
+    t0 = time.perf_counter()
+    for i in range(len(sub)):
+        ref.fit_nodelay(sub[i])
+        np.mean(sub[i][:n - 1])
+        np.trapezoid(sub[i][:n - 1]) / FS
+    cpu_rate = len(sub) / (time.perf_counter() - t0)
+    return {"config": "of1x1_nodelay+basics 32k", "tpu_events_per_sec":
+            round(tpu_rate, 1), "cpu_events_per_sec": round(cpu_rate, 1),
+            "speedup": round(tpu_rate / cpu_rate, 1)}
+
+
+def bench_of1x1_delay(quick=False):
+    """Config 2: unconstrained + constrained delay-scan OF."""
+    import jax
+    import jax.numpy as jnp
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, of1x1
+    from reference_impl import RefOF1x1
+
+    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 8)
+    tmpl = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(n, 1e-20)
+    bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
+    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    wmask = np.zeros(n, dtype=bool)
+    wmask[pretrig - 500:pretrig + 500] = True
+    wmask_j = jnp.asarray(wmask)
+
+    @jax.jit
+    def step(key, d):
+        bh = filterbank.device_bank_1x1_half(d)
+        x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
+            jnp.asarray(tmpl, jnp.float32)[None, :]
+        vr = of1x1.signal_rfft(x[:, None, :])
+        un = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                        bh.s_fft, bh.bin_w, pretrig, FS)
+        co = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                        bh.s_fft, bh.bin_w, pretrig, FS,
+                                        window_mask=wmask_j)
+        return un.amp[:, 0], co.amp[:, 0], un.t0[:, 0], co.chi2[:, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(1), k)
+    dt = timeit_pipelined(step, [(kk, dev) for kk in keys], (keys[0], dev))
+    tpu_rate = b * k / dt
+
+    ref = RefOF1x1(tmpl, psd, FS, pretrig)
+    rng = np.random.default_rng(1)
+    sub = rng.standard_normal((8, n)) * 3e-9 + 2e-6 * tmpl
+    t0 = time.perf_counter()
+    for i in range(len(sub)):
+        ref.fit_withdelay(sub[i])
+        ref.fit_withdelay(sub[i], window=(pretrig - 500, pretrig + 500))
+    cpu_rate = len(sub) / (time.perf_counter() - t0)
+    return {"config": "of1x1 delay-scan (unconstrained+constrained)",
+            "tpu_events_per_sec": round(tpu_rate, 1),
+            "cpu_events_per_sec": round(cpu_rate, 1),
+            "speedup": round(tpu_rate / cpu_rate, 1)}
+
+
+def bench_psd_build(quick=False):
+    """Config 3: Welch two-sided PSD estimation from noise traces."""
+    import jax
+    import jax.numpy as jnp
+    from detprocess_tpu.ops import spectral
+    from reference_impl import ref_welch_psd
+
+    n, b, k = 32768, 2048, (2 if quick else 8)
+
+    @jax.jit
+    def step(key):
+        x = jax.random.normal(key, (b, n), jnp.float32) * 1e-6
+        return spectral.welch_psd(x, FS)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    dt = timeit_pipelined(step, [(kk,) for kk in keys], (keys[0],))
+    tpu_rate = b * k / dt
+    gbs = b * k * n * 4 / dt / 1e9
+
+    rng = np.random.default_rng(2)
+    sub = rng.standard_normal((64, n)) * 1e-6
+    t0 = time.perf_counter()
+    ref_welch_psd(sub, FS)
+    cpu_rate = len(sub) / (time.perf_counter() - t0)
+    return {"config": "Welch two-sided PSD build 32k",
+            "tpu_events_per_sec": round(tpu_rate, 1),
+            "tpu_gb_per_sec": round(gbs, 2),
+            "cpu_events_per_sec": round(cpu_rate, 1),
+            "speedup": round(tpu_rate / cpu_rate, 1)}
+
+
+def bench_nxm(quick=False):
+    """Config 4: 4-channel NxM OF."""
+    import jax
+    import jax.numpy as jnp
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, of1x1, ofnxm
+    from reference_impl import RefOFNxM
+
+    c, m, n, pretrig = 4, 2, 8192, 4096
+    b, k = 1024, (2 if quick else 8)
+    t_fast = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=10e-6,
+                                 tau_f1=80e-6)
+    t_slow = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
+                                 tau_f1=300e-6)
+    tmpl = np.zeros((c, m, n))
+    for ch in range(c):
+        tmpl[ch, 0] = t_fast * (1.0 if ch % 2 == 0 else 0.3)
+        tmpl[ch, 1] = t_slow * (1.0 if ch % 2 == 1 else 0.3)
+    csd = np.zeros((c, c, n), dtype=complex)
+    for ch in range(c):
+        csd[ch, ch] = 1e-20
+    bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
+    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    sig = jnp.asarray(np.einsum("cmn->cn", tmpl), jnp.float32)
+
+    @jax.jit
+    def step(key, d):
+        nb = filterbank.device_bank_nxm(d)
+        x = (jax.random.normal(key, (b, c, n), jnp.float32) * 3e-9
+             + 1e-6 * sig[None])
+        vfft = of1x1.signal_fft(x)
+        r = ofnxm.ofnxm_withdelay(vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
+                                  nb.icsd, pretrig, FS)
+        return r.amps, r.t0, r.chi2
+
+    keys = jax.random.split(jax.random.PRNGKey(3), k)
+    dt = timeit_pipelined(step, [(kk, dev) for kk in keys], (keys[0], dev))
+    tpu_rate = b * k / dt
+
+    ref = RefOFNxM(tmpl, csd, FS, pretrig)
+    rng = np.random.default_rng(3)
+    sub = rng.standard_normal((4, c, n)) * 3e-9 + 1e-6 * np.asarray(sig)
+    t0 = time.perf_counter()
+    for i in range(len(sub)):
+        ref.fit_withdelay(sub[i])
+    cpu_rate = len(sub) / (time.perf_counter() - t0)
+    return {"config": "4-channel NxM OF (delay scan)",
+            "tpu_events_per_sec": round(tpu_rate, 1),
+            "cpu_events_per_sec": round(cpu_rate, 1),
+            "speedup": round(tpu_rate / cpu_rate, 1)}
+
+
+def bench_trigger(quick=False):
+    """Config 5: continuous-stream OF trigger + salting injection."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.signal import oaconvolve
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, trigger
+
+    nt, pretrig = 4096, 1024
+    l = 1_250_000                       # 1 s continuous events
+    e = 8                               # events per dispatch (vmap)
+    k = 2 if quick else 4
+    tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS,
+                                      pretrig)
+    kernel = trigger.make_trigger_kernel(bank)
+    thr = trigger.chi2_threshold(5.0, 1)
+
+    def one(x):
+        # salting: inject 10 scaled templates at fixed positions
+        pos = (jnp.arange(10) + 1) * (l // 12)
+        salt = jnp.zeros((l,), jnp.float32)
+        for i in range(10):
+            salt = jax.lax.dynamic_update_slice(
+                salt, 20e-6 * jnp.asarray(tmpl, jnp.float32),
+                (pos[i] - pretrig,))
+        x = x + salt[None, :]
+        qb, _ = trigger.of_fir_blocks(x, kernel)
+        d, a = trigger.delta_chi2_blocks(qb, jnp.asarray(kernel.iw_matrix))
+        ts = trigger.find_triggers_blocks(d, a, thr, 125, 512)
+        return ts.indices, ts.count
+
+    @jax.jit
+    def trig_step(key):
+        x = jax.random.normal(key, (e, 1, l), jnp.float32) * np.sqrt(
+            psd[0] * FS).astype(np.float32)
+        return jax.vmap(one)(x)
+
+    keys = jax.random.split(jax.random.PRNGKey(4), k)
+    dt = timeit_pipelined(trig_step, [(kk,) for kk in keys], (keys[0],))
+    tpu_rate = k * e * l / dt          # samples/sec
+
+    # CPU reference: scipy oaconvolve trigger on one shorter trace
+    rng = np.random.default_rng(4)
+    l_cpu = 250_000
+    x = rng.standard_normal(l_cpu) * np.sqrt(psd[0] * FS)
+    phi_td = np.real(np.fft.ifft(bank.phi[0, 0])) * nt
+    t0 = time.perf_counter()
+    v = oaconvolve(x, phi_td, mode="same")
+    filt = v * bank.iw_matrix[0, 0]
+    d = filt * filt * bank.w_matrix[0, 0]
+    np.where(d > thr)
+    cpu_rate = l_cpu / (time.perf_counter() - t0)
+    return {"config": "continuous trigger + salting (Msamples/s)",
+            "tpu_msamples_per_sec": round(tpu_rate / 1e6, 2),
+            "cpu_msamples_per_sec": round(cpu_rate / 1e6, 2),
+            "speedup": round(tpu_rate / cpu_rate, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    results = []
+    for fn in (bench_of1x1_basic, bench_of1x1_delay, bench_psd_build,
+               bench_nxm, bench_trigger):
+        r = fn(quick=args.quick)
+        results.append(r)
+        print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,48 @@ def _didv_residual(poles):
     return residual
 
 
+def fit_didv_prior(freqs: np.ndarray, didv_meas: np.ndarray,
+                   prior_mean: np.ndarray, prior_cov: np.ndarray,
+                   poles: int = 2,
+                   weights: Optional[np.ndarray] = None,
+                   max_iter: int = 200) -> DIDVFit:
+    """Prior-constrained dIdV fit (qetpy.DIDVPriors equivalent —
+    reference use: core/didv.py:867-904, ``dofit_prior``).
+
+    Gaussian priors on the raw parameters enter as extra residuals
+    ``L⁻¹(p − p₀)`` with L the Cholesky factor of the prior covariance, so
+    the LM cost is χ²_data/2 + ½(p−p₀)ᵀC⁻¹(p−p₀).
+    """
+    freqs = np.asarray(freqs)
+    mask = freqs != 0
+    prior_mean = np.asarray(prior_mean, dtype=float)
+    chol = np.linalg.cholesky(np.asarray(prior_cov, dtype=float))
+    chol_inv = np.linalg.inv(chol)
+
+    base = _didv_residual(poles)
+
+    def residual(params, f, d_re, d_im, w, mu, li):
+        r = base(params, f, d_re, d_im, w)
+        r_prior = li @ (params - mu)
+        return jnp.concatenate([r, r_prior])
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        f = jnp.asarray(freqs[mask])
+        d_host = np.asarray(didv_meas)[mask]
+        d_re = jnp.asarray(np.ascontiguousarray(d_host.real))
+        d_im = jnp.asarray(np.ascontiguousarray(d_host.imag))
+        w = jnp.asarray((np.ones_like(freqs)
+                         if weights is None else np.asarray(weights))[mask])
+        res = lm.levenberg_marquardt(
+            residual, jnp.asarray(prior_mean, f.dtype),
+            args=(f, d_re, d_im, w, jnp.asarray(prior_mean, f.dtype),
+                  jnp.asarray(chol_inv, f.dtype)),
+            max_iter=max_iter)
+    return DIDVFit(params=np.asarray(res.params), cov=np.asarray(res.cov),
+                   cost=float(res.cost), poles=poles)
+
+
 def guess_params(freqs, didv_meas, poles: int) -> list:
     """Data-driven initial guesses (several candidates — the dVdI surface
     has distinct ETF regimes: loop gain below/above 1 flips the signs of B

@@ -79,9 +79,14 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     The linear matched filter for amplitude i, channel c is
     ``w[c,i,τ] = N·ifft(Phi[c,i])(τ mod N)`` re-rolled so τ is measured
     from the window start; convolution uses the flipped kernel.
+
+    The FFT size is fixed at 2·block (block ≥ template length) so
+    overlap-save segments are exactly two adjacent blocks — they are then
+    built by reshape+concat instead of gathers (TPU layout-friendly).
     """
     c, m, n = bank.templates.shape
     p = bank.pretrigger
+    block = int(2 ** np.ceil(np.log2(max(block, n))))
     # circular matched filter w(τ) = N·ifft(Phi). The linear FIR kernel is
     # h(j) = w((j−(N−1)) mod N), j ∈ [0, N), so that with y = conv(x, h)
     # the amplitude numerator is q(T) = y[T + N−1−pretrigger]: a pulse
@@ -90,7 +95,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # oftrigger.py:659-664, :1005; alignment tested in test_trigger.py)
     w_circ = np.real(np.fft.ifft(bank.phi, axis=-1)) * n    # [C, M, N]
     g = np.roll(w_circ, n - 1, axis=-1)
-    f_size = int(2 ** np.ceil(np.log2(block + n)))
+    f_size = 2 * block
     g_pad = np.zeros((c, m, f_size))
     g_pad[..., :n] = g
     g_fft = np.fft.fft(g_pad, axis=-1)
@@ -117,44 +122,74 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
 # device kernels
 # ---------------------------------------------------------------------------
 
-def of_fir(trace: jnp.ndarray, kernel: TriggerKernel) -> jnp.ndarray:
-    """Overlap-save FIR: continuous trace [C, L] → q [M, L].
+def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
+    """Overlap-save FIR in 2-D block layout: trace [C, L] →
+    (q_blocks [M, nb, B], nb·B ≥ L).
 
-    Edge samples (first/last Nt) are zeroed, mirroring the reference's
-    padding cut (oftrigger.py:674-679).
+    The amplitude series q is returned as rows of ``block`` samples
+    (row-major order = time order; q[T] = q_blocks[:, T//B, T%B], valid
+    for T < L). 1-D layouts serialize badly on TPU, so every step stays
+    2-D: segments are two adjacent blocks glued by reshape+concat (no
+    gathers), and the FFT batch is [C, nb, 2B].
+
+    Edge samples (first/last Nt of the trace) are zeroed, mirroring the
+    reference's padding cut (oftrigger.py:674-679).
     """
     c, l = trace.shape
     nt, p = kernel.nt, kernel.pretrigger
     b, f = kernel.block, kernel.fft_size
     g_fft = join_complex(jnp.asarray(kernel.g_fft))
 
-    # full convolution y = conv(x, h); q(T) = y[T + nt−1−p] for T ∈ [0, L)
-    y_len = l + nt
-    nblocks = -(-y_len // b)
-    pad_left = nt - 1
-    pad_right = nblocks * b + f - (pad_left + l)
+    # y = conv(x, h); q(T) = y[T + nt−1−p]. Shift the input left by
+    # (p − (nt−1)) so that q(T) = conv(xshift)(T) directly: pad with
+    # nt−1−p zeros... equivalently pad left with (nt−1) zeros and start
+    # reading y at (nt−1−p). With segments of two B-blocks, the valid
+    # conv outputs of segment i are y[i·B + j], j ∈ [0, B), taken at
+    # in-segment offset (nt−1) + j... we fold the global shift into the
+    # left padding: xpad[k] = x[k − pad_left + (nt−1−p)]… net left pad:
+    pad_left = nt - 1 - (nt - 1 - p)         # = p
+    nblocks = -(-l // b)
+    pad_right = (nblocks + 1) * b - (pad_left + l)
     xpad = jnp.pad(trace, ((0, 0), (pad_left, max(pad_right, 0))))
-
-    starts = jnp.arange(nblocks) * b
-    idx = starts[:, None] + jnp.arange(f)[None, :]            # [nb, F]
-    segments = xpad[:, idx]                                    # [C, nb, F]
-    seg_fft = dfft.fft(segments, axis=-1)                      # [C, nb, F]
+    blocks = xpad[:, : (nblocks + 1) * b].reshape(c, nblocks + 1, b)
+    segments = jnp.concatenate([blocks[:, :-1, :], blocks[:, 1:, :]],
+                               axis=-1)                       # [C, nb, 2B]
+    seg_fft = dfft.fft(segments, axis=-1)
     prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
-    y_blocks = dfft.ifft(prod, axis=-1).real[..., nt - 1: nt - 1 + b]
-    y = y_blocks.reshape(y_blocks.shape[0], -1)                # [M, ≥y_len]
-    start = nt - 1 - p
-    q = y[:, start:start + l]                                  # [M, L]
+    y_seg = dfft.ifft(prod, axis=-1).real                     # [M, nb, 2B]
+    # valid outputs of segment i: y_global[i·B − pad_left + nt−1 + j]
+    #                            = q[i·B + j − pad_left + nt−1 − (nt−1−p)]
+    # with pad_left = p this is exactly q[i·B + j] for j ∈ [0, B)
+    q_blocks = y_seg[..., nt - 1: nt - 1 + b]                 # [M, nb, B]
 
-    # zero the edge regions (reference padding cut, oftrigger.py:674-679)
-    t = jnp.arange(l)
-    valid = (t >= nt) & (t < l - nt)
-    return q * valid[None, :]
+    # zero the trace edges (first/last nt samples) and the tail padding
+    col = jnp.arange(b)[None, :]
+    row = jnp.arange(nblocks)[:, None]
+    tpos = row * b + col                                       # [nb, B]
+    valid = (tpos >= nt) & (tpos < l - nt)
+    return q_blocks * valid[None, :, :], valid
+
+
+def of_fir(trace: jnp.ndarray, kernel: TriggerKernel) -> jnp.ndarray:
+    """Overlap-save FIR: continuous trace [C, L] → q [M, L] (flat view of
+    :func:`of_fir_blocks` — prefer the block form in device pipelines)."""
+    l = trace.shape[-1]
+    q_blocks, _ = of_fir_blocks(trace, kernel)
+    m = q_blocks.shape[0]
+    return q_blocks.reshape(m, -1)[:, :l]
 
 
 def delta_chi2(q: jnp.ndarray, iw_matrix: jnp.ndarray):
     """(Δχ²(t) [L], amplitudes a(t) [M, L]) from q [M, L]."""
     amps = jnp.einsum("ij,jt->it", iw_matrix, q)
     dchi2 = jnp.einsum("it,it->t", amps, q)
+    return dchi2, amps
+
+
+def delta_chi2_blocks(q_blocks: jnp.ndarray, iw_matrix: jnp.ndarray):
+    """Block-layout version: q [M, R, B] → (Δχ² [R, B], amps [M, R, B])."""
+    amps = jnp.einsum("ij,jrb->irb", iw_matrix, q_blocks)
+    dchi2 = jnp.einsum("irb,irb->rb", amps, q_blocks)
     return dchi2, amps
 
 
@@ -167,49 +202,135 @@ class TriggerSet(NamedTuple):
     count: jnp.ndarray        # scalar int32
 
 
-def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
-                         threshold: float, pileup_window: int,
-                         capacity: int) -> TriggerSet:
-    """Threshold + pileup merge, fixed capacity.
+def _seg_cummax_rows(x: jnp.ndarray, reset: jnp.ndarray):
+    """Segmented running max along rows of a 2-D array with cross-row
+    carry (row-major global order): positions where ``reset`` is True
+    start a new segment. Returns the prefix max within each segment.
+    """
+    neg = jnp.asarray(-jnp.inf, x.dtype)
 
+    def combine(a, c):
+        (m1, s1), (m2, s2) = a, c
+        return (jnp.where(s2, m2, jnp.maximum(m1, m2)), s1 | s2)
+
+    # in-row inclusive segmented scan
+    m_in, s_in = jax.lax.associative_scan(combine, (x, reset), axis=1)
+    # cross-row carry: combine row-end states in order, exclusive
+    m_end, s_end = m_in[:, -1], s_in[:, -1]
+    m_sc, s_sc = jax.lax.associative_scan(combine, (m_end, s_end), axis=0)
+    m_carry = jnp.concatenate([jnp.full((1,), neg, x.dtype), m_sc[:-1]])
+    s_carry = jnp.concatenate([jnp.zeros((1,), bool), s_sc[:-1]])
+    # apply the carry as the left operand of the in-row results
+    m_full = jnp.where(s_in, m_in,
+                       jnp.maximum(m_carry[:, None], m_in))
+    return m_full
+
+
+def _prev_above_index(t: jnp.ndarray, above: jnp.ndarray):
+    """Exclusive running max of above-sample indices (2-D, row-major)."""
+    marked = jnp.where(above, t, -1)
+    row_cm = jax.lax.associative_scan(jnp.maximum, marked, axis=1)
+    ends = row_cm[:, -1]
+    carry_inc = jax.lax.associative_scan(jnp.maximum, ends, axis=0)
+    carry = jnp.concatenate([jnp.full((1,), -1, t.dtype), carry_inc[:-1]])
+    incl = jnp.maximum(row_cm, carry[:, None])
+    # exclusive: shift right along the flattened (row-major) order; the
+    # first element of each row inherits the previous rows' carry
+    return jnp.concatenate([carry[:, None], incl[:, :-1]], axis=1)
+
+
+def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
+                         threshold: float, pileup_window: int,
+                         capacity: int,
+                         winners_per_row: int = 64) -> TriggerSet:
+    """Threshold + pileup merge on block-layout inputs, fixed capacity.
+
+    dchi2 [R, B], amps [M, R, B] (row-major time order, t = r·B + b).
     Above-threshold samples with successive gaps ≤ pileup_window form one
     trigger at their max-Δχ² sample (_getchangeslessthanthresh semantics,
     oftrigger.py:29-74, :996-1019).
+
+    TPU note: 1-D megasample scans serialize, so everything runs as 2-D
+    segmented scans (parallel across block rows with small cross-row
+    carries); the winners (≤1 per merged group) are compacted with a
+    per-row top-k. ``winners_per_row`` caps emitted triggers per block
+    row (not the merge logic itself, which sees every sample).
     """
-    l = dchi2.shape[-1]
-    t = jnp.arange(l)
+    r, b = dchi2.shape
+    m = amps.shape[0]
+    l = r * b
+    col = jnp.arange(b, dtype=jnp.int32)[None, :]
+    row = jnp.arange(r, dtype=jnp.int32)[:, None]
+    t = row * b + col
+
     above = dchi2 > threshold
-
-    # previous above-sample index (exclusive)
-    marked = jnp.where(above, t, -1)
-    prev_incl = jax.lax.associative_scan(jnp.maximum, marked)
-    prev_excl = jnp.concatenate([jnp.full((1,), -1, marked.dtype),
-                                 prev_incl[:-1]])
+    prev_excl = _prev_above_index(t, above)
     gap = t - prev_excl
-    new_group = above & ((prev_excl < 0) | (gap > pileup_window))
-    group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1     # valid where above
-    gid = jnp.where(above, jnp.clip(group_id, 0, capacity - 1), capacity)
+    start = above & ((prev_excl < 0) | (gap > pileup_window))
 
-    # segmented max of dchi2 per group
-    best = jnp.full((capacity + 1,), -jnp.inf, dchi2.dtype)
-    best = best.at[gid].max(dchi2)
-    # first index achieving the max in each group
-    is_best = above & (dchi2 == best[gid])
-    first_idx = jnp.full((capacity + 1,), l, jnp.int32)
-    first_idx = first_idx.at[jnp.where(is_best, gid, capacity)].min(
-        t.astype(jnp.int32))
+    # segment = one merged trigger group, delimited by the start flags;
+    # below-threshold samples inside/between groups carry -inf so they
+    # never win and never affect the segment maxima
+    d_eff = jnp.where(above, dchi2, -jnp.inf)
+    fwd = _seg_cummax_rows(d_eff, start)
+    # suffix max within segment: same scan on the time-reversed arrays
+    # (reversed segment boundaries = original segment ENDS, i.e. the
+    # element right before the next start)
+    nxt_reset = jnp.concatenate(
+        [start.reshape(-1)[1:], jnp.ones((1,), bool)]).reshape(r, b)
+    rev = lambda a: jnp.flip(jnp.flip(a, axis=1), axis=0)
+    bwd = rev(_seg_cummax_rows(rev(d_eff), rev(nxt_reset)))
+    total = jnp.maximum(fwd, bwd)
 
-    count = jnp.minimum(jnp.sum(new_group.astype(jnp.int32)), capacity)
-    slot = jnp.arange(capacity)
-    valid = slot < count
-    indices = jnp.where(valid, first_idx[:capacity], -1)
-    safe = jnp.clip(indices, 0)
+    # first sample achieving the segment max
+    prevfwd = jnp.concatenate(
+        [jnp.full((1,), -jnp.inf, fwd.dtype),
+         fwd.reshape(-1)[:-1]]).reshape(r, b)
+    winner = above & (dchi2 == total) & (start | (prevfwd < dchi2))
+
+    count_total = jnp.sum(start.astype(jnp.int32))
+
+    # compact winners per row (≤1 per group; winners are sparse)
+    kk = min(winners_per_row, b)
+    wd = jnp.where(winner, dchi2, -jnp.inf)
+    vals, cols = jax.lax.top_k(wd, kk)                    # [R, k]
+    gidx = (row * b + cols).astype(jnp.int32)
+    ok = jnp.isfinite(vals) & (vals > threshold)
+    amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
+
+    big = jnp.int32(l + 1)
+    flat_idx = jnp.where(ok, gidx, big).reshape(-1)
+    flat_val = jnp.where(ok, vals, 0.0).reshape(-1)
+    flat_amp = jnp.where(ok[None], amp_cand, 0.0).reshape(m, -1)
+    order = jnp.argsort(flat_idx)[:capacity]
+    sidx = flat_idx[order]
+    valid = sidx < big
+    count = jnp.minimum(count_total, jnp.sum(valid.astype(jnp.int32)))
     return TriggerSet(
-        indices=indices,
-        dchi2=jnp.where(valid, dchi2[safe], 0.0),
-        amplitudes=jnp.where(valid[None, :], amps[:, safe], 0.0),
+        indices=jnp.where(valid, sidx, -1),
+        dchi2=jnp.where(valid, flat_val[order], 0.0),
+        amplitudes=jnp.where(valid[None, :], flat_amp[:, order], 0.0),
         count=count,
     )
+
+
+def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
+                         threshold: float, pileup_window: int,
+                         capacity: int,
+                         winners_per_row: int = 64) -> TriggerSet:
+    """Flat-input wrapper around :func:`find_triggers_blocks`
+    (dchi2 [L], amps [M, L]); pads to a block multiple internally."""
+    l = dchi2.shape[-1]
+    b = 16384 if l >= 16384 else int(2 ** np.ceil(np.log2(max(l, 256))))
+    pad = (-l) % b
+    if pad:
+        dchi2 = jnp.pad(dchi2, (0, pad), constant_values=-jnp.inf)
+        amps = jnp.pad(amps, ((0, 0), (0, pad)))
+    r = dchi2.shape[-1] // b
+    return find_triggers_blocks(dchi2.reshape(r, b),
+                                amps.reshape(amps.shape[0], r, b),
+                                threshold, pileup_window, capacity,
+                                winners_per_row=winners_per_row)
 
 
 def find_triggers_dynamic(dchi2: np.ndarray, amps: np.ndarray,

@@ -91,10 +91,40 @@ class DIDVAnalysis(FilterData):
                     "poles": p,
                 }, {"sgfreq": data.sgfreq, "sgamp": data.sgamp,
                     "rsh": data.rsh})
+        self._maybe_auto_save()
         return self
 
     def get_fit(self, channel: str, poles: int) -> didv_models.DIDVFit:
         return self._fits[channel][poles]
+
+    def dofit_prior(self, channels: Sequence[str] | str,
+                    prior_mean, prior_cov, poles: int = 2,
+                    nharmonics: Optional[int] = 200):
+        """Prior-constrained fit (qetpy.DIDVPriors; core/didv.py:867-904)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            data = self._didv_data[chan]
+            nh = (len(data.freqs) if nharmonics is None
+                  else min(nharmonics, len(data.freqs)))
+            fit = didv_models.fit_didv_prior(
+                data.freqs[:nh], data.didv[:nh], prior_mean, prior_cov,
+                poles=poles, weights=data.weights[:nh])
+            self._fits.setdefault(chan, {})[poles] = fit
+            self._set(chan, f"didv_results_{poles}poles_priorfit_default",
+                      {"params": fit.params, "cov": fit.cov,
+                       "cost": fit.cost, "poles": poles}, None)
+        return self
+
+    def enable_auto_save(self, path: str):
+        """Save the filter-data store after each analysis step
+        (auto_save_hdf5 behavior, core/didv.py:1320-1408)."""
+        self._auto_save_path = path
+
+    def _maybe_auto_save(self):
+        path = getattr(self, "_auto_save_path", None)
+        if path:
+            self.save_hdf5(path)
 
     # ------------------------------------------------------------------
     def calc_smallsignal_params(self, channels: Sequence[str] | str,
@@ -124,6 +154,7 @@ class DIDVAnalysis(FilterData):
                 self._set(chan,
                           f"didv_results_{p}poles_smallsignalparams_{tag}",
                           light, {"r0": r0, "rl": rl})
+        self._maybe_auto_save()
         return self
 
     def get_smallsignal_params(self, channel: str, poles: int) -> dict:

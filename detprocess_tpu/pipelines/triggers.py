@@ -337,11 +337,16 @@ class TriggerProcessing:
         kernel = tc.kernel
 
         def run_one(trace):
-            q = trig_ops.of_fir(trace, kernel)
-            dchi2, amps = trig_ops.delta_chi2(
-                q, jnp.asarray(kernel.iw_matrix))
-            ts = trig_ops.find_triggers_kernel(
-                dchi2, amps, tc.chi2_threshold, tc.pileup_window, capacity)
+            q_blocks, _ = trig_ops.of_fir_blocks(trace, kernel)
+            dchi2_b, amps_b = trig_ops.delta_chi2_blocks(
+                q_blocks, jnp.asarray(kernel.iw_matrix))
+            ts = trig_ops.find_triggers_blocks(
+                dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
+                capacity)
+            # flat views for the residual path
+            l = trace.shape[-1]
+            dchi2 = dchi2_b.reshape(-1)[:l]
+            amps = amps_b.reshape(amps_b.shape[0], -1)[:, :l]
             if tc.run_residual:
                 if tc.sat_amps is not None:
                     lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
@@ -394,7 +399,7 @@ class TriggerProcessing:
     def process(self,
                 nevents: int = -1,
                 capacity: int = 4096,
-                event_batch: int = 4,
+                event_batch: int = 8,
                 pipeline_depth: int = 2,
                 lgc_save: bool = False,
                 output_path: Optional[str] = None,

@@ -95,6 +95,19 @@ def hyphen_range(s: str) -> List[int]:
     return out
 
 
+def extract_list(arg) -> List[str]:
+    """Normalize CLI list arguments: splits comma-separated entries and
+    flattens nested lists (detprocess/utils/arg_utils.py:49)."""
+    if arg is None:
+        return []
+    if isinstance(arg, str):
+        arg = [arg]
+    out: List[str] = []
+    for item in arg:
+        out.extend(str(item).split(","))
+    return [s.strip() for s in out if s.strip()]
+
+
 def convert_to_seconds(s: str) -> float:
     """Parse '10s' / '5m' / '2h' / '1d' into seconds
     (detprocess/utils/arg_utils.py:70)."""

@@ -247,3 +247,37 @@ def test_saturation_mask():
     mask = np.asarray(mask)
     assert mask[500] and mask[490] and mask[510]
     assert not mask[489] and not mask[511]
+
+
+def test_find_triggers_property_vs_numpy():
+    """Random Δχ² patterns: block finder must match a direct numpy
+    implementation of the reference merge exactly."""
+    rng = np.random.default_rng(99)
+    for trial in range(20):
+        l = 3000
+        d = rng.exponential(1.0, l)
+        spikes = rng.random(l) < 0.02
+        d[spikes] += rng.exponential(30, spikes.sum())
+        amps = d[None, :] * 0.5
+        thr = 8.0
+        window = int(rng.integers(1, 60))
+
+        # numpy reference merge
+        above = np.where(d > thr)[0]
+        exp_idx, exp_d = [], []
+        if len(above):
+            splits = np.where(np.diff(above) > window)[0] + 1
+            for group in np.split(above, splits):
+                i = group[np.argmax(d[group])]
+                exp_idx.append(i)
+                exp_d.append(d[i])
+
+        ts = trigger.find_triggers_kernel(
+            jnp.asarray(d), jnp.asarray(amps), thr, window, capacity=256)
+        count = int(ts.count)
+        got_idx = np.asarray(ts.indices)[:count]
+        got_d = np.asarray(ts.dchi2)[:count]
+        assert count == len(exp_idx), (trial, count, len(exp_idx))
+        np.testing.assert_array_equal(np.sort(got_idx), np.sort(exp_idx))
+        np.testing.assert_allclose(np.sort(got_d), np.sort(exp_d),
+                                   rtol=1e-6)
