@@ -72,6 +72,7 @@ class RawWriter:
                  channels: Sequence[str], prefix: str = "cont",
                  facility: int = 1, group_name: str = "group",
                  data_type: str = "continuous", adc_name: str = "adc1",
+                 nb_pretrigger_samples: Optional[int] = None,
                  detector_config: Optional[Dict[str, dict]] = None):
         self.path = path
         self.series_name = series_name
@@ -82,6 +83,7 @@ class RawWriter:
         self.group_name = group_name
         self.data_type = data_type
         self.adc_name = adc_name
+        self.nb_pretrigger_samples = nb_pretrigger_samples
         self.detector_config = detector_config or {}
         os.makedirs(path, exist_ok=True)
 
@@ -116,6 +118,9 @@ class RawWriter:
             g.attrs["nb_samples"] = nsamp
             g.attrs["nb_channels"] = nchan
             g.attrs["sample_rate"] = self.sample_rate
+            if self.nb_pretrigger_samples is not None:
+                g.attrs["nb_pretrigger_samples"] = int(
+                    self.nb_pretrigger_samples)
             g.attrs["channel_list"] = self.channels
             g.attrs["adc_conversion_factor"] = 1.0  # stored in amps
             g.attrs["dataset_prefix"] = "event_"

@@ -85,6 +85,8 @@ class TraceGroup:
     bank_1x1: Optional[filterbank.OF1x1Bank] = None
     slot_keys: List[tuple] = field(default_factory=list)
     nxm_banks: Dict[str, filterbank.OFNxMBank] = field(default_factory=dict)
+    of_pretrigger: Optional[int] = None   # template-metadata pretrigger
+                                          # (processing_data.py:360-366)
 
 
 class FeatureProcessing:
@@ -142,8 +144,15 @@ class FeatureProcessing:
 
         self._groups: List[TraceGroup] = []
         self._group_fns = []
+        self._salt_injector = None
         self._build_plan()
         self._compile()
+
+    def set_salting(self, injector):
+        """Attach a salting injector (Salting.make_injector): salts are
+        re-injected into every trace read, mirroring the reference's
+        on-the-fly injection (processing_data.py:539-553, :613-640)."""
+        self._salt_injector = injector
 
     # ------------------------------------------------------------------
     # plan compilation
@@ -277,11 +286,20 @@ class FeatureProcessing:
                     integralnorm)
             if skey in slot_keys:
                 return slot_keys.index(skey)
-            template, _ = self._filter_data.get_template(chan,
-                                                         tag=template_tag)
+            template, _, tmeta = self._filter_data.get_template(
+                chan, tag=template_tag, return_metadata=True)
             template = np.atleast_2d(template)[0] if np.ndim(template) > 1 \
                 else np.asarray(template)
             psd, _ = self._filter_data.get_psd(chan, tag=csd_tag)
+            tpre = tmeta.get("nb_pretrigger_samples")
+            if tpre is not None:
+                tpre = int(tpre)
+                if (group.of_pretrigger is not None
+                        and group.of_pretrigger != tpre):
+                    raise ValueError(
+                        f"inconsistent template pretriggers in trace group "
+                        f"({group.of_pretrigger} vs {tpre}, channel {chan})")
+                group.of_pretrigger = tpre
             if template.shape[-1] != group.nb_samples:
                 raise ValueError(
                     f"template length {template.shape[-1]} != trace length "
@@ -323,12 +341,16 @@ class FeatureProcessing:
                         f'Missing "template_tag" for channel {spec.channel},'
                         f' algorithm "{spec.algorithm}"')
                 csd_tag = kwargs.get("csd_tag", "default")
-                template, _ = self._filter_data.get_template(spec.channel,
-                                                             tag=tag)
+                template, _, tmeta = self._filter_data.get_template(
+                    spec.channel, tag=tag, return_metadata=True)
                 csd, _ = self._filter_data.get_csd(spec.channel, tag=csd_tag)
+                nxm_pre = int(tmeta.get("nb_pretrigger_samples")
+                              or group.nb_pretrigger)
+                if group.of_pretrigger is None:
+                    group.of_pretrigger = nxm_pre
                 bank = filterbank.make_ofnxm_bank(
                     np.asarray(template), np.asarray(csd), self._fs,
-                    group.nb_pretrigger,
+                    nxm_pre,
                     ignored_frequency_peaks=kwargs.get(
                         "ignored_frequency_peaks"),
                     ignore_harmonics=kwargs.get("ignore_harmonics", False))
@@ -400,6 +422,10 @@ class FeatureProcessing:
         fs = self._fs
         n = group.nb_samples
         pretrig = group.nb_pretrigger
+        # OF delay alignment follows the template's own pretrigger when
+        # the filter file provides one (processing_data.py:360-366)
+        of_pretrig = (group.of_pretrigger
+                      if group.of_pretrigger is not None else pretrig)
         mix = group.mix_matrix
         specs = list(group.specs)
 
@@ -490,7 +516,7 @@ class FeatureProcessing:
                         wmask = (window_mask_for(spec)
                                  if spec.base == "of1x1_constrained" else None)
                         r = of1x1.of1x1_withdelay_half(
-                            vr, phi, norm, dinv, s_fft, binw, pretrig, fs,
+                            vr, phi, norm, dinv, s_fft, binw, of_pretrig, fs,
                             window_mask=wmask, low_mask_h=lmask,
                             interpolate_t0=bool(kwargs.get("interpolate",
                                                            False)))
@@ -518,7 +544,7 @@ class FeatureProcessing:
                         bank.norm[spec.slot2:spec.slot2 + 1],
                         bank.s_fft[spec.slot2:spec.slot2 + 1],
                         bank.denom_inv[spec.slot:spec.slot + 1],
-                        pretrig, fs)
+                        of_pretrig, fs)
                     out[f"scintillation_amp_{name}_{fc}"] = r.amp1[:, 0]
                     out[f"evaporation_amp_{name}_{fc}"] = r.amp2[:, 0]
                     out[f"time_diff_{name}_{fc}"] = r.time_diff[:, 0]
@@ -531,7 +557,7 @@ class FeatureProcessing:
                     wmask = window_mask_for(spec)
                     r_wd = ofnxm.ofnxm_withdelay(
                         vfft, nb.phi, nb.w_matrix, nb.iw_matrix, nb.icsd,
-                        pretrig, fs, window_mask=wmask,
+                        of_pretrig, fs, window_mask=wmask,
                         interpolate_t0=bool(kwargs.get("interpolate_t0",
                                                        False)))
                     m = r_nd.amps.shape[-1]
@@ -555,7 +581,7 @@ class FeatureProcessing:
                     w2 = np.zeros(n, bool)
                     w2[fit_window[1][0]:fit_window[1][1] + 1] = True
                     (r, _) = ofnxm.ofnxmx2(vfft, dev.s_fft, dev.icsd, gids,
-                                           w1, w2, pretrig, fs)
+                                           w1, w2, of_pretrig, fs)
                     m = nb_bank.ntmps
                     amp_names = kwargs.get("amplitude_names") or [
                         f"amp{i + 1}" for i in range(m)]
@@ -682,6 +708,9 @@ class FeatureProcessing:
             traces, admin = self._reader.read_single_event(
                 int(row["event_number"]), file_name=fname,
                 trace_window=(start, n))
+            if self._salt_injector is not None:
+                traces = self._salt_injector(traces, admin,
+                                             window_start=start)
             admin = dict(admin)
             for col in ("trigger_index", "trigger_time",
                         "trigger_delta_chi2", "trigger_amplitude",
@@ -711,6 +740,8 @@ class FeatureProcessing:
                 tr, admin = self._reader.read_next_event()
                 if tr is None:
                     break
+                if self._salt_injector is not None:
+                    tr = self._salt_injector(tr, admin)
                 batch_traces.append(tr)
                 admins.append(admin)
             if not batch_traces:

@@ -134,7 +134,11 @@ class Noise(FilterData):
         tr = jnp.asarray(traces, dtype)
         mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
         kept = tr[jnp.asarray(np.where(mask)[0])]
-        csd = np.asarray(spectral.welch_csd(kept, fs, window=window))
+        csd_dev = spectral.welch_csd(kept, fs, window=window)
+        # complex device→host transfers are unsupported on the TPU
+        # backend; pull re/im separately
+        csd = (np.asarray(csd_dev.real)
+               + 1j * np.asarray(csd_dev.imag))
         self.set_csd(list(channels), csd, fs, tag=tag, metadata={
             "nb_randoms": int(mask.sum()),
             "nb_randoms_total": int(len(mask)),

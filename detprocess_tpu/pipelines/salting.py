@@ -152,9 +152,13 @@ class Salting:
 
     # ------------------------------------------------------------------
     def inject_raw_salt(self, traces: np.ndarray, admin: dict,
-                        channel_list: Sequence[str]) -> np.ndarray:
-        """Add scaled templates into a continuous event's traces
-        (salting.py:479-621). Matches salts by (series, event)."""
+                        channel_list: Sequence[str],
+                        window_start: int = 0) -> np.ndarray:
+        """Add scaled templates into an event's traces
+        (salting.py:479-621). Matches salts by (series, event);
+        ``window_start`` shifts positions for windowed reads (the feature
+        pipeline re-injects salts into triggered windows,
+        processing_data.py:539-553, :613-640)."""
         if self._df is None or len(self._df) == 0:
             return traces
         sel = self._df[
@@ -171,7 +175,7 @@ class Salting:
             ci = channel_list.index(chan)
             tmpl = self._templates[chan]
             p = self._pretriggers[chan]
-            start = int(row["trigger_index"]) - p
+            start = int(row["trigger_index"]) - p - int(window_start)
             amp = row["salt_amplitude"]
             lo = max(start, 0)
             hi = min(start + tmpl.shape[-1], nb)
@@ -181,9 +185,11 @@ class Salting:
         return out
 
     def make_injector(self, channel_list: Sequence[str]):
-        """Injector callable for TriggerProcessing.set_salting."""
-        def injector(traces, admin):
-            return self.inject_raw_salt(traces, admin, channel_list)
+        """Injector callable for TriggerProcessing/FeatureProcessing
+        .set_salting."""
+        def injector(traces, admin, window_start=0):
+            return self.inject_raw_salt(traces, admin, channel_list,
+                                        window_start=window_start)
         return injector
 
     # ------------------------------------------------------------------

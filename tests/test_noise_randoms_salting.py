@@ -212,6 +212,72 @@ class TestSalting:
         for ti in df["trigger_index"]:
             assert np.min(np.abs(found - ti)) <= 2
 
+    def test_salted_features(self, contdata, tmp_path):
+        """Salts must be re-injected during feature extraction too
+        (reference processing_data.py:539-553): the OF amplitude of a
+        salt trigger should recover the salt amplitude, not noise."""
+        from detprocess_tpu.pipelines.features import FeatureProcessing
+
+        nt, pretrig = 4096, 1024
+        tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+        fd = FilterData(verbose=False)
+        for chan in CHANNELS:
+            fd.set_template(chan, tmpl, FS,
+                            pretrigger_length_samples=pretrig)
+            fd.set_psd(chan, np.full(nt, contdata["sigma"]**2 / FS), FS)
+
+        salting = Salting(fd, verbose=False)
+        df = salting.generate_salt(
+            contdata["raw_files"], ["chan1"], energies=[100.0], nsalt=4,
+            energy_norm_ev_per_amp=2e6,  # 50 eV → 2.5e-5 A
+            channel_fractions={"chan1": 1.0},
+            seed=13, min_separation_msec=50.0, edge_exclusion_msec=20.0)
+        amp_true = df["salt_amplitude"].iloc[0]
+
+        config = {
+            "trigger": {"chan1": {"run": True, "template_tag": "default",
+                                  "threshold_sigma": 10.0,
+                                  "pileup_window_msec": 0.5}},
+            "feature": {
+                "trace_length_samples": nt,
+                "pretrigger_length_samples": pretrig,
+                "chan1": {"of1x1_nodelay": {"run": True,
+                                            "template_tag": "default"}}},
+        }
+        cpath = str(tmp_path / "tf.yaml")
+        yaml.safe_dump(config, open(cpath, "w"))
+
+        proc = TriggerProcessing(contdata["raw_files"], cpath,
+                                 filter_data=fd, verbose=False)
+        proc.set_salting(salting.make_injector(CHANNELS))
+        trig_df = proc.process(capacity=128)
+        assert len(trig_df) >= len(df)
+
+        feat = FeatureProcessing(contdata["raw_files"], cpath,
+                                 filter_data=fd,
+                                 trigger_dataframe=trig_df, verbose=False)
+        feat.set_salting(salting.make_injector(CHANNELS))
+        features = feat.process(batch_size=8)
+        amps = features["amp_of1x1_nodelay_chan1"].to_numpy()
+        # match feature rows back to salts by trigger_index
+        fti = features["trigger_index"].to_numpy()
+        for ti in df["trigger_index"]:
+            i = int(np.argmin(np.abs(fti - ti)))
+            assert abs(fti[i] - ti) <= 2
+            np.testing.assert_allclose(amps[i], amp_true, rtol=0.15)
+
+        # without the injector the same windows read unsalted data
+        feat2 = FeatureProcessing(contdata["raw_files"], cpath,
+                                  filter_data=fd,
+                                  trigger_dataframe=trig_df, verbose=False)
+        features2 = feat2.process(batch_size=8)
+        amps2 = features2["amp_of1x1_nodelay_chan1"].to_numpy()
+        fti2 = features2["trigger_index"].to_numpy()
+        salt_rows = [int(np.argmin(np.abs(fti2 - ti)))
+                     for ti in df["trigger_index"]]
+        assert np.max(np.abs(amps2[salt_rows])) < amp_true / 3
+
 
 class TestCompoundChannelPSD:
     def test_sum_channel_psd(self, contdata):
