@@ -23,6 +23,46 @@ from detprocess_tpu.models import tesnoise
 from detprocess_tpu.ops import lm
 
 
+def make_decreasing(y: np.ndarray, x: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
+    """Monotone-decreasing envelope: running minimum over increasing x
+    (qetpy.utils.make_decreasing equivalent, used by the reference's PSD
+    flattening, noisemodel.py:1319)."""
+    y = np.asarray(y, float)
+    if x is not None:
+        order = np.argsort(np.asarray(x))
+        out = np.empty_like(y)
+        out[order] = np.minimum.accumulate(y[order])
+        return out
+    return np.minimum.accumulate(y)
+
+
+def flatten_psd(f: np.ndarray, psd: np.ndarray) -> np.ndarray:
+    """Smooth spikes out of a folded PSD before noise-model fits
+    (noisemodel.py:1293-1321): short savgol window at the lowest 0.25%
+    of bins, wide window above, then a monotone-decreasing envelope.
+    Vibrational/EMI lines only ever push the PSD *up*, so the decreasing
+    envelope tracks the continuum floor."""
+    from scipy.signal import savgol_filter
+
+    psd = np.asarray(psd, float)
+    n = len(psd)
+    if n < 50:
+        return psd.copy()
+    # smooth in log space: PSDs span decades, and narrow lines only
+    # perturb log(PSD) locally instead of dominating a linear average
+    logp = np.log(np.clip(psd[1:], 1e-300, None))
+    sav = np.zeros(n)
+    div = max(int(0.0025 * n), 1)
+    sav[1:div + 1] = np.exp(savgol_filter(logp, 3, 1, mode="interp")[:div])
+    sav[1 + div:] = np.exp(savgol_filter(logp, 45, 1, mode="interp")[div:])
+    sav[0] = psd[0]
+    out = psd.copy()
+    # envelope vs |f| so two-sided (fftfreq-ordered) PSDs work too
+    out[1:] = make_decreasing(sav[1:], x=np.abs(np.asarray(f)[1:]))
+    return out
+
+
 class NoiseModel(FilterData):
     """Noise decomposition driver (core/noisemodel.py:40-1411)."""
 
@@ -56,12 +96,17 @@ class NoiseModel(FilterData):
     def fit_sc_noise(self, channel: str, psd_sc: np.ndarray,
                      freqs: np.ndarray, rl: float, L: float,
                      squiddc: Optional[float] = None,
+                     lgc_flatten: bool = True,
                      tag: str = "default") -> float:
         """Fit Tload (and optionally a flat SQUID level) to the SC-state
-        PSD (noisemodel.py:748-913)."""
+        PSD (noisemodel.py:748-913). ``lgc_flatten`` smooths spikes and
+        takes the decreasing envelope first (noisemodel.py:876)."""
+        psd_sc = np.asarray(psd_sc)
+        if lgc_flatten:
+            psd_sc = flatten_psd(freqs, psd_sc)
         mask = np.asarray(freqs) != 0
         f = jnp.asarray(np.asarray(freqs)[mask])
-        data = jnp.asarray(np.asarray(psd_sc)[mask])
+        data = jnp.asarray(psd_sc[mask])
 
         if squiddc is None and channel in self._squid:
             squiddc = float(np.median(self._squid[channel][mask]))
@@ -92,13 +137,18 @@ class NoiseModel(FilterData):
                          tc: float,
                          fit_inductance: bool = True,
                          squiddc_guess: Optional[float] = None,
+                         lgc_flatten: bool = True,
                          tag: str = "default") -> dict:
         """Fit the normal-state PSD for (L, Tload, squid level)
         (noisemodel.py:493-747, lmfit Model → ops.lm here).
 
         The normal-state model is passive Johnson noise through the
         R+iωL loop plus a flat SQUID term; Rn is held fixed (known from
-        the IV sweep)."""
+        the IV sweep). ``lgc_flatten`` smooths spikes and takes the
+        decreasing envelope first (noisemodel.py:614)."""
+        psd_normal = np.asarray(psd_normal)
+        if lgc_flatten:
+            psd_normal = flatten_psd(freqs, psd_normal)
         mask = np.asarray(freqs) != 0
         f = jnp.asarray(np.asarray(freqs)[mask])
         data = jnp.asarray(np.asarray(psd_normal)[mask])

@@ -87,10 +87,46 @@ class TestNormalNoiseFit:
         psd = tesnoise.s_i_normal(rn, rl, L_true, tc, tload_true,
                                   squid_true, freqs)
         nm = NoiseModel(verbose=False)
-        out = nm.fit_normal_noise("chan1", psd, freqs, rn, rl, tc)
+        # clean synthetic PSD: no spike-flattening needed (the envelope
+        # smoothing is for real spectra with EMI lines)
+        out = nm.fit_normal_noise("chan1", psd, freqs, rn, rl, tc,
+                                  lgc_flatten=False)
         np.testing.assert_allclose(out["L"], L_true, rtol=0.1)
         np.testing.assert_allclose(out["tload"], tload_true, rtol=0.1)
         np.testing.assert_allclose(out["squiddc"], squid_true, rtol=0.15)
+
+    def test_fit_robust_to_emi_lines(self):
+        """flatten_psd (noisemodel.py:1293-1321 equivalent) suppresses
+        narrow EMI spikes so the fit still recovers the continuum."""
+        rn, rl, tc = 0.3, 0.02, 0.04
+        L_true, tload_true, squid_true = 4e-7, 0.033, 3e-12
+        freqs = np.linspace(0.0, 2e5, 2048)   # folded linear grid, DC first
+        psd = tesnoise.s_i_normal(rn, rl, L_true, tc, tload_true,
+                                  squid_true, np.where(freqs == 0, 1.0,
+                                                       freqs))
+        spiky = psd.copy()
+        spiky[5::97] *= 300.0  # forest of narrow EMI lines
+        nm = NoiseModel(verbose=False)
+        out = nm.fit_normal_noise("chan1", spiky, freqs, rn, rl, tc)
+        np.testing.assert_allclose(out["L"], L_true, rtol=0.2)
+        np.testing.assert_allclose(out["tload"], tload_true, rtol=0.3)
+
+    def test_flatten_psd_and_make_decreasing(self):
+        from detprocess_tpu.pipelines.noisemodel import (flatten_psd,
+                                                         make_decreasing)
+        y = np.array([5.0, 3.0, 4.0, 2.0, 6.0])
+        np.testing.assert_allclose(make_decreasing(y),
+                                   [5.0, 3.0, 3.0, 2.0, 2.0])
+        # two-sided symmetric PSD: envelope taken vs |f|
+        f = np.fft.fftfreq(1024, 1 / 1e6)
+        psd = 1.0 / (1.0 + (np.abs(f) / 1e4) ** 2)
+        psd_spiky = psd.copy()
+        psd_spiky[100] *= 50
+        flat = flatten_psd(f, psd_spiky)
+        assert flat[100] < 3 * psd[100]
+        # monotone decreasing vs |f| on the positive half
+        pos = np.argsort(np.abs(f[1:513]))
+        assert np.all(np.diff(flat[1:513][pos]) <= 1e-12)
 
 
 class TestDiscovery:
