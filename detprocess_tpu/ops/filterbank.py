@@ -68,16 +68,18 @@ def notch_bin_mask(
     fs: float,
     ignored_frequency_peaks: Optional[Sequence[float]] = None,
     ignore_harmonics: bool = False,
+    coupling: str = "AC",
 ) -> np.ndarray:
     """Boolean mask [n] — True where the frequency bin is KEPT.
 
     For each ignored frequency, the nearest positive- and negative-frequency
     bins are dropped; with ``ignore_harmonics``, every integer multiple up to
-    Nyquist is dropped too. DC is always dropped (handled by the caller via
-    denom_inv, but we also drop it here for clarity).
+    Nyquist is dropped too. With ``coupling='AC'`` (default, matching qetpy
+    OFBase / processing_data.py:252-255) DC is dropped; ``'DC'`` keeps it.
     """
     keep = np.ones(n, dtype=bool)
-    keep[0] = False
+    if str(coupling).upper() != "DC":
+        keep[0] = False
     if not ignored_frequency_peaks:
         return keep
     freqs = np.fft.fftfreq(n, d=1.0 / fs)
@@ -181,6 +183,7 @@ def make_of1x1_bank(
     integralnorm: bool = False,
     ignored_frequency_peaks: Optional[Sequence[float]] = None,
     ignore_harmonics: bool = False,
+    coupling: str = "AC",
 ) -> OF1x1Bank:
     """Build a stacked 1x1 OF bank.
 
@@ -212,7 +215,8 @@ def make_of1x1_bank(
         dc[dc == 0] = 1.0
         s_fft = s_fft / dc
 
-    keep = notch_bin_mask(n, fs, ignored_frequency_peaks, ignore_harmonics)
+    keep = notch_bin_mask(n, fs, ignored_frequency_peaks, ignore_harmonics,
+                          coupling=coupling)
     with np.errstate(divide="ignore", invalid="ignore"):
         denom_inv = 1.0 / (n * fs * psds)
     denom_inv[~np.isfinite(denom_inv)] = 0.0
@@ -400,6 +404,7 @@ def make_ofnxm_bank(
     pretrigger: int,
     ignored_frequency_peaks: Optional[Sequence[float]] = None,
     ignore_harmonics: bool = False,
+    coupling: str = "AC",
 ) -> OFNxMBank:
     """Build an NxM optimal-filter bank from templates [C,M,N] and CSD [C,C,N].
 
@@ -415,7 +420,8 @@ def make_ofnxm_bank(
 
     s_fft = np.fft.fft(tmpl, axis=-1)  # [C, M, N]
 
-    keep = notch_bin_mask(n, fs, ignored_frequency_peaks, ignore_harmonics)
+    keep = notch_bin_mask(n, fs, ignored_frequency_peaks, ignore_harmonics,
+                          coupling=coupling)
 
     # invert CSD per kept frequency; dropped bins get a zero inverse
     csd_f = np.moveaxis(csd3, -1, 0)  # [N, C, C]

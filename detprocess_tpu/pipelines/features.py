@@ -282,8 +282,9 @@ class FeatureProcessing:
                 kwargs.get("ignored_frequency_peaks") or ()))
             harmonics = bool(kwargs.get("ignore_harmonics", False))
             integralnorm = bool(kwargs.get("integralnorm", False))
+            coupling = str(kwargs.get("coupling", "AC")).upper()
             skey = (chan, template_tag, csd_tag, notch, harmonics,
-                    integralnorm)
+                    integralnorm, coupling)
             if skey in slot_keys:
                 return slot_keys.index(skey)
             template, _, tmeta = self._filter_data.get_template(
@@ -313,7 +314,7 @@ class FeatureProcessing:
             slot_keys.append(skey)
             slot_templates.append(template)
             slot_psds.append(psd)
-            slot_notches.append((notch, harmonics, integralnorm))
+            slot_notches.append((notch, harmonics, integralnorm, coupling))
             return len(slot_keys) - 1
 
         for spec in group.specs:
@@ -353,7 +354,8 @@ class FeatureProcessing:
                     nxm_pre,
                     ignored_frequency_peaks=kwargs.get(
                         "ignored_frequency_peaks"),
-                    ignore_harmonics=kwargs.get("ignore_harmonics", False))
+                    ignore_harmonics=kwargs.get("ignore_harmonics", False),
+                    coupling=str(kwargs.get("coupling", "AC")))
                 nxm_key = f"{spec.channel}::{spec.algorithm}"
                 group.nxm_banks[nxm_key] = bank
                 spec.nxm_key = nxm_key
@@ -384,7 +386,8 @@ class FeatureProcessing:
                         group.nb_pretrigger,
                         integralnorm=slot_notches[i][2],
                         ignored_frequency_peaks=list(slot_notches[i][0]) or None,
-                        ignore_harmonics=slot_notches[i][1])
+                        ignore_harmonics=slot_notches[i][1],
+                        coupling=slot_notches[i][3])
                      for i in range(len(slot_keys))]
             group.bank_1x1 = filterbank.OF1x1Bank(
                 s_fft=np.concatenate([b.s_fft for b in banks]),

@@ -179,3 +179,39 @@ def test_resolutions():
                                  jnp.asarray(bank.s_fft),
                                  jnp.asarray(bank.denom_inv), FS)
     assert np.isfinite(float(tres[0])) and float(tres[0]) > 0
+
+
+def test_coupling_dc_vs_ac():
+    """coupling='DC' keeps the DC bin (qetpy OFBase coupling /
+    processing_data.py:252-255): a baseline offset shifts the DC-coupled
+    amplitude but leaves the AC-coupled one untouched."""
+    template = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    psd = np.full(N, 1e-20)
+    bank_ac = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG)
+    bank_dc = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG,
+                                         coupling="DC")
+    assert bank_ac.denom_inv[0, 0] == 0.0
+    assert bank_dc.denom_inv[0, 0] > 0.0
+    assert bank_dc.norm[0] > bank_ac.norm[0]
+
+    amp_true, offset = 2e-6, 5e-7
+    trace = amp_true * template + offset
+    vfft = of1x1.signal_fft(jnp.asarray(trace)[None, None, :])
+
+    def amp(bank):
+        res = of1x1.of1x1_nodelay(
+            vfft, jnp.asarray(bank.phi), jnp.asarray(bank.norm),
+            jnp.asarray(bank.denom_inv), jnp.asarray(bank.s_fft))
+        return float(res.amp[0, 0])
+
+    np.testing.assert_allclose(amp(bank_ac), amp_true, rtol=1e-10)
+    assert abs(amp(bank_dc) - amp_true) > 100 * abs(amp(bank_ac) - amp_true)
+    # and with no offset both agree exactly
+    vfft0 = of1x1.signal_fft(
+        jnp.asarray(amp_true * template)[None, None, :])
+    res_dc = of1x1.of1x1_nodelay(
+        vfft0, jnp.asarray(bank_dc.phi), jnp.asarray(bank_dc.norm),
+        jnp.asarray(bank_dc.denom_inv), jnp.asarray(bank_dc.s_fft))
+    np.testing.assert_allclose(float(res_dc.amp[0, 0]), amp_true,
+                               rtol=1e-10)
