@@ -58,6 +58,35 @@ class FilterData:
     def channels(self):
         return list(self._filter_data.keys())
 
+    # -- plotting delegates (reference FilterData plotters,
+    # filterdata.py:1403-1604; implementations in utils.plotting) --------
+    def plot_template(self, channels, tag="default", ax=None):
+        from detprocess_tpu.utils import plotting
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            ax = plotting.plot_template(self, chan, tag=tag, ax=ax)
+        return ax
+
+    def plot_psd(self, channels, tag="default", fold=True, ax=None):
+        from detprocess_tpu.utils import plotting
+        return plotting.plot_psd(self, channels, tag=tag, fold=fold, ax=ax)
+
+    def plot_csd(self, channels, tag="default", ax=None):
+        from detprocess_tpu.utils import plotting
+        return plotting.plot_csd(self, channels, tag=tag, ax=ax)
+
+    def plot_corrcoeff(self, channels, tag="default", lgcsmooth=True,
+                       nwindow=7, ax=None):
+        from detprocess_tpu.utils import plotting
+        return plotting.plot_corrcoeff(self, channels, tag=tag,
+                                       lgcsmooth=lgcsmooth,
+                                       nwindow=nwindow, ax=ax)
+
+    def plot_ivsweep_offset(self, channel, tag="default", ax=None):
+        from detprocess_tpu.utils import plotting
+        return plotting.plot_ivsweep_offset(self, channel, tag=tag, ax=ax)
+
     def describe(self):
         """Print the store contents (FilterData.describe, filterdata.py:50)."""
         for chan, params in self._filter_data.items():

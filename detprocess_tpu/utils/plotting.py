@@ -135,3 +135,48 @@ def plot_didv_fit(didv_data, fit=None, ax=None, nharmonics: int = 100):
     ax.legend(fontsize=8)
     ax.grid(alpha=0.3)
     return ax
+
+
+def plot_corrcoeff(filter_data, channel: str, tag: str = "default",
+                   lgcsmooth: bool = True, nwindow: int = 7, ax=None):
+    """Frequency-dependent correlation coefficient between channel pairs,
+    |CSD_ij| / √(CSD_ii·CSD_jj) (filterdata.py:1539-1560 equivalent)."""
+    ax = _get_ax(ax)
+    csd, freqs = filter_data.get_csd(channel, tag=tag)
+    c = csd.shape[0]
+    sl = slice(1, csd.shape[-1] // 2)
+    for i in range(c):
+        for j in range(i + 1, c):
+            corr = (np.abs(csd[i, j, sl])
+                    / np.sqrt(np.abs(csd[i, i, sl] * csd[j, j, sl])))
+            if lgcsmooth and nwindow > 1:
+                kern = np.ones(nwindow) / nwindow
+                corr = np.convolve(corr, kern, mode="same")
+            ax.semilogx(np.abs(freqs[sl]), corr, label=f"({i},{j})",
+                        alpha=0.85)
+    ax.set_xlabel("frequency [Hz]")
+    ax.set_ylabel("correlation coefficient")
+    ax.set_ylim(0, 1.05)
+    ax.legend(ncol=2, fontsize=8)
+    ax.grid(True, which="both", alpha=0.3)
+    return ax
+
+
+def plot_ivsweep_offset(filter_data, channel: str, tag: str = "default",
+                        ax=None):
+    """Measured current offset vs TES bias from stored IV-sweep data
+    (filterdata.py:1562-1604 equivalent)."""
+    ax = _get_ax(ax)
+    df = filter_data.get_ivsweep_data(channel, tag=tag)
+    bias = np.asarray(df["tes_bias"], float)
+    for key, label in (("offset_noise", "noise"), ("offset_didv", "didv")):
+        if key in df:
+            off = np.asarray(df[key], float)
+            err = np.asarray(df.get(key + "_err", np.zeros_like(off)), float)
+            ax.errorbar(bias * 1e6, off * 1e6, yerr=err * 1e6, fmt="o-",
+                        ms=4, label=label)
+    ax.set_xlabel("TES bias [µA]")
+    ax.set_ylabel("current offset [µA]")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    return ax
