@@ -277,6 +277,90 @@ class IVSweepAnalysis(FilterData):
         self._sweep_df[channel] = df
         return df
 
+    def analyze_noise(self, channel: str, tc: float, tbath: float,
+                      tload_guess: float = 0.03,
+                      poles: int = 2) -> dict:
+        """Noise model across the sweep (ivsweep.py:1231-1599): SQUID+
+        electronics noise averaged over the normal points, Tload from the
+        SC points, then an Irwin–Hilton budget per transition point from
+        that point's dIdV small-signal parameters + bias + measured PSD.
+
+        Requires analyze_sweep + analyze_didv first. Returns
+        {"squid_noise", "tload", "normal_fit", "budgets": {bias: budget}}
+        and stores a "noise_budget" column in the sweep dataframe.
+        """
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+
+        df = self._sweep_df[channel]
+        if "didv_fits" not in df.columns:
+            raise ValueError('run "analyze_didv" first')
+        if "psd" not in df.columns:
+            raise ValueError(f"no PSD available for channel {channel} — "
+                             "is it a dIdV-only sweep?")
+        ibis = self._ibis[channel]
+        rl = self._rsh[channel] + ibis.rp
+        nm = NoiseModel(verbose=False)
+
+        # normal points → SQUID noise (averaged over points)
+        squid_list, normal_fit = [], None
+        for _, row in df[df["state"] == "normal"].iterrows():
+            if not isinstance(row.get("psd"), np.ndarray):
+                continue
+            n = len(row["psd"])
+            freqs = np.fft.fftfreq(n, d=1.0 / row["fs"])
+            normal_fit = nm.fit_normal_noise(
+                channel, row["psd"], freqs, ibis.rn, rl, tc)
+            squid_list.append(nm.calc_squid_noise(
+                channel, row["psd"], freqs, ibis.rn, rl,
+                normal_fit["L"], tc, tload_guess=tload_guess))
+        squid = np.mean(squid_list, axis=0) if squid_list else None
+
+        # SC points → Tload
+        tload = tload_guess
+        for _, row in df[df["state"] == "sc"].iterrows():
+            if not isinstance(row.get("psd"), np.ndarray):
+                continue
+            n = len(row["psd"])
+            freqs = np.fft.fftfreq(n, d=1.0 / row["fs"])
+            tload = nm.fit_sc_noise(
+                channel, row["psd"], freqs, rl,
+                normal_fit["L"] if normal_fit else 4e-7,
+                squiddc=(float(np.median(squid[freqs != 0]))
+                         if squid is not None else None))
+
+        # transition points → full budget
+        budgets, col = {}, []
+        for _, row in df.iterrows():
+            fits = row.get("didv_fits")
+            if (row.get("state") != "transition"
+                    or not isinstance(fits, dict)
+                    or f"ssp_{poles}poles" not in fits
+                    or not isinstance(row.get("psd"), np.ndarray)):
+                col.append(None)
+                continue
+            ssp = fits[f"ssp_{poles}poles"]
+            n = len(row["psd"])
+            freqs = np.fft.fftfreq(n, d=1.0 / row["fs"])
+            pos = freqs > 0
+            budget = nm.analyze_noise(
+                channel, freqs[pos],
+                {"beta": ssp["beta"], "l": ssp["l"], "L": ssp["L"],
+                 "tau0": ssp["tau0"]},
+                {"r0": row["r0"], "i0": row["i0"],
+                 "rshunt": self._rsh[channel], "rp": ibis.rp,
+                 "p0": row["p0"]},
+                tc, tbath, tload=tload,
+                squiddc=(float(np.median(squid[freqs != 0]))
+                         if squid is not None else None),
+                psd_measured=row["psd"][pos])
+            budgets[float(row["tes_bias"])] = budget
+            col.append(budget)
+        df = df.copy()
+        df["noise_budget"] = col
+        self._sweep_df[channel] = df
+        return {"squid_noise": squid, "tload": tload,
+                "normal_fit": normal_fit, "budgets": budgets}
+
     def calc_energy_resolution(self, channel: str, template: np.ndarray,
                                fs: float, poles: int = 2) -> pd.DataFrame:
         """σ_E per transition bias point using each point's dIdV fit + PSD

@@ -166,6 +166,28 @@ def test_energy_resolution_curve(processed, sweep):
     assert (sig[trans.to_numpy()] > 0).all()
 
 
+def test_sweep_analyze_noise(processed, sweep):
+    """Sweep-wide noise analysis (ivsweep.py:1231): Tload from SC points,
+    SQUID from normal points, transition budgets match measured PSDs."""
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    ana.set_data_from_dataframe("chan1", df, rsh=RSH)
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=3)
+    ana.analyze_sweep("chan1")
+    ana.analyze_didv("chan1", poles=2)
+    out = ana.analyze_noise("chan1", tc=TC, tbath=TBATH,
+                            tload_guess=TLOAD, poles=2)
+    np.testing.assert_allclose(out["tload"], TLOAD, rtol=0.3)
+    assert out["squid_noise"] is not None
+    assert len(out["budgets"]) >= 3
+    # each transition budget reproduces that point's measured PSD
+    for bias, budget in out["budgets"].items():
+        ratio = np.median(budget["s_itot"] / budget["s_imeas"])
+        assert 0.6 < ratio < 1.6, (bias, ratio)
+    sweep_df = ana._sweep_df["chan1"]
+    assert "noise_budget" in sweep_df.columns
+
+
 def test_noise_model_chain(processed, sweep):
     """SQUID extraction from normal PSD, Tload from SC PSD, then the
     transition budget approximately reproduces the measured PSD."""
