@@ -157,7 +157,10 @@ class YamlConfig:
             overall_params = OVERALL_PARAMETERS.get(field, [])
             config_dict = yaml_dict.pop(field)
             for key, items in config_dict.items():
-                if key in overall_params:
+                if key in overall_params or not isinstance(items, dict):
+                    # channel configs are always mappings; scalar values
+                    # at section level are overall parameters even when
+                    # not pre-declared (e.g. noise trace_length_samples)
                     field_map["overall"][key] = items
                 elif field == "feature" and key == "global":
                     field_map["overall"].update(items)

@@ -45,12 +45,16 @@ class FilterDataProcessing:
             rd_rand = RawData(raw_path, data_type="rand", series=series)
             rd_didv = RawData(raw_path, data_type="didv", series=series)
             rd_noise = RawData(raw_path, data_type="noise", series=series)
-            noise_files = noise_files or self._flatten(
-                rd_cont.get_data_files()) or self._flatten(
-                rd_rand.get_data_files()) or self._flatten(
-                rd_noise.get_data_files())
+            series_map = (rd_cont.get_data_files()
+                          or rd_rand.get_data_files()
+                          or rd_noise.get_data_files())
+            noise_files = noise_files or self._flatten(series_map)
             didv_files = didv_files or self._flatten(
                 rd_didv.get_data_files())
+            self._noise_series_map = dict(series_map)
+        else:
+            self._noise_series_map = (
+                {"series": list(noise_files)} if noise_files else {})
         self._noise_files = list(noise_files or [])
         self._didv_files = list(didv_files or [])
 
@@ -86,6 +90,7 @@ class FilterDataProcessing:
                 enable_didv: bool = True,
                 nrandoms: Optional[int] = None,
                 random_rate: Optional[float] = None,
+                lgc_by_series: bool = False,
                 lgc_save: bool = False,
                 output_path: Optional[str] = None,
                 file_name: Optional[str] = None,
@@ -117,6 +122,19 @@ class FilterDataProcessing:
             if len(chan_sel) > 1:
                 noise.calc_csd(chan_sel, trace_length_samples=n,
                                pretrigger_length_samples=p)
+            if lgc_by_series and len(self._noise_series_map) > 1:
+                # per-series PSDs tagged by series name for stability
+                # monitoring (filterprocess.py:1050-1302 by-series branch)
+                for sname, sfiles in self._noise_series_map.items():
+                    ns = Noise(sorted(sfiles), verbose=False)
+                    ns._filter_data = self._filter_data.data
+                    ns.generate_randoms(
+                        random_rate=random_rate
+                        or overall.get("random_rate"),
+                        nrandoms=nrandoms or overall.get("nrandoms", 500),
+                        seed=seed)
+                    ns.calc_psd(chan_sel, trace_length_samples=n,
+                                pretrigger_length_samples=p, tag=sname)
 
         # ---- analytic templates from config
         if enable_template and tmpl_cfg.get("channels"):

@@ -22,6 +22,15 @@ from detprocess_tpu.ops import spectral
 from detprocess_tpu.pipelines.randoms import Randoms
 
 
+def _device_float_dtype(dtype):
+    """float64 when x64 is enabled (CPU golden runs), else float32 —
+    avoids the jax truncation warning on the TPU backend."""
+    if dtype is not None:
+        return dtype
+    import jax
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
 class Noise(FilterData):
     """PSD/CSD estimation driver (core/noise.py:52-970)."""
 
@@ -72,7 +81,7 @@ class Noise(FilterData):
                  nsigma_cut: float = 2.5,
                  tag: str = "default",
                  window: Optional[str] = None,
-                 dtype=np.float64):
+                 dtype=None):
         """Estimate per-channel two-sided PSDs from randoms with autocuts
         (core/noise.py:216-373) and store them (``psd_{tag}``)."""
         if isinstance(channels, str):
@@ -96,6 +105,7 @@ class Noise(FilterData):
         needed = sorted({s for _, subs, _ in combos for s in subs},
                         key=reader_channels.index)
 
+        dtype = _device_float_dtype(dtype)
         traces = self._get_traces(needed, n, p)         # [B, C, N]
         if traces.size == 0:
             raise ValueError("no traces available for PSD estimation")
@@ -119,7 +129,7 @@ class Noise(FilterData):
                  nsigma_cut: float = 2.5,
                  tag: str = "default",
                  window: Optional[str] = None,
-                 dtype=np.float64):
+                 dtype=None):
         """Estimate the CSD matrix for a channel list and store it under
         the compound channel 'c1|c2|...' (core/noise.py:374-500)."""
         md = self._reader.get_metadata()
@@ -128,6 +138,7 @@ class Noise(FilterData):
         p = (pretrigger_length_samples
              if pretrigger_length_samples is not None else n // 2)
 
+        dtype = _device_float_dtype(dtype)
         traces = self._get_traces(list(channels), n, p)  # [B, C, N]
         if traces.size == 0:
             raise ValueError("no traces available for CSD estimation")

@@ -115,3 +115,29 @@ def test_filtergen_pipeline(rawgroup, tmp_path):
     assert tmpl.shape == (NT,)
     files = os.listdir(tmp_path / "fd")
     assert len(files) == 1 and files[0].startswith("filter_")
+
+
+def test_filtergen_by_series(tmp_path):
+    """lgc_by_series stores per-series PSDs tagged by series name
+    (filterprocess.py:1050-1302 by-series branch)."""
+    raw = tmp_path / "raw2"
+    rng = np.random.default_rng(5)
+    series_names = ["I1_D20260816_T231000", "I1_D20260816_T231500"]
+    for k, sname in enumerate(series_names):
+        traces = rng.standard_normal((2, 1, L)) * (2e-6 * (1 + k))
+        w = RawWriter(str(raw), sname, FS, ["chan1"], prefix="cont")
+        w.write_dump(traces, dump_num=1)
+    cfg = {"noise": {"trace_length_samples": 2048,
+                     "pretrigger_length_samples": 1024}}
+    cpath = str(tmp_path / "c.yaml")
+    yaml.safe_dump(cfg, open(cpath, "w"))
+    proc = FilterDataProcessing(raw_path=str(raw), config=cpath,
+                                verbose=False)
+    fd = proc.process(nrandoms=20, seed=3, lgc_by_series=True,
+                      enable_template=False, enable_didv=False)
+    psd_all, _ = fd.get_psd("chan1")                 # global
+    psd_s0, _ = fd.get_psd("chan1", tag=series_names[0])
+    psd_s1, _ = fd.get_psd("chan1", tag=series_names[1])
+    # second series has 2x the noise sigma → ~4x the PSD
+    ratio = np.median(psd_s1[1:] / psd_s0[1:])
+    assert 2.5 < ratio < 6.0, ratio
