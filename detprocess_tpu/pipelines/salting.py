@@ -41,6 +41,34 @@ def sample_from_pdf(energies: np.ndarray, drde: np.ndarray, nsamples: int,
     return np.interp(u, cdf, energies)
 
 
+def sample_pdf_function(function, xrange, nsamples: int,
+                        rng: np.random.Generator,
+                        npoints: int = 10000) -> np.ndarray:
+    """Inverse-transform sampling from a callable 1-D PDF over ``xrange``
+    (salting.py:192-249): trapezoidal CDF on an npoints grid, then
+    interpolate the inverse CDF at uniform deviates."""
+    x = np.linspace(xrange[0], xrange[1], num=npoints)
+    pdf = np.clip(np.asarray(function(x), float), 0, None)
+    cdf = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(x))])
+    if cdf[-1] <= 0:
+        raise ValueError("PDF has no positive weight over xrange")
+    cdf /= cdf[-1]
+    return np.interp(rng.random(nsamples), cdf, x)
+
+
+def load_dm_pdf_file(pdf_file: str) -> dict:
+    """Load a pickled {mass_MeV: {"dmrate": callable}} spectrum dictionary
+    (salting.py:326-338; written with cloudpickle since the rate models
+    are closures)."""
+    try:
+        import cloudpickle as pickle_mod
+    except ImportError:          # pragma: no cover - std pickle fallback
+        import pickle as pickle_mod
+    with open(pdf_file, "rb") as f:
+        return pickle_mod.load(f)
+
+
 class Salting:
     """Salt generation + on-the-fly injection."""
 
@@ -79,6 +107,8 @@ class Salting:
                       channels: Sequence[str],
                       energies=None,
                       dm_pdf: Optional[tuple] = None,
+                      pdf_file: Optional[str] = None,
+                      pdf_xrange_kev: tuple = (1e-5, 1.0),
                       nsalt: int = 100,
                       energy_norm_ev_per_amp: float | dict = 1.0,
                       channel_fractions: Optional[dict] = None,
@@ -102,13 +132,29 @@ class Salting:
         for chan in channels:
             self._load_template(chan, template_tag)
 
-        if dm_pdf is not None:
+        salt_masses = None
+        if pdf_file is not None:
+            if energies is not None:
+                raise ValueError(
+                    "pass either energies or a DM PDF file, not both")
+            # {mass_MeV: {"dmrate": fn(E_keV)}} → nsalt samples per mass,
+            # converted keV → eV (salting.py:326-338, :248-249)
+            dists = load_dm_pdf_file(pdf_file)
+            salt_energies, salt_masses = [], []
+            for mass, data in dists.items():
+                e = sample_pdf_function(data["dmrate"], pdf_xrange_kev,
+                                        nsalt, rng) * 1e3
+                salt_energies.extend(e)
+                salt_masses.extend([mass] * nsalt)
+            salt_energies = np.asarray(salt_energies)
+            salt_masses = np.asarray(salt_masses)
+        elif dm_pdf is not None:
             salt_energies = sample_from_pdf(dm_pdf[0], dm_pdf[1], nsalt, rng)
         elif energies is not None:
             energies = np.atleast_1d(energies)
             salt_energies = np.repeat(energies, nsalt)
         else:
-            raise ValueError('"energies" or "dm_pdf" required')
+            raise ValueError('"energies", "dm_pdf" or "pdf_file" required')
         ntot = len(salt_energies)
 
         # random times across the exposure (randoms machinery)
@@ -136,6 +182,8 @@ class Salting:
                         else energy_norm_ev_per_amp)
                 rows.append({
                     "salt_id": salt_id,
+                    **({"salt_dm_mass_mev": salt_masses[i]}
+                       if salt_masses is not None else {}),
                     "salt_channel": chan,
                     "salt_energy_ev": e_chan,
                     "salt_amplitude": e_chan / norm,

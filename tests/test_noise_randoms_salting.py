@@ -147,6 +147,44 @@ class TestSalting:
         # exponential-ish: mean near 20 (truncated)
         assert 15 < samples.mean() < 25
 
+    def test_pdf_file_sampling(self, contdata, tmp_path):
+        """DM PDF file ({mass: {'dmrate': fn}} cloudpickle) sampling
+        (salting.py:326-338): per-mass energies + mass column."""
+        import cloudpickle
+        from detprocess_tpu.pipelines.salting import sample_pdf_function
+
+        rng = np.random.default_rng(3)
+        samples = sample_pdf_function(lambda x: np.exp(-x / 0.1),
+                                      (1e-5, 1.0), 50000, rng)
+        assert 0.08 < samples.mean() < 0.12  # truncated exp, mean ~0.1
+
+        pdf_path = tmp_path / "dm.pkl"
+        dists = {10.0: {"dmrate": lambda e: np.exp(-e / 0.05)},
+                 100.0: {"dmrate": lambda e: np.exp(-e / 0.3)}}
+        with open(pdf_path, "wb") as f:
+            cloudpickle.dump(dists, f)
+
+        nt, pretrig = 4096, 1024
+        tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+        fd = FilterData(verbose=False)
+        for chan in CHANNELS:
+            fd.set_template(chan, tmpl, FS,
+                            pretrigger_length_samples=pretrig)
+        salting = Salting(fd, verbose=False)
+        df = salting.generate_salt(
+            contdata["raw_files"], ["chan1"], pdf_file=str(pdf_path),
+            nsalt=5, energy_norm_ev_per_amp=1e7,
+            channel_fractions={"chan1": 1.0}, seed=4,
+            min_separation_msec=10.0, edge_exclusion_msec=5.0)
+        assert len(df) == 10
+        assert set(df["salt_dm_mass_mev"]) == {10.0, 100.0}
+        # energies in eV (keV grid x 1e3), soft spectrum lower for m=10
+        e10 = df[df["salt_dm_mass_mev"] == 10.0]["salt_energy_ev"]
+        e100 = df[df["salt_dm_mass_mev"] == 100.0]["salt_energy_ev"]
+        assert e10.mean() < e100.mean()
+        assert (df["salt_energy_ev"] < 1000.0).all()
+
     def test_generate_and_inject(self, contdata, tmp_path):
         nt, pretrig = 4096, 1024
         tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
