@@ -122,11 +122,20 @@ def main(argv=None) -> int:
         channels = salting_cfg.get("channel_list") or RawReader(
             raw_files).channels
         overall = salting_cfg.get("overall", {}) or {}
-        energies = args.salting_energies or overall.get("energies") or [100.0]
+        pdf_file = overall.get("dm_pdf_file") or overall.get("pdf_file")
+        energies = None
+        if pdf_file is None:
+            energies = (args.salting_energies or overall.get("energies")
+                        or [100.0])
         salting = Salting(filter_file, verbose=args.verbose)
+        salt_kwargs = {k: overall[k] for k in (
+            "energy_norm_ev_per_amp", "channel_fractions", "template_tag",
+            "min_separation_msec", "edge_exclusion_msec", "coincident",
+            "pdf_xrange_kev") if k in overall}
         salting.generate_salt(
-            raw_files, channels, energies=energies,
-            nsalt=overall.get("nsalt", args.nsalt), seed=args.seed)
+            raw_files, channels, energies=energies, pdf_file=pdf_file,
+            nsalt=overall.get("nsalt", args.nsalt), seed=args.seed,
+            **salt_kwargs)
         out_dir = os.path.join(out_base, "salting")
         path = salting.save(out_dir, series_name=out_series,
                             facility=args.facility,
@@ -183,6 +192,11 @@ def main(argv=None) -> int:
                                  processing_id=args.processing_id,
                                  facility=args.facility,
                                  verbose=args.verbose)
+        if salting is not None:
+            # salts live only in the injector, not in the raw files — the
+            # feature reads must re-inject them (processing_data.py:539-553)
+            proc.set_salting(salting.make_injector(
+                RawReader(raw_files).channels))
         out_dir = os.path.join(out_base, "feature")
         proc.process(nevents=args.nevents, batch_size=args.batch_size,
                      lgc_save=True, output_path=out_dir,

@@ -39,8 +39,11 @@ CONFIGURATION_FIELDS = ["salting", "feature", "didv", "noise", "template",
 OVERALL_PARAMETERS = {
     "global": ["filter_file", "didv_file"],
     "trigger": ["coincident_window_msec", "coincident_window_samples"],
-    "salting": ["dm_pdf_file", "coincident_salts", "energies", "nsalt",
-                "do_salt_deadtime"],
+    "salting": ["dm_pdf_file", "pdf_file", "pdf_xrange_kev",
+                "coincident_salts", "coincident", "energies", "nsalt",
+                "do_salt_deadtime", "energy_norm_ev_per_amp",
+                "channel_fractions", "template_tag",
+                "min_separation_msec", "edge_exclusion_msec"],
     "feature": ["trace_length_samples", "pretrigger_length_samples",
                 "trace_length_msec", "pretrigger_length_msec"],
 }

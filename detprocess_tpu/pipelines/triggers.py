@@ -516,15 +516,20 @@ class TriggerProcessing:
                 for e in range(len(btr)):
                     handle_event(btr[e], badm[e], slice_sets(bsets, e))
             if self._verbose and total % 100 < event_batch:
+                # note: triggers from still-inflight dispatches are not
+                # counted yet — this is a progress line, not a total
                 ntrig = sum(len(f) for f in frames)
-                print(f"INFO: processed {total} continuous events, "
-                      f"{ntrig} triggers")
+                print(f"INFO: processed {total} continuous events "
+                      f"({ntrig} triggers so far)")
         for btr, badm, bsets in inflight:
             for e in range(len(btr)):
                 handle_event(btr[e], badm[e], slice_sets(bsets, e))
 
         result = (pd.concat(frames, ignore_index=True)
                   if frames else pd.DataFrame())
+        if self._verbose:
+            print(f"INFO: processed {total} continuous events, "
+                  f"{len(result)} triggers")
         if lgc_save and len(result):
             dump_num += 1
             path = tables.output_file_name(
