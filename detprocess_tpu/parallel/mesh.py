@@ -107,3 +107,36 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
         return jnp.stack([csd.real, csd.imag], axis=-1)
 
     return jax.jit(_csd)
+
+
+def sharded_trigger(mesh: Mesh, kernel, threshold: float,
+                    pileup_window: int, capacity: int,
+                    axis_name: str = EVENTS_AXIS):
+    """Continuous-trace OF triggering sharded over the events axis — the
+    multi-chip version of TriggerProcessing's per-event dispatch (the
+    reference splits series across a multiprocessing Pool instead,
+    process/triggers.py:337-377).
+
+    Each chip runs the full FIR + Δχ² + pileup-merge kernel on its local
+    events; no collectives are needed because continuous events are
+    independent. Returns a jitted fn(traces [E, C, L] event-sharded) →
+    (indices [E, K], dchi2 [E, K], amplitudes [E, M, K], count [E]),
+    all event-sharded. Outputs are shard-count invariant.
+    """
+    from detprocess_tpu.ops import trigger as trig_ops
+
+    iw = jnp.asarray(kernel.iw_matrix)
+
+    def _one(tr):
+        qb, _ = trig_ops.of_fir_blocks(tr, kernel)
+        d, a = trig_ops.delta_chi2_blocks(qb, iw)
+        ts = trig_ops.find_triggers_blocks(d, a, threshold,
+                                           pileup_window, capacity)
+        return ts.indices, ts.dchi2, ts.amplitudes, ts.count
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
+             out_specs=P(axis_name))
+    def _trig(local_traces):
+        return jax.vmap(_one)(local_traces)
+
+    return jax.jit(_trig)

@@ -98,3 +98,49 @@ def test_sharded_csd():
     single = np.asarray(spectral.welch_csd(jnp.asarray(
         traces.astype(np.float64)), FS))
     np.testing.assert_allclose(csd, single, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_trigger_shard_invariance():
+    """Continuous triggering sharded over events: identical trigger
+    indices/amplitudes on 1- and 8-device meshes."""
+    from detprocess_tpu.ops import filterbank as fb, trigger as trig_ops
+
+    rng = np.random.default_rng(7)
+    nt, pretrig, l, e = 1024, 256, 65536, 8
+    template = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = fb.make_ofnxm_bank(template, psd.astype(complex), FS, pretrig)
+    kernel = trig_ops.make_trigger_kernel(bank)
+    thr = float(trig_ops.chi2_threshold(5.0, 1))
+
+    traces = (rng.standard_normal((e, 1, l))
+              * np.sqrt(psd[0] * FS)).astype(np.float32)
+    # loud pulses at distinct spots per event
+    for k in range(e):
+        pos = 5000 + 7000 * k
+        traces[k, 0, pos - pretrig:pos - pretrig + nt] += 1e-5 * template
+
+    outs = {}
+    for nd in (1, 8):
+        mesh = pmesh.make_mesh(nd)
+        fn = pmesh.sharded_trigger(mesh, kernel, thr, 125, 64)
+        idx, dchi2, amps, count = fn(
+            pmesh.shard_batch(mesh, jnp.asarray(traces)))
+        outs[nd] = (np.asarray(idx), np.asarray(dchi2),
+                    np.asarray(amps), np.asarray(count))
+    np.testing.assert_array_equal(outs[1][0], outs[8][0])
+    np.testing.assert_allclose(outs[1][1], outs[8][1], rtol=1e-6)
+    np.testing.assert_allclose(outs[1][2], outs[8][2], rtol=1e-6)
+    np.testing.assert_array_equal(outs[1][3], outs[8][3])
+    # every injected pulse found near its position (trigger-time jitter
+    # of a few samples is physical at this SNR/bandwidth; occasional
+    # >5-sigma noise triggers are expected too, so match the nearest)
+    idx, _, amps, count = outs[8]
+    for k in range(e):
+        c = int(count[k])
+        assert c >= 1
+        found = idx[k, :c]
+        j = int(np.argmin(np.abs(found - (5000 + 7000 * k))))
+        assert abs(int(found[j]) - (5000 + 7000 * k)) <= 5
+        np.testing.assert_allclose(amps[k, 0, j], 1e-5, rtol=0.1)
