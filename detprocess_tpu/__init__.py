@@ -49,4 +49,7 @@ def __getattr__(name):
         import importlib
         module = importlib.import_module(_exports[name])
         return getattr(module, name)
+    if name == "cli":
+        import importlib
+        return importlib.import_module("detprocess_tpu.cli")
     raise AttributeError(f"module 'detprocess_tpu' has no attribute {name!r}")
