@@ -108,14 +108,18 @@ def bench_cpu_baseline(template, psd):
     ref = RefOF1x1(template, psd, FS, PRETRIG)
     sub = (rng.standard_normal((CPU_BASELINE_EVENTS, N)) * 3e-9
            + 2e-6 * template[None, :])
-    t0 = time.perf_counter()
-    for i in range(len(sub)):
-        ref.fit_nodelay(sub[i])
-        ref.fit_withdelay(sub[i])
-        np.mean(sub[i][: N - 1])
-        np.trapezoid(sub[i][: N - 1]) / FS
-    dt = time.perf_counter() - t0
-    return len(sub) / dt
+    # best of 3 passes: the fastest CPU run gives the most conservative
+    # speedup (the host is shared, single runs swing with contention)
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(len(sub)):
+            ref.fit_nodelay(sub[i])
+            ref.fit_withdelay(sub[i])
+            np.mean(sub[i][: N - 1])
+            np.trapezoid(sub[i][: N - 1]) / FS
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return len(sub) / best_dt
 
 
 def main():
