@@ -732,25 +732,35 @@ class FeatureProcessing:
             print(f"INFO: dropped {dropped} triggers with out-of-bounds "
                   f"windows or unmatched files")
 
-    def _iter_full_batches(self, batch_size: int, nevents: int):
+    def _iter_full_batches(self, batch_size: int, nevents: int,
+                           prefetch_depth: int = 64):
         self._reader.rewind()
+        if prefetch_depth > 0:
+            from detprocess_tpu.io.prefetch import prefetch_events
+            source = prefetch_events(self._reader, depth=prefetch_depth)
+        else:
+            source = self._reader
         total = 0
-        while nevents < 0 or total < nevents:
-            batch_traces, admins = [], []
-            want = batch_size if nevents < 0 else min(batch_size,
-                                                      nevents - total)
-            for _ in range(want):
-                tr, admin = self._reader.read_next_event()
-                if tr is None:
-                    break
-                if self._salt_injector is not None:
-                    tr = self._salt_injector(tr, admin)
-                batch_traces.append(tr)
-                admins.append(admin)
-            if not batch_traces:
-                return
-            total += len(batch_traces)
-            yield np.stack(batch_traces), admins
+        try:
+            while nevents < 0 or total < nevents:
+                batch_traces, admins = [], []
+                want = batch_size if nevents < 0 else min(batch_size,
+                                                          nevents - total)
+                for _ in range(want):
+                    tr, admin = source.read_next_event()
+                    if tr is None:
+                        break
+                    if self._salt_injector is not None:
+                        tr = self._salt_injector(tr, admin)
+                    batch_traces.append(tr)
+                    admins.append(admin)
+                if not batch_traces:
+                    return
+                total += len(batch_traces)
+                yield np.stack(batch_traces), admins
+        finally:
+            if prefetch_depth > 0:
+                source.close()
 
     def device_banks(self, real_dtype=np.float32):
         """Pack all group banks for device transfer (real-only pytrees)."""

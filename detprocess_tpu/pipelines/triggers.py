@@ -401,6 +401,7 @@ class TriggerProcessing:
                 capacity: int = 4096,
                 event_batch: int = 8,
                 pipeline_depth: int = 2,
+                prefetch_depth: int = 16,
                 lgc_save: bool = False,
                 output_path: Optional[str] = None,
                 output_format: str = "hdf5",
@@ -488,14 +489,21 @@ class TriggerProcessing:
             return out
 
         # batched + pipelined event processing: ``event_batch`` continuous
-        # events per dispatch, ``pipeline_depth`` dispatches in flight
+        # events per dispatch, ``pipeline_depth`` dispatches in flight;
+        # a reader thread keeps ``prefetch_depth`` events decoded ahead so
+        # HDF5 IO overlaps device compute (io.prefetch)
+        if prefetch_depth > 0:
+            from detprocess_tpu.io.prefetch import prefetch_events
+            source = prefetch_events(self._reader, depth=prefetch_depth)
+        else:
+            source = self._reader
         inflight = []
         while nevents < 0 or total < nevents:
             batch_traces, batch_admins = [], []
             want = event_batch if nevents < 0 else min(
                 event_batch, nevents - total)
             for _ in range(want):
-                traces, admin = self._reader.read_next_event()
+                traces, admin = source.read_next_event()
                 if traces is None:
                     break
                 if self._salt_injector is not None:
@@ -524,6 +532,8 @@ class TriggerProcessing:
         for btr, badm, bsets in inflight:
             for e in range(len(btr)):
                 handle_event(btr[e], badm[e], slice_sets(bsets, e))
+        if prefetch_depth > 0:
+            source.close()
 
         result = (pd.concat(frames, ignore_index=True)
                   if frames else pd.DataFrame())

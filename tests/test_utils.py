@@ -137,3 +137,53 @@ class TestMisc:
         idx = misc.find_linear_segment(x, y, tolerance=0.05)
         assert idx[:3] == [0, 1, 2]
         assert 7 not in idx or 8 not in idx
+
+
+class TestPrefetch:
+    def test_prefetch_matches_sequential(self, tmp_path):
+        from detprocess_tpu.io.rawdata import RawWriter, RawReader
+        from detprocess_tpu.io.prefetch import prefetch_events
+
+        fs, l = 1.25e6, 20000
+        rng = np.random.default_rng(0)
+        traces = rng.standard_normal((5, 1, l)) * 1e-6
+        RawWriter(str(tmp_path / "raw"), "I1_D20260816_T170000", fs,
+                  ["ch"]).write_dump(traces, dump_num=1)
+        files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+
+        seq = []
+        r = RawReader(files)
+        while True:
+            tr, admin = r.read_next_event()
+            if tr is None:
+                break
+            seq.append((tr, admin["event_number"]))
+
+        pf = prefetch_events(RawReader(files), depth=2)
+        got = []
+        while True:
+            tr, admin = pf.read_next_event()
+            if tr is None:
+                break
+            got.append((tr, admin["event_number"]))
+        # probing again after end-of-data keeps returning (None, None)
+        assert pf.read_next_event() == (None, None)
+        assert pf.read_next_event() == (None, None)
+        pf.close()
+
+        assert len(got) == len(seq) == 5
+        for (a, ea), (b, eb) in zip(got, seq):
+            assert ea == eb
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_error_propagates(self):
+        from detprocess_tpu.io.prefetch import prefetch_events
+
+        class BadReader:
+            def read_next_event(self, channels=None):
+                raise RuntimeError("disk on fire")
+
+        pf = prefetch_events(BadReader(), depth=2)
+        with pytest.raises(RuntimeError, match="disk on fire"):
+            next(pf)
+        pf.close()
