@@ -86,3 +86,17 @@ def read_table(path: str) -> pd.DataFrame:
 
 def concat_tables(paths) -> pd.DataFrame:
     return pd.concat([read_table(p) for p in paths], ignore_index=True)
+
+
+def count_rows(path: str) -> int:
+    """Row count of a written table without loading the data (resume
+    bookkeeping)."""
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_rows
+    import h5py
+    with h5py.File(path, "r") as f:
+        cols = f["/table/columns"]
+        for name in cols:
+            return int(cols[name]["data"].shape[0])
+    return 0

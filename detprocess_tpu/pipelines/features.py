@@ -785,6 +785,7 @@ class FeatureProcessing:
                 output_format: str = "hdf5",
                 series_name: Optional[str] = None,
                 group_name: str = "features",
+                resume: bool = False,
                 lgc_output: bool = True) -> Optional[pd.DataFrame]:
         """Run feature extraction.
 
@@ -796,20 +797,39 @@ class FeatureProcessing:
         pulled to host — device dispatch latency and compute overlap with
         the next batch's file reads (the reference pays neither: its loop
         is synchronous per event).
+
+        ``resume=True`` (with lgc_save) scans ``output_path`` for existing
+        dumps of this group, skips the events they already cover (event
+        order is deterministic, one row per event) and continues the same
+        output series and dump numbering — dump-level checkpoint/restart
+        for long runs (the reference restarts whole series only,
+        SURVEY.md §5).
         """
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
         state = {"total": 0, "dump": 0}
         out_series = series_name or create_series_name(self._facility)
+        skip_events = 0
         if lgc_save:
             if output_path is None:
                 raise ValueError("output_path required with lgc_save")
             os.makedirs(output_path, exist_ok=True)
+            if resume:
+                found = self._scan_resume(output_path, group_name,
+                                          output_format)
+                if found is not None:
+                    out_series, skip_events, state["dump"] = found
+                    if self._verbose:
+                        print(f"INFO: resuming series {out_series} after "
+                              f"{skip_events} events "
+                              f"(dump {state['dump']})")
 
         batches = (self._iter_trigger_batches(batch_size)
                    if self._trigger_df is not None
                    else self._iter_full_batches(batch_size, nevents))
+        if skip_events:
+            batches = _skip_rows(batches, skip_events)
 
         inflight: List[tuple] = []
 
@@ -839,6 +859,28 @@ class FeatureProcessing:
             return pd.DataFrame() if lgc_output else None
         result = pd.concat(frames, ignore_index=True)
         return result if lgc_output else None
+
+    def _scan_resume(self, output_path, group_name, output_format):
+        """Find existing dumps: (series, rows_done, last_dump) or None."""
+        import glob
+        import re
+
+        ext = "parquet" if output_format == "parquet" else "hdf5"
+        rx = re.compile(r"feature_" + re.escape(group_name)
+                        + r"_(.+)_F(\d+)\." + ext + "$")
+        by_series: Dict[str, list] = {}
+        for f in sorted(glob.glob(os.path.join(
+                output_path, f"feature_{group_name}_*.{ext}"))):
+            m = rx.match(os.path.basename(f))
+            if m:
+                by_series.setdefault(m.group(1), []).append(
+                    (int(m.group(2)), f))
+        if not by_series:
+            return None
+        series = sorted(by_series)[-1]       # latest series name wins
+        dumps = sorted(by_series[series])
+        rows = sum(tables.count_rows(f) for _, f in dumps)
+        return series, rows, dumps[-1][0]
 
     def _emit_frame(self, feats, admins, nb, frames, state, lgc_save,
                     output_path, output_format, out_series, group_name):
@@ -875,6 +917,19 @@ class FeatureProcessing:
                 state["dump"],
                 "parquet" if output_format == "parquet" else "hdf5")
             tables.write_table(df, path, fmt=output_format)
+
+
+def _skip_rows(batches, skip: int):
+    """Drop the first ``skip`` events from a batch iterator (resume)."""
+    for traces, admins in batches:
+        nb = len(admins)
+        if skip >= nb:
+            skip -= nb
+            continue
+        if skip:
+            traces, admins = traces[skip:], admins[skip:]
+            skip = 0
+        yield traces, admins
 
 
 def _load_external_extractors(path: str) -> dict:

@@ -259,3 +259,48 @@ def test_batch_invariance(dataset):
         if d1[col].dtype.kind == "f":
             np.testing.assert_allclose(d1[col], d2[col], rtol=1e-12,
                                        err_msg=col)
+
+
+def test_resume_from_dumps(dataset, tmp_path):
+    """resume=True continues after existing dumps: identical table to a
+    single uninterrupted run, no duplicated events."""
+    from detprocess_tpu.io import tables
+    import glob
+
+    out1 = str(tmp_path / "full")
+    proc = FeatureProcessing(dataset["raw_files"],
+                             dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    full = proc.process(batch_size=4, lgc_save=True, output_path=out1,
+                        series_name="I1_D20260816_T200000")
+
+    # interrupted run: only the first 4 events (1 dump), then resume
+    out2 = str(tmp_path / "resumed")
+    proc2 = FeatureProcessing(dataset["raw_files"],
+                              dataset["config_path"],
+                              filter_data=dataset["filter_path"],
+                              verbose=False)
+    proc2.process(nevents=4, batch_size=4, lgc_save=True, output_path=out2,
+                  series_name="I1_D20260816_T200000", lgc_output=False)
+    assert len(glob.glob(out2 + "/*.hdf5")) == 1
+
+    proc3 = FeatureProcessing(dataset["raw_files"],
+                              dataset["config_path"],
+                              filter_data=dataset["filter_path"],
+                              verbose=False)
+    proc3.process(batch_size=4, lgc_save=True, output_path=out2,
+                  resume=True, lgc_output=False)
+
+    files1 = sorted(glob.glob(out1 + "/*.hdf5"))
+    files2 = sorted(glob.glob(out2 + "/*.hdf5"))
+    t_full = tables.concat_tables(files1).sort_values(
+        "event_number", ignore_index=True)
+    t_res = tables.concat_tables(files2).sort_values(
+        "event_number", ignore_index=True)
+    assert len(t_res) == len(t_full)
+    assert list(t_res["event_number"]) == list(t_full["event_number"])
+    amp_cols = [c for c in t_full.columns if c.startswith("amp_")]
+    for c in amp_cols:
+        np.testing.assert_allclose(t_res[c].to_numpy(),
+                                   t_full[c].to_numpy(), rtol=1e-6)
