@@ -33,13 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="detprocess-tpu",
         description="TPU-native detector data processing")
-    p.add_argument("--raw_path", type=str, required=True,
-                   help="raw data group directory")
+    p.add_argument("--raw_path", "--input_group_path", type=str,
+                   required=True, help="raw data group directory")
     p.add_argument("--processing_setup", type=str,
                    help="processing YAML configuration")
     p.add_argument("--filter_file", type=str, default=None)
-    p.add_argument("--output_group_path", type=str, default=None)
-    p.add_argument("--series", nargs="+", default=None)
+    p.add_argument("--output_group_path", "--save_path", type=str,
+                   default=None)
+    p.add_argument("-s", "--series", "--input_series", nargs="+",
+                   default=None)
     p.add_argument("--processing_id", type=str, default=None)
     p.add_argument("--facility", type=int, default=1)
     p.add_argument("--nevents", type=int, default=-1)
@@ -50,15 +52,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-format", choices=("hdf5", "parquet"),
                    default="hdf5")
 
-    p.add_argument("--enable-salting", action="store_true")
-    p.add_argument("--enable-rand", action="store_true")
-    p.add_argument("--enable-trig", action="store_true")
-    p.add_argument("--enable-feature", action="store_true")
-    p.add_argument("--calc-filter", action="store_true",
+    p.add_argument("--enable-salting", "--enable_salting",
+                   dest="enable_salting", action="store_true")
+    p.add_argument("--enable-rand", "--enable-randoms", "--enable_rand",
+                   dest="enable_rand", action="store_true")
+    p.add_argument("--enable-trig", "--enable-triggers", "--enable_trig",
+                   dest="enable_trig", action="store_true")
+    p.add_argument("--enable-feature", "--enable_feature",
+                   dest="enable_feature", action="store_true")
+    p.add_argument("--enable-ivsweep", dest="enable_ivsweep",
+                   action="store_true",
+                   help="process IV/dIdV sweep data (discovered bias "
+                        "points) into the filter file")
+    p.add_argument("--calc-filter", "--calc_filter", dest="calc_filter",
+                   action="store_true",
                    help="generate the filter file (noise/didv/template)")
 
     p.add_argument("--trigger_dataframe_path", type=str, default=None,
                    help="existing trigger dataframe for feature processing")
+    p.add_argument("--trigger_series", nargs="+", default=None,
+                   help="restrict the trigger dataframe to these series")
+    p.add_argument("--salting_dataframe_path", type=str, default=None,
+                   help="existing salting dataframe (skip generation)")
+    p.add_argument("--ntriggers", type=int, default=-1,
+                   help="max triggers to feature-process")
+    p.add_argument("--ncores", type=int, default=None,
+                   help="accepted for drop-in compatibility; processing "
+                        "is batched on the accelerator instead")
     p.add_argument("--random_rate", type=float, default=None)
     p.add_argument("--nrandoms", type=int, default=None)
     p.add_argument("--salting_energies", type=float, nargs="+",
@@ -77,9 +97,25 @@ def main(argv=None) -> int:
                       series=args.series, restricted=args.restricted)
     series_map = rawdata.get_data_files()
     raw_files = sorted(f for files in series_map.values() for f in files)
+    needs_continuous = (args.enable_rand or args.enable_trig
+                        or args.enable_feature or args.enable_salting)
     if not raw_files:
-        print(f"ERROR: no {data_type} raw files found in {args.raw_path}")
-        return 1
+        if needs_continuous:
+            print(f"ERROR: no {data_type} raw files found in "
+                  f"{args.raw_path}")
+            return 1
+        # ivsweep / filter-generation runs: any data type provides the
+        # channel list
+        for alt in ("iv", "noise", "didv"):
+            alt_map = RawData(args.raw_path, data_type=alt,
+                              series=args.series).get_data_files()
+            raw_files = sorted(f for files in alt_map.values()
+                               for f in files)
+            if raw_files:
+                break
+        if not raw_files:
+            print(f"ERROR: no raw files found in {args.raw_path}")
+            return 1
 
     out_base = args.output_group_path or os.path.join(args.raw_path, "..",
                                                       "processed")
@@ -91,6 +127,10 @@ def main(argv=None) -> int:
         reader = RawReader(raw_files)
         config = YamlConfig(args.processing_setup, reader.channels,
                             sample_rate=reader.sample_rate)
+
+    if args.ncores is not None and args.ncores > 1 and args.verbose:
+        print("INFO: --ncores accepted for compatibility; events are "
+              "batched on the accelerator instead of forked workers")
 
     filter_file = args.filter_file
     if filter_file is None and config is not None:
@@ -110,9 +150,60 @@ def main(argv=None) -> int:
                      seed=args.seed)
         print(f"INFO: filter data written to {out_dir}")
 
+    # ---- IV/dIdV sweep ------------------------------------------------
+    if args.enable_ivsweep:
+        from detprocess_tpu.pipelines.ivsweep import (IVSweepProcessing,
+                                                      discover_bias_points)
+        sweep_proc = IVSweepProcessing(verbose=args.verbose)
+        didv_cfg = (config.get_config("didv").get("overall", {})
+                    if config else {}) or {}
+        nproc = 0
+        for chan in RawReader(raw_files).channels:
+            bias_points = discover_bias_points(args.raw_path, chan,
+                                               series=args.series)
+            if not bias_points:
+                continue
+            df = sweep_proc.process(
+                chan, bias_points,
+                sgfreq=didv_cfg.get("sgfreq", 100.0),
+                sgamp=didv_cfg.get("sgamp", 1e-8),
+                rsh=didv_cfg.get("rshunt", 5e-3))
+            nproc += 1
+            print(f"INFO: IV sweep processed for {chan}: "
+                  f"{len(df)} bias points")
+        if nproc == 0:
+            print("ERROR: no IV/dIdV sweep bias points discovered")
+            return 1
+        out_dir = os.path.join(out_base, "ivsweep")
+        os.makedirs(out_dir, exist_ok=True)
+        sweep_proc.save_hdf5(os.path.join(
+            out_dir, f"ivsweep_{out_series}.hdf5"))
+        print(f"INFO: IV sweep data written to {out_dir}")
+
     # ---- salting ------------------------------------------------------
     salting = None
-    if args.enable_salting:
+    if args.salting_dataframe_path:
+        from detprocess_tpu.pipelines.salting import Salting
+        from detprocess_tpu.io import tables as _tables
+        import glob as _glob
+        paths = sorted(
+            _glob.glob(os.path.join(args.salting_dataframe_path, "*.hdf5"))
+            + _glob.glob(os.path.join(args.salting_dataframe_path,
+                                      "*.parquet")))
+        if not paths and os.path.isfile(args.salting_dataframe_path):
+            paths = [args.salting_dataframe_path]
+        if not paths:
+            print("ERROR: no salting dataframe found at "
+                  f"{args.salting_dataframe_path}")
+            return 1
+        if filter_file is None:
+            print("ERROR: salting requires a filter file")
+            return 1
+        salting = Salting(filter_file, verbose=args.verbose)
+        salting.set_dataframe(_tables.concat_tables(paths))
+        print(f"INFO: loaded {len(salting.dataframe)} salts from "
+              f"{args.salting_dataframe_path}")
+    elif args.enable_salting:
         from detprocess_tpu.pipelines.salting import Salting
         if filter_file is None:
             print("ERROR: salting requires a filter file")
@@ -184,8 +275,14 @@ def main(argv=None) -> int:
             paths = sorted(glob.glob(os.path.join(
                 args.trigger_dataframe_path, "*.hdf5")) + glob.glob(
                 os.path.join(args.trigger_dataframe_path, "*.parquet")))
+            if args.trigger_series:
+                paths = [pp for pp in paths
+                         if any(sn in os.path.basename(pp)
+                                for sn in args.trigger_series)]
             if paths:
                 tdf = tables.concat_tables(paths)
+        if tdf is not None and args.ntriggers > 0:
+            tdf = tdf.iloc[: args.ntriggers]
         proc = FeatureProcessing(raw_files, config,
                                  filter_data=filter_file,
                                  trigger_dataframe=tdf,

@@ -334,9 +334,40 @@ class FilterData:
         elif isinstance(value, pd.DataFrame):
             g.attrs["__type__"] = "dataframe"
             cols = g.create_group("columns")
+            written = []
             for col in value.columns:
-                FilterData._write_array(cols, str(col), value[col].to_numpy())
-            g.attrs["__columns__"] = list(map(str, value.columns))
+                arr = value[col].to_numpy()
+                if arr.dtype == object:
+                    # array-valued cells (e.g. per-bias-point PSDs in
+                    # IV-sweep dataframes): pad-stack equal-width rows,
+                    # NaN rows for missing entries; skip nested objects
+                    rows = [np.asarray(v) for v in arr
+                            if isinstance(v, np.ndarray)]
+                    if rows and all(r.ndim == 1 for r in rows):
+                        width = max(r.shape[0] for r in rows)
+                        dt = (complex if any(np.iscomplexobj(r)
+                                             for r in rows) else float)
+                        stack = np.full((len(arr), width), np.nan,
+                                        dtype=dt)
+                        lengths = np.zeros(len(arr), dtype=np.int64)
+                        for i, v in enumerate(arr):
+                            if isinstance(v, np.ndarray):
+                                stack[i, : v.shape[0]] = v
+                                lengths[i] = v.shape[0]
+                        sub = cols.create_group(str(col))
+                        sub.attrs["__array_rows__"] = True
+                        FilterData._write_array(sub, "stack", stack)
+                        sub.create_dataset("lengths", data=lengths)
+                        written.append(str(col))
+                        continue
+                    if not all(isinstance(v, (str, bytes, int, float,
+                                              np.floating, np.integer,
+                                              type(None), bool))
+                               for v in arr):
+                        continue      # unserializable (fit objects etc.)
+                FilterData._write_array(cols, str(col), arr)
+                written.append(str(col))
+            g.attrs["__columns__"] = written
         elif isinstance(value, np.ndarray):
             g.attrs["__type__"] = "array"
             FilterData._write_array(g, "values", value)
@@ -361,7 +392,8 @@ class FilterData:
     def _write_array(parent, name, arr: np.ndarray):
         arr = np.asarray(arr)
         if arr.dtype == object:
-            arr = arr.astype("S")
+            arr = np.asarray(["" if v is None else str(v)
+                              for v in arr], dtype="S")
         if np.iscomplexobj(arr):
             # complex stored as re/im pair for h5 portability
             g = parent.create_group(name)
@@ -388,7 +420,17 @@ class FilterData:
                              index=g["index"][...])
         if kind == "dataframe":
             cols = g.attrs["__columns__"]
-            data = {c: FilterData._read_array(g["columns"][c]) for c in cols}
+            data = {}
+            for c in cols:
+                node = g["columns"][c]
+                if (isinstance(node, h5py.Group)
+                        and node.attrs.get("__array_rows__")):
+                    stack = FilterData._read_array(node["stack"])
+                    lengths = node["lengths"][...]
+                    data[c] = [stack[i, : lengths[i]] if lengths[i] > 0
+                               else None for i in range(len(lengths))]
+                else:
+                    data[c] = FilterData._read_array(node)
             return pd.DataFrame(data)
         if kind == "array":
             return FilterData._read_array(g["values"])
