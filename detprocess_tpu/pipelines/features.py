@@ -785,6 +785,7 @@ class FeatureProcessing:
                 output_format: str = "hdf5",
                 series_name: Optional[str] = None,
                 group_name: str = "features",
+                nb_events_per_dump: Optional[int] = None,
                 resume: bool = False,
                 lgc_output: bool = True) -> Optional[pd.DataFrame]:
         """Run feature extraction.
@@ -808,7 +809,8 @@ class FeatureProcessing:
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
-        state = {"total": 0, "dump": 0}
+        state = {"total": 0, "dump": 0, "pending": [],
+                 "dump_size": nb_events_per_dump}
         out_series = series_name or create_series_name(self._facility)
         skip_events = 0
         if lgc_save:
@@ -852,6 +854,9 @@ class FeatureProcessing:
                 emit(inflight.pop(0))
         for entry in inflight:
             emit(entry)
+        if lgc_save and state["pending"]:
+            self._flush_dump(state, output_path, output_format,
+                             out_series, group_name)
 
         if self._verbose and state["total"]:
             print(f"INFO: processed {state['total']} events")
@@ -911,12 +916,27 @@ class FeatureProcessing:
         df = pd.DataFrame(frame)
         frames.append(df)
         if lgc_save:
-            state["dump"] += 1
-            path = tables.output_file_name(
-                output_path, "feature", group_name, out_series,
-                state["dump"],
-                "parquet" if output_format == "parquet" else "hdf5")
-            tables.write_table(df, path, fmt=output_format)
+            # dump sizing follows the reference's nb_events_per_dump
+            # (features.py:593-626); default = one dump per batch
+            state["pending"].append(df)
+            size = state["dump_size"]
+            if (size is None
+                    or sum(len(d) for d in state["pending"]) >= size):
+                self._flush_dump(state, output_path, output_format,
+                                 out_series, group_name)
+
+    def _flush_dump(self, state, output_path, output_format, out_series,
+                    group_name):
+        if not state["pending"]:
+            return
+        df = (state["pending"][0] if len(state["pending"]) == 1
+              else pd.concat(state["pending"], ignore_index=True))
+        state["pending"] = []
+        state["dump"] += 1
+        path = tables.output_file_name(
+            output_path, "feature", group_name, out_series, state["dump"],
+            "parquet" if output_format == "parquet" else "hdf5")
+        tables.write_table(df, path, fmt=output_format)
 
 
 def _skip_rows(batches, skip: int):

@@ -304,3 +304,22 @@ def test_resume_from_dumps(dataset, tmp_path):
     for c in amp_cols:
         np.testing.assert_allclose(t_res[c].to_numpy(),
                                    t_full[c].to_numpy(), rtol=1e-6)
+
+
+def test_nb_events_per_dump(dataset, tmp_path):
+    """Dump files contain nb_events_per_dump rows regardless of batch
+    size (reference features.py:593-626 semantics)."""
+    from detprocess_tpu.io import tables
+    import glob
+
+    out = str(tmp_path / "dumps")
+    proc = FeatureProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    proc.process(batch_size=3, nb_events_per_dump=6, lgc_save=True,
+                 output_path=out, lgc_output=False,
+                 series_name="I1_D20260816_T210000")
+    files = sorted(glob.glob(out + "/*.hdf5"))
+    counts = [tables.count_rows(f) for f in files]
+    assert all(c >= 6 for c in counts[:-1])          # full dumps
+    assert sum(counts) == 24                         # fixture total
