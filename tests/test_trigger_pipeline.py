@@ -150,3 +150,43 @@ def test_event_builder_mixed_split():
     # (1000,1020) merge; (1040,1060) merge → 2 rows
     assert len(out) == 2
     assert set(out["trigger_index"]) == {1000, 1040}
+
+
+def test_nxm_compound_channel_trigger(dataset, tmp_path):
+    """'chan1|chan2' trigger channel runs the NxM (2-channel) kernel with
+    a CSD from the filter file (oftrigger.py NxM path)."""
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(NT, 4e-18)
+    fd = FilterData(verbose=False)
+    # 2-channel single-template [C=2, M=1, N] + diagonal CSD
+    fd.set_template("chan1|chan2", np.stack([tmpl, tmpl])[:, None, :], FS,
+                    pretrigger_length_samples=PRETRIG)
+    csd = np.zeros((2, 2, NT), complex)
+    csd[0, 0] = psd
+    csd[1, 1] = psd
+    fd.set_csd(["chan1", "chan2"], csd, FS)
+    for chan in CHANNELS:
+        fd.set_template(chan, tmpl, FS, pretrigger_length_samples=PRETRIG)
+        fd.set_psd(chan, psd, FS)
+
+    config = {"trigger": {
+        "chan1|chan2": {"run": True, "template_tag": "default",
+                        "threshold_sigma": 8.0,
+                        "pileup_window_msec": 0.2}}}
+    cpath = str(tmp_path / "nxm.yaml")
+    yaml.safe_dump(config, open(cpath, "w"))
+    proc = TriggerProcessing(dataset["raw_files"], cpath, filter_data=fd,
+                             verbose=False)
+    df = proc.process(capacity=64)
+    idx = np.sort(df["trigger_index"].to_numpy())
+    # the coincident 20000/20010 pair appears as one merged NxM trigger;
+    # single-channel pulses at 40000 (chan1) and 15000 (chan2) still
+    # trigger the joint filter
+    assert len(df) == 3, df[["trigger_index", "trigger_channel"]]
+    # single-channel pulses have lower joint-filter SNR -> a few samples
+    # of timing jitter is expected physics
+    assert abs(idx[0] - 15000) <= 6
+    assert 20000 - 6 <= idx[1] <= 20010 + 6
+    assert abs(idx[2] - 40000) <= 6
+    assert (df["trigger_channel"] == "chan1|chan2").all()
