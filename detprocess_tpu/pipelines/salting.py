@@ -110,7 +110,9 @@ class Salting:
                       pdf_file: Optional[str] = None,
                       pdf_xrange_kev: tuple = (1e-5, 1.0),
                       nsalt: int = 100,
-                      energy_norm_ev_per_amp: float | dict = 1.0,
+                      energy_norm_ev_per_amp: float | dict | None = None,
+                      dpdi_poles: int = 2,
+                      dpdi_tag: str = "default",
                       channel_fractions: Optional[dict] = None,
                       template_tag: str = "default",
                       min_separation_msec: float = 100.0,
@@ -125,6 +127,12 @@ class Salting:
         ``channel_fractions`` splits each salt's energy across channels
         (default: equal split). ``coincident`` injects every salt into all
         channels at the same time.
+
+        Energy→amplitude normalization: an explicit
+        ``energy_norm_ev_per_amp`` (eV per unit template amplitude) wins;
+        otherwise a dPdI stored in the filter file computes the physical
+        normalization ∫ power-template dt in joules → eV
+        (qetpy.get_energy_normalization, reference salting.py:367-380).
         """
         from detprocess_tpu.pipelines.randoms import Randoms
 
@@ -169,6 +177,32 @@ class Salting:
 
         fractions = channel_fractions or {
             c: 1.0 / len(channels) for c in channels}
+
+        # per-channel eV-per-amp normalization
+        EV_PER_JOULE = 6.241509074e18
+        norms = {}
+        for chan in channels:
+            if isinstance(energy_norm_ev_per_amp, dict):
+                norms[chan] = float(energy_norm_ev_per_amp[chan])
+            elif energy_norm_ev_per_amp is not None:
+                norms[chan] = float(energy_norm_ev_per_amp)
+            else:
+                from detprocess_tpu.models import didv as didv_models
+                try:
+                    dpdi, dpdi_freqs = self._filter_data.get_dpdi(
+                        chan, dpdi_poles, tag=dpdi_tag)
+                except KeyError:
+                    raise ValueError(
+                        f"no energy_norm_ev_per_amp given and no "
+                        f"dpdi_{dpdi_poles}poles_{dpdi_tag} in the filter "
+                        f"file for channel {chan}")
+                tmpl = self._templates[chan]
+                _, _, tmd = self._filter_data.get_template(
+                    chan, tag=template_tag, return_metadata=True)
+                fs = float(tmd.get("sample_rate", 1.25e6))
+                joules = didv_models.energy_normalization(
+                    tmpl, np.asarray(dpdi), fs)
+                norms[chan] = abs(joules) * EV_PER_JOULE
         rows = []
         salt_id = 0
         for i in range(ntot):
@@ -177,9 +211,7 @@ class Salting:
             for chan in channels:
                 frac = fractions.get(chan, 0.0)
                 e_chan = salt_energies[i] * frac
-                norm = (energy_norm_ev_per_amp.get(chan)
-                        if isinstance(energy_norm_ev_per_amp, dict)
-                        else energy_norm_ev_per_amp)
+                norm = norms[chan]
                 rows.append({
                     "salt_id": salt_id,
                     **({"salt_dm_mass_mev": salt_masses[i]}
