@@ -253,6 +253,8 @@ def main(argv=None) -> int:
         proc = TriggerProcessing(raw_files, config,
                                  filter_data=filter_file,
                                  processing_id=args.processing_id,
+                                 restricted=args.restricted,
+                                 calib=args.calib,
                                  facility=args.facility,
                                  verbose=args.verbose)
         if salting is not None:
@@ -287,6 +289,8 @@ def main(argv=None) -> int:
                                  filter_data=filter_file,
                                  trigger_dataframe=tdf,
                                  processing_id=args.processing_id,
+                                 restricted=args.restricted,
+                                 calib=args.calib,
                                  facility=args.facility,
                                  verbose=args.verbose)
         if salting is not None:

@@ -100,3 +100,16 @@ def count_rows(path: str) -> int:
         for name in cols:
             return int(cols[name]["data"].shape[0])
     return 0
+
+
+def build_prefix(base: str, processing_id=None, restricted: bool = False,
+                 calib: bool = False) -> str:
+    """Output-file prefix with provenance markers
+    ([{processing_id}_]base[_restricted|_calib], reference
+    features.py:1063-1070)."""
+    prefix = f"{processing_id}_{base}" if processing_id else base
+    if restricted:
+        prefix += "_restricted"
+    elif calib:
+        prefix += "_calib"
+    return prefix

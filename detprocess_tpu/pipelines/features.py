@@ -99,11 +99,15 @@ class FeatureProcessing:
                  trigger_dataframe: Optional[pd.DataFrame | str] = None,
                  external_file: Optional[str] = None,
                  processing_id: Optional[str] = None,
+                 restricted: bool = False,
+                 calib: bool = False,
                  facility: int = 1,
                  verbose: bool = True):
         self._verbose = verbose
         self._facility = facility
         self._processing_id = processing_id
+        self._restricted = restricted
+        self._calib = calib
 
         self._reader = RawReader(raw_files)
         self._fs = self._reader.sample_rate
@@ -865,17 +869,22 @@ class FeatureProcessing:
         result = pd.concat(frames, ignore_index=True)
         return result if lgc_output else None
 
+    def _output_prefix(self) -> str:
+        return tables.build_prefix("feature", self._processing_id,
+                                   self._restricted, self._calib)
+
     def _scan_resume(self, output_path, group_name, output_format):
         """Find existing dumps: (series, rows_done, last_dump) or None."""
         import glob
         import re
 
+        prefix = self._output_prefix()
         ext = "parquet" if output_format == "parquet" else "hdf5"
-        rx = re.compile(r"feature_" + re.escape(group_name)
+        rx = re.compile(re.escape(prefix) + "_" + re.escape(group_name)
                         + r"_(.+)_F(\d+)\." + ext + "$")
         by_series: Dict[str, list] = {}
         for f in sorted(glob.glob(os.path.join(
-                output_path, f"feature_{group_name}_*.{ext}"))):
+                output_path, f"{prefix}_{group_name}_*.{ext}"))):
             m = rx.match(os.path.basename(f))
             if m:
                 by_series.setdefault(m.group(1), []).append(
@@ -934,7 +943,8 @@ class FeatureProcessing:
         state["pending"] = []
         state["dump"] += 1
         path = tables.output_file_name(
-            output_path, "feature", group_name, out_series, state["dump"],
+            output_path, self._output_prefix(), group_name, out_series,
+            state["dump"],
             "parquet" if output_format == "parquet" else "hdf5")
         tables.write_table(df, path, fmt=output_format)
 

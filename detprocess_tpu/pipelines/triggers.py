@@ -251,11 +251,15 @@ class TriggerProcessing:
                  config: YamlConfig | str,
                  filter_data: FilterData | str | None = None,
                  processing_id: Optional[str] = None,
+                 restricted: bool = False,
+                 calib: bool = False,
                  facility: int = 1,
                  verbose: bool = True):
         self._verbose = verbose
         self._facility = facility
         self._processing_id = processing_id
+        self._restricted = restricted
+        self._calib = calib
         self._reader = RawReader(raw_files)
         self._fs = self._reader.sample_rate
         self._available_channels = self._reader.channels
@@ -542,8 +546,11 @@ class TriggerProcessing:
                   f"{len(result)} triggers")
         if lgc_save and len(result):
             dump_num += 1
+            prefix = tables.build_prefix("threshtrig",
+                                         self._processing_id,
+                                         self._restricted, self._calib)
             path = tables.output_file_name(
-                output_path, "threshtrig", group_name, out_series, dump_num,
+                output_path, prefix, group_name, out_series, dump_num,
                 "parquet" if output_format == "parquet" else "hdf5")
             tables.write_table(result, path, fmt=output_format)
         return result if lgc_output else None
