@@ -165,15 +165,19 @@ class Salting:
             raise ValueError('"energies", "dm_pdf" or "pdf_file" required')
         ntot = len(salt_energies)
 
-        # random times across the exposure (randoms machinery)
+        # random times across the exposure (randoms machinery);
+        # non-coincident salting draws independent times per channel
+        nchan = len(channels)
+        ntimes = ntot if coincident else ntot * nchan
         randoms = Randoms(raw_files, verbose=False)
         times_df = randoms.process(
-            nrandoms=ntot, min_separation_msec=min_separation_msec,
+            nrandoms=ntimes, min_separation_msec=min_separation_msec,
             edge_exclusion_msec=edge_exclusion_msec, seed=seed,
             lgc_output=True)
-        if len(times_df) < ntot:
-            salt_energies = salt_energies[: len(times_df)]
-            ntot = len(salt_energies)
+        if len(times_df) < ntimes:
+            ntot = (len(times_df) if coincident
+                    else len(times_df) // nchan)
+            salt_energies = salt_energies[:ntot]
 
         fractions = channel_fractions or {
             c: 1.0 / len(channels) for c in channels}
@@ -206,9 +210,9 @@ class Salting:
         rows = []
         salt_id = 0
         for i in range(ntot):
-            t = times_df.iloc[i]
             salt_id += 1
-            for chan in channels:
+            for ci, chan in enumerate(channels):
+                t = times_df.iloc[i if coincident else i * nchan + ci]
                 frac = fractions.get(chan, 0.0)
                 e_chan = salt_energies[i] * frac
                 norm = norms[chan]
