@@ -66,6 +66,29 @@ class DIDVAnalysis(FilterData):
         small-signal conversion (core/didv.py:239-303)."""
         self._bias_params[channel] = dict(results)
 
+    def set_ivsweep_results_from_data(self, channel: str, results: dict,
+                                      iv_type: str = "noise"):
+        """Alias matching the reference API (core/didv.py:239)."""
+        return self.set_ivsweep_results(channel, results, iv_type)
+
+    def set_ivsweep_results_from_file(self, channel: str, file_name: str,
+                                      iv_type: str = "noise",
+                                      tag: str = "default"):
+        """Load IV-sweep results for a channel from a filter/ivsweep
+        HDF5 file (core/didv.py:303). Accepts per-bias-point results
+        (picks the stored summary dict) written by IVSweepAnalysis."""
+        from detprocess_tpu.io.filterfile import FilterData
+
+        fd = FilterData(verbose=False).load_hdf5(file_name)
+        results = fd._get(channel, f"ivsweep_results_{iv_type}_{tag}")
+        if isinstance(results, dict):
+            self._bias_params[channel] = dict(results)
+        else:
+            raise ValueError(
+                f"ivsweep_results_{iv_type}_{tag} for {channel} in "
+                f"{file_name} is not a result dict")
+        return self
+
     def dofit(self, channels: Sequence[str] | str, poles=(2, 3),
               nharmonics: Optional[int] = 200):
         """Fit the measured dIdV(f) with the requested pole models

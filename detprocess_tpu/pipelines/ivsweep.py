@@ -194,6 +194,26 @@ class IVSweepAnalysis(FilterData):
         self.set_data_from_dataframe(
             channel, proc._get(channel, f"ivsweep_data_{tag}"), rsh)
 
+    def set_data_from_file(self, file_name: str, channel: str = None,
+                           tag: str = "default", rsh: float = 5e-3):
+        """Load sweep dataframe(s) from an ivsweep/filter HDF5 file
+        (ivsweep.py:150-191)."""
+        from detprocess_tpu.io.filterfile import FilterData
+
+        fd = FilterData(verbose=False).load_hdf5(file_name)
+        channels = ([channel] if channel
+                    else [c for c in fd.data
+                          if f"ivsweep_data_{tag}" in fd.data[c]])
+        if not channels:
+            raise ValueError(
+                f"no ivsweep_data_{tag} found in {file_name}")
+        for chan in channels:
+            md = fd.data[chan].get(f"ivsweep_data_{tag}_metadata") or {}
+            self.set_data_from_dataframe(
+                chan, fd._get(chan, f"ivsweep_data_{tag}"),
+                rsh=float(md.get("rsh", rsh)))
+        return self
+
     def set_nb_sc_normal_points(self, channel: str, nnorm: int, nsc: int):
         """Override automatic state counts (ivsweep.py:326-399)."""
         self._nnorm[channel] = nnorm
