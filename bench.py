@@ -31,8 +31,8 @@ import numpy as np
 FS = 1.25e6
 N = 32768
 PRETRIG = N // 2
-BATCH = 4096
-NBATCH = 8
+BATCH = 8192
+NBATCH = 4
 CPU_BASELINE_EVENTS = 24
 
 
