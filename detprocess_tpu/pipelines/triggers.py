@@ -413,7 +413,17 @@ class TriggerProcessing:
                 group_name: str = "trigger",
                 coincident_window_msec: Optional[float] = None,
                 coincident_window_samples: Optional[int] = None,
+                nb_events_per_dump: Optional[int] = None,
+                resume: bool = False,
                 lgc_output: bool = True) -> Optional[pd.DataFrame]:
+        """Run continuous-data triggering.
+
+        ``nb_events_per_dump`` writes a trigger dump every N continuous
+        events (default: one dump at the end). ``resume=True`` (with
+        lgc_save) scans output_path for existing dumps, skips continuous
+        events at or before the last processed (series, event) and
+        continues the same output series + dump numbering.
+        """
         overall = self._trigger_config.get("overall", {}) or {}
         if coincident_window_msec is None:
             coincident_window_msec = overall.get("coincident_window_msec")
@@ -425,6 +435,7 @@ class TriggerProcessing:
                for tc in self._channels}
         builder = EventBuilder()
         frames: List[pd.DataFrame] = []
+        all_frames: List[pd.DataFrame] = []
         out_series = series_name or create_series_name(self._facility)
         if lgc_save:
             if output_path is None:
@@ -434,6 +445,18 @@ class TriggerProcessing:
         self._reader.rewind()
         total = 0
         dump_num = 0
+        resume_after = None         # (series_number, event_number)
+        if lgc_save and resume:
+            found = self._scan_resume(output_path, group_name,
+                                      output_format)
+            if found is not None:
+                out_series, dump_num, resume_after = found
+                if self._verbose:
+                    print(f"INFO: resuming series {out_series} after "
+                          f"series/event {resume_after} "
+                          f"(dump {dump_num})")
+        events_done = 0      # events drained through handle_event
+        events_dumped = 0    # events covered by written dumps
         livetime = 0.0   # processed exposure minus edge exclusions
                          # (scripts/process.py:459-463 livetime accounting)
         max_edge = max((tc.edge_exclusion_msec or 0.0
@@ -510,11 +533,17 @@ class TriggerProcessing:
                 traces, admin = source.read_next_event()
                 if traces is None:
                     break
+                if resume_after is not None and (
+                        admin["series_number"],
+                        admin["event_number"]) <= resume_after:
+                    continue
                 if self._salt_injector is not None:
                     traces = self._salt_injector(traces, admin)
                 batch_traces.append(traces)
                 batch_admins.append(admin)
             if not batch_traces:
+                if resume_after is not None and traces is not None:
+                    continue          # batch fully skipped, keep reading
                 break
             total += len(batch_traces)
             stacked = jnp.asarray(np.stack(batch_traces), jnp.float32)
@@ -527,6 +556,16 @@ class TriggerProcessing:
                 btr, badm, bsets = inflight.pop(0)
                 for e in range(len(btr)):
                     handle_event(btr[e], badm[e], slice_sets(bsets, e))
+                events_done += len(btr)
+            if (lgc_save and nb_events_per_dump
+                    and events_done - events_dumped >= nb_events_per_dump
+                    and frames):
+                dump_num = self._write_dump(frames, output_path,
+                                            output_format, out_series,
+                                            group_name, dump_num)
+                all_frames.extend(frames)
+                frames.clear()
+                events_dumped = events_done
             if self._verbose and total % 100 < event_batch:
                 # note: triggers from still-inflight dispatches are not
                 # counted yet — this is a progress line, not a total
@@ -539,18 +578,55 @@ class TriggerProcessing:
         if prefetch_depth > 0:
             source.close()
 
-        result = (pd.concat(frames, ignore_index=True)
-                  if frames else pd.DataFrame())
+        if lgc_save and frames:
+            dump_num = self._write_dump(frames, output_path, output_format,
+                                        out_series, group_name, dump_num)
+        all_frames.extend(frames)
+        result = (pd.concat(all_frames, ignore_index=True)
+                  if all_frames else pd.DataFrame())
         if self._verbose:
             print(f"INFO: processed {total} continuous events, "
                   f"{len(result)} triggers")
-        if lgc_save and len(result):
-            dump_num += 1
-            prefix = tables.build_prefix("threshtrig",
-                                         self._processing_id,
-                                         self._restricted, self._calib)
-            path = tables.output_file_name(
-                output_path, prefix, group_name, out_series, dump_num,
-                "parquet" if output_format == "parquet" else "hdf5")
-            tables.write_table(result, path, fmt=output_format)
         return result if lgc_output else None
+
+    def _trigger_prefix(self) -> str:
+        return tables.build_prefix("threshtrig", self._processing_id,
+                                   self._restricted, self._calib)
+
+    def _write_dump(self, frames, output_path, output_format, out_series,
+                    group_name, dump_num) -> int:
+        df = pd.concat(frames, ignore_index=True)
+        if not len(df):
+            return dump_num
+        dump_num += 1
+        path = tables.output_file_name(
+            output_path, self._trigger_prefix(), group_name, out_series,
+            dump_num, "parquet" if output_format == "parquet" else "hdf5")
+        tables.write_table(df, path, fmt=output_format)
+        return dump_num
+
+    def _scan_resume(self, output_path, group_name, output_format):
+        """(series_name, last_dump, (series_number, event_number)) of the
+        newest existing dump set, or None."""
+        import glob
+        import re
+
+        prefix = self._trigger_prefix()
+        ext = "parquet" if output_format == "parquet" else "hdf5"
+        rx = re.compile(re.escape(prefix) + "_" + re.escape(group_name)
+                        + r"_(.+)_F(\d+)\." + ext + "$")
+        by_series: Dict[str, list] = {}
+        for f in sorted(glob.glob(os.path.join(
+                output_path, f"{prefix}_{group_name}_*.{ext}"))):
+            m = rx.match(os.path.basename(f))
+            if m:
+                by_series.setdefault(m.group(1), []).append(
+                    (int(m.group(2)), f))
+        if not by_series:
+            return None
+        series = sorted(by_series)[-1]
+        dumps = sorted(by_series[series])
+        last = tables.read_table(dumps[-1][1])
+        key = (int(last["series_number"].iloc[-1]),
+               int(last["event_number"].iloc[-1]))
+        return series, dumps[-1][0], key

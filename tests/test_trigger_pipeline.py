@@ -190,3 +190,55 @@ def test_nxm_compound_channel_trigger(dataset, tmp_path):
     assert 20000 - 6 <= idx[1] <= 20010 + 6
     assert abs(idx[2] - 40000) <= 6
     assert (df["trigger_channel"] == "chan1|chan2").all()
+
+
+def test_trigger_dumps_and_resume(dataset, tmp_path):
+    """Periodic trigger dumps + resume: an interrupted run continued with
+    resume=True yields the same triggers as one uninterrupted run."""
+    from detprocess_tpu.io import tables
+    import glob
+
+    out_full = str(tmp_path / "full")
+    proc = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    full = proc.process(capacity=64, lgc_save=True, output_path=out_full,
+                        series_name="I1_D20260816_T220000",
+                        event_batch=1, pipeline_depth=0,
+                        nb_events_per_dump=1)
+    files_full = sorted(glob.glob(out_full + "/*.hdf5"))
+    assert len(files_full) == 2          # 2 continuous events, 1 per dump
+
+    # interrupted: only the first continuous event
+    out_res = str(tmp_path / "resumed")
+    proc2 = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
+                              filter_data=dataset["filter_path"],
+                              verbose=False)
+    proc2.process(nevents=1, capacity=64, lgc_save=True,
+                  output_path=out_res,
+                  series_name="I1_D20260816_T220000",
+                  event_batch=1, pipeline_depth=0,
+                  nb_events_per_dump=1, lgc_output=False)
+    assert len(glob.glob(out_res + "/*.hdf5")) == 1
+
+    proc3 = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
+                              filter_data=dataset["filter_path"],
+                              verbose=False)
+    proc3.process(capacity=64, lgc_save=True, output_path=out_res,
+                  resume=True, event_batch=1, pipeline_depth=0,
+                  nb_events_per_dump=1, lgc_output=False)
+    files_res = sorted(glob.glob(out_res + "/*.hdf5"))
+    t_full = tables.concat_tables(files_full)
+    t_res = tables.concat_tables(files_res)
+    assert len(t_res) == len(t_full)
+    np.testing.assert_array_equal(
+        np.sort(t_res["trigger_index"].to_numpy()),
+        np.sort(t_full["trigger_index"].to_numpy()))
+    # resuming a complete run adds nothing
+    proc4 = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
+                              filter_data=dataset["filter_path"],
+                              verbose=False)
+    proc4.process(capacity=64, lgc_save=True, output_path=out_res,
+                  resume=True, event_batch=1, pipeline_depth=0,
+                  nb_events_per_dump=1, lgc_output=False)
+    assert sorted(glob.glob(out_res + "/*.hdf5")) == files_res
