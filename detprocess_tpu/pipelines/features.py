@@ -790,6 +790,7 @@ class FeatureProcessing:
                 series_name: Optional[str] = None,
                 group_name: str = "features",
                 nb_events_per_dump: Optional[int] = None,
+                memory_limit: float | str | None = None,
                 resume: bool = False,
                 lgc_output: bool = True) -> Optional[pd.DataFrame]:
         """Run feature extraction.
@@ -814,7 +815,8 @@ class FeatureProcessing:
                                   else np.float32)
         frames: List[pd.DataFrame] = []
         state = {"total": 0, "dump": 0, "pending": [],
-                 "dump_size": nb_events_per_dump}
+                 "dump_size": nb_events_per_dump,
+                 "memory_limit": _parse_memory_limit(memory_limit)}
         out_series = series_name or create_series_name(self._facility)
         skip_events = 0
         if lgc_save:
@@ -929,8 +931,13 @@ class FeatureProcessing:
             # (features.py:593-626); default = one dump per batch
             state["pending"].append(df)
             size = state["dump_size"]
-            if (size is None
-                    or sum(len(d) for d in state["pending"]) >= size):
+            mem = state["memory_limit"]
+            pending_bytes = sum(int(d.memory_usage(deep=False).sum())
+                                for d in state["pending"])
+            if ((size is None and mem is None)
+                    or (size is not None
+                        and sum(len(d) for d in state["pending"]) >= size)
+                    or (mem is not None and pending_bytes >= mem)):
                 self._flush_dump(state, output_path, output_format,
                                  out_series, group_name)
 
@@ -947,6 +954,20 @@ class FeatureProcessing:
             state["dump"],
             "parquet" if output_format == "parquet" else "hdf5")
         tables.write_table(df, path, fmt=output_format)
+
+
+def _parse_memory_limit(limit):
+    """'2GB' / '500 MB' / bytes → bytes (reference memory_limit,
+    features.py:283-380; humanfriendly equivalent)."""
+    if limit is None:
+        return None
+    if isinstance(limit, (int, float)):
+        return float(limit)
+    txt = str(limit).strip().upper().replace(" ", "")
+    for suffix, mult in (("GB", 1e9), ("MB", 1e6), ("KB", 1e3), ("B", 1)):
+        if txt.endswith(suffix):
+            return float(txt[: -len(suffix)]) * mult
+    return float(txt)
 
 
 def _skip_rows(batches, skip: int):

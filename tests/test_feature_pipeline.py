@@ -323,3 +323,21 @@ def test_nb_events_per_dump(dataset, tmp_path):
     counts = [tables.count_rows(f) for f in files]
     assert all(c >= 6 for c in counts[:-1])          # full dumps
     assert sum(counts) == 24                         # fixture total
+
+
+def test_memory_limit_dumping(dataset, tmp_path):
+    """memory_limit flushes dumps when the pending frames exceed the
+    byte budget (reference features.py:283-380 semantics)."""
+    from detprocess_tpu.io import tables
+    import glob
+
+    out = str(tmp_path / "mem")
+    proc = FeatureProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    proc.process(batch_size=2, memory_limit="1KB", lgc_save=True,
+                 output_path=out, lgc_output=False,
+                 series_name="I1_D20260816_T230500")
+    files = sorted(glob.glob(out + "/*.hdf5"))
+    assert len(files) >= 2
+    assert sum(tables.count_rows(f) for f in files) == 24
