@@ -241,6 +241,7 @@ class _TriggerChannel:
     run_residual: bool
     sat_amps: Optional[list]
     edge_exclusion_msec: Optional[float]
+    positive_pulses: bool = True
 
 
 class TriggerProcessing:
@@ -334,6 +335,7 @@ class TriggerProcessing:
                 run_residual=bool(tcfg.get("run_residual", False)),
                 sat_amps=tcfg.get("saturation_amplitudes"),
                 edge_exclusion_msec=tcfg.get("edge_exclusion_msec"),
+                positive_pulses=bool(tcfg.get("positive_pulses", True)),
             ))
 
     # ------------------------------------------------------------------
@@ -355,7 +357,8 @@ class TriggerProcessing:
                 if tc.sat_amps is not None:
                     lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
                     sat = trig_ops.saturation_mask(
-                        lpf, tc.sat_amps, kernel.nt // 4)
+                        lpf, tc.sat_amps, kernel.nt // 4,
+                        positive_pulses=tc.positive_pulses)
                 else:
                     sat = None
                 resid = trig_ops.residual_subtract(dchi2, ts, kernel, sat)
