@@ -203,7 +203,9 @@ class TriggerSet(NamedTuple):
     indices: jnp.ndarray      # [K] int32, -1 = empty slot
     dchi2: jnp.ndarray        # [K]
     amplitudes: jnp.ndarray   # [M, K]
-    count: jnp.ndarray        # scalar int32
+    count: jnp.ndarray        # scalar int32 — valid entries (≤ capacity)
+    count_total: jnp.ndarray  # scalar int32 — merged groups found; if
+                              # > count the capacity truncated the output
 
 
 def _seg_cummax_rows(x: jnp.ndarray, reset: jnp.ndarray):
@@ -339,6 +341,7 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
         dchi2=jnp.where(valid, flat_val[order], 0.0),
         amplitudes=jnp.where(valid[None, :], flat_amp[:, order], 0.0),
         count=count,
+        count_total=count_total,
     )
 
 

@@ -376,6 +376,11 @@ class TriggerProcessing:
     def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
                            ) -> pd.DataFrame:
         count = int(ts.count)
+        total = int(getattr(ts, "count_total", count))
+        if total > count:
+            print(f"WARNING: trigger capacity truncated {tc.name}: "
+                  f"{total} merged groups found, {count} kept — raise "
+                  f"process(capacity=...)")
         if count == 0:
             return pd.DataFrame()
         idx = np.asarray(ts.indices)[:count]
@@ -514,7 +519,8 @@ class TriggerProcessing:
                         indices=np.asarray(t.indices)[e],
                         dchi2=np.asarray(t.dchi2)[e],
                         amplitudes=np.asarray(t.amplitudes)[e],
-                        count=np.asarray(t.count)[e])
+                        count=np.asarray(t.count)[e],
+                        count_total=np.asarray(t.count_total)[e])
                 out[name] = (pick(ts), pick(ts2))
             return out
 

@@ -281,3 +281,20 @@ def test_find_triggers_property_vs_numpy():
         np.testing.assert_array_equal(np.sort(got_idx), np.sort(exp_idx))
         np.testing.assert_allclose(np.sort(got_d), np.sort(exp_d),
                                    rtol=1e-6)
+
+
+def test_capacity_overflow_semantics():
+    """More merged groups than capacity: the earliest `capacity` triggers
+    are kept in time order, count reflects kept entries and count_total
+    the true number of groups."""
+    l = 20000
+    d = np.zeros(l)
+    pos = np.arange(40) * 500 + 100
+    d[pos] = 100.0
+    amps = d[None] * 1e-6
+    ts = trigger.find_triggers_kernel(jnp.asarray(d), jnp.asarray(amps),
+                                      10.0, 50, 16)
+    idx = np.asarray(ts.indices)
+    assert int(ts.count) == 16
+    assert int(ts.count_total) == 40
+    np.testing.assert_array_equal(idx[:16], pos[:16])
