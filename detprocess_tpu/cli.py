@@ -22,11 +22,10 @@ import argparse
 import os
 import sys
 
-import numpy as np
 
 from detprocess_tpu.config import YamlConfig
 from detprocess_tpu.io.rawdata import RawData, RawReader
-from detprocess_tpu.utils.misc import convert_to_seconds, create_series_name
+from detprocess_tpu.utils.misc import create_series_name
 
 
 def build_parser() -> argparse.ArgumentParser:
