@@ -22,6 +22,13 @@ reuses the four-step path.
 
 The decomposition is mathematically exact, so the same code path runs on CPU
 (float64 golden tests) and TPU (float32/complex64).
+
+
+Reference role: stands in for every np.fft/scipy.fft call in the
+reference and QETpy (e.g. qetpy OFBase FFTs, detprocess
+core/oftrigger.py:659-672 oaconvolve internals) — those run host
+FFTW/pocketfft; here large-N transforms must be MXU matmuls because
+the TPU backend's native FFT stops at N=4096.
 """
 
 from __future__ import annotations

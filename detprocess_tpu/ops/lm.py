@@ -12,6 +12,12 @@ Fixed-iteration trust-region LM with analytic Jacobians via jax.jacfwd:
 - damped normal equations solved with jnp.linalg.solve on (JᵀJ + λ·diag)
 - λ adapted multiplicatively; all control flow is lax.while-free
   (fori_loop with accept/reject masking) so it jits and vmaps cleanly.
+
+
+Reference role: replaces lmfit Model.fit (detprocess
+core/noisemodel.py:617-634, :884-893), scipy curve_fit
+(core/algorithms.py:1417 rftau) and qetpy's least-squares dIdV
+fitting with one vmappable fixed-iteration implementation.
 """
 
 from __future__ import annotations

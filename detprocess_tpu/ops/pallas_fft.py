@@ -17,6 +17,10 @@ Layout per tile (TB events, N = n1·n2 samples, n1/n2 ≤ 256):
 All matrices are f32; complex arithmetic is explicit re/im so every
 contraction is a real MXU matmul (XLA's complex dot does not map well to
 the MXU, and bf16 default precision is insufficient — see ops/fft.py).
+
+
+Reference role: experimental Pallas variant of ops/fft.py (see that
+module for the reference mapping).
 """
 
 from __future__ import annotations

@@ -28,6 +28,11 @@ Backend constraint: this TPU's Mosaic compiler only accepts 2-D operations
   where row r = k1·TB + b and column = k2, i.e. frequency bin
   f = k2·n1 + k1 of event b — the OF weights are pre-scrambled to this
   layout on host, so the reductions never need the natural order.
+
+
+Reference role: experimental fused alternative to the XLA path of
+ops/of1x1.py (FeatureExtractors of1x1*, detprocess
+core/algorithms.py:278-567).
 """
 
 from __future__ import annotations
