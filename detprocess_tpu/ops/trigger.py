@@ -272,7 +272,7 @@ def _prev_above_index(t: jnp.ndarray, above: jnp.ndarray):
 def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
                          threshold: float, pileup_window: int,
                          capacity: int,
-                         winners_per_row: int = 64) -> TriggerSet:
+                         winners_per_row: Optional[int] = None) -> TriggerSet:
     """Threshold + pileup merge on block-layout inputs, fixed capacity.
 
     dchi2 [R, B], amps [M, R, B] (row-major time order, t = r·B + b).
@@ -283,8 +283,10 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
     TPU note: 1-D megasample scans serialize, so everything runs as 2-D
     segmented scans (parallel across block rows with small cross-row
     carries); the winners (≤1 per merged group) are compacted with a
-    per-row top-k. ``winners_per_row`` caps emitted triggers per block
-    row (not the merge logic itself, which sees every sample).
+    per-row top-k. ``winners_per_row`` defaults to the mathematical
+    maximum of merged groups per row, b // (pileup_window + 1) + 2, so
+    compaction is exact; pass a smaller value only to trade pathological
+    dense-regime capacity for top-k speed.
     """
     r, b = dchi2.shape
     m = amps.shape[0]
@@ -320,7 +322,12 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     count_total = jnp.sum(start.astype(jnp.int32))
 
-    # compact winners per row (≤1 per group; winners are sparse)
+    # compact winners per row (≤1 per group; winners are sparse).
+    # A merged group plus its following gap spans ≥ pileup_window + 1
+    # samples, so a row of b samples holds at most b//(window+1) + 2
+    # winners (+2 for groups straddling the row boundaries).
+    if winners_per_row is None:
+        winners_per_row = b // (max(pileup_window, 0) + 1) + 2
     kk = min(winners_per_row, b)
     wd = jnp.where(winner, dchi2, -jnp.inf)
     vals, cols = jax.lax.top_k(wd, kk)                    # [R, k]
@@ -348,7 +355,8 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
 def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                          threshold: float, pileup_window: int,
                          capacity: int,
-                         winners_per_row: int = 64) -> TriggerSet:
+                         winners_per_row: Optional[int] = None
+                         ) -> TriggerSet:
     """Flat-input wrapper around :func:`find_triggers_blocks`
     (dchi2 [L], amps [M, L]); pads to a block multiple internally."""
     l = dchi2.shape[-1]

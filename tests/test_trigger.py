@@ -298,3 +298,29 @@ def test_capacity_overflow_semantics():
     assert int(ts.count) == 16
     assert int(ts.count_total) == 40
     np.testing.assert_array_equal(idx[:16], pos[:16])
+
+
+def test_dense_regime_exact_vs_oracle():
+    """Pathologically dense trigger patterns (tiny pileup window, most
+    samples above threshold) compact exactly — the per-row winner bound
+    is the mathematical max groups per row, not a fixed cap."""
+    rng = np.random.default_rng(7)
+    l = 5000
+    d = rng.exponential(0.5, l) + rng.uniform(0, 12, l)
+    window, thr = 2, 8.0
+    above = np.where(d > thr)[0]
+    groups = [[above[0]]]
+    for i in above[1:]:
+        if i - groups[-1][-1] <= window:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+    expected = np.asarray(
+        [g[int(np.argmax(d[np.asarray(g)]))] for g in groups])
+    amps = d[None] * 1e-6
+    ts = trigger.find_triggers_kernel(jnp.asarray(d), jnp.asarray(amps),
+                                      thr, window, 4096)
+    cnt = int(ts.count)
+    assert int(ts.count_total) == len(expected)
+    np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt],
+                                  expected[:cnt])
