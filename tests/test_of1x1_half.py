@@ -78,3 +78,43 @@ def test_withdelay_half_equals_full(setup):
                                    np.asarray(full.t0), atol=1e-12)
         np.testing.assert_allclose(np.asarray(half.chi2),
                                    np.asarray(full.chi2), rtol=1e-9)
+
+
+def test_constrained_window_randomized():
+    """Window-constrained delay fits exact vs the loop oracle across
+    random geometries and windows."""
+    import jax
+    from detprocess_tpu.models import pulse as pulse_mod
+    from reference_impl import RefOF1x1, generate_noise
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n = int(2 ** rng.integers(9, 11))
+        p = int(rng.integers(10, n - 10))
+        tmpl = pulse_mod.make_template(FS, n, p, A=1.0, tau_r=15e-6,
+                                       tau_f1=150e-6)
+        f = np.abs(np.fft.fftfreq(n, 1 / FS))
+        f[0] = f[1]
+        psd = 1e-20 * (1 + rng.uniform(10, 200) / f)
+        bank = filterbank.make_of1x1_bank(tmpl, psd, FS, p)
+        ref = RefOF1x1(tmpl, psd, FS, p)
+        traces = (generate_noise(psd, FS, 4, rng)
+                  + rng.uniform(0.5e-6, 3e-6)
+                  * np.roll(tmpl, int(rng.integers(-40, 40))))
+        wlo = int(rng.integers(0, n - 20))
+        whi = int(rng.integers(wlo + 5, n - 1))
+        dev = jax.tree.map(jnp.asarray, bank.to_device(np.float64))
+        bh = filterbank.device_bank_1x1_half(dev)
+        vr = of1x1.signal_rfft(jnp.asarray(traces)[:, None, :])
+        mask = np.zeros(n, bool)
+        mask[wlo:whi + 1] = True
+        res = of1x1.of1x1_withdelay_half(
+            vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w, p, FS,
+            window_mask=jnp.asarray(mask))
+        for i in range(len(traces)):
+            a_ref, _, c_ref, _ = ref.fit_withdelay(traces[i],
+                                                   window=(wlo, whi))
+            a = float(np.asarray(res.amp)[i, 0])
+            c = float(np.asarray(res.chi2)[i, 0])
+            assert abs(a - a_ref) < 1e-9 + 1e-6 * abs(a_ref)
+            assert abs(c - c_ref) < 1e-6 * abs(c_ref) + 1e-6

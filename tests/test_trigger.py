@@ -324,3 +324,40 @@ def test_dense_regime_exact_vs_oracle():
     assert int(ts.count_total) == len(expected)
     np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt],
                                   expected[:cnt])
+
+
+def test_fir_alignment_randomized():
+    """FIR sample alignment exact across random (nt, pretrigger, L, C)."""
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        nt = int(2 ** rng.integers(6, 9))
+        pretrig = int(rng.integers(1, nt - 1))
+        l = int(rng.integers(3 * nt, 9000))
+        c = int(rng.choice([1, 2]))
+        tmpl = np.stack([pulse.make_template(FS, nt, pretrig, A=1.0,
+                                             tau_r=10e-6, tau_f1=100e-6)
+                         for _ in range(c)])[:, None, :]
+        csd = np.zeros((c, c, nt), complex)
+        for i in range(c):
+            csd[i, i] = 4e-18 * (1 + rng.random())
+        bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
+        kernel = trigger.make_trigger_kernel(bank, block=2048)
+        x = rng.standard_normal((c, l)) * 1e-8
+        qb, _ = trigger.of_fir_blocks(jnp.asarray(x), kernel)
+        q = np.asarray(qb).reshape(1, -1)[:, :l]
+        w_circ = np.real(np.fft.ifft(bank.phi, axis=-1)) * nt
+        h = np.roll(w_circ, nt - 1, axis=-1)
+        ref = np.zeros((1, l))
+        for ci in range(c):
+            full = np.convolve(x[ci], h[ci, 0], mode="full")
+            ref[0] += full[nt - 1 - pretrig + np.arange(l)]
+        ref[:, :nt] = 0
+        ref[:, -nt:] = 0
+        qz = q.copy()
+        qz[:, :nt] = 0
+        qz[:, -nt:] = 0
+        err = np.max(np.abs(qz - ref)) / np.max(np.abs(ref))
+        assert err < 1e-6, (nt, pretrig, l, c, err)
