@@ -149,6 +149,14 @@ class EventBuilder:
         else:
             event_times = np.full(n, -1, dtype=np.int64)
         df["event_time"] = event_times
+        # elapsed-time columns (eventbuilder.py:301-313): event time minus
+        # the respective start stamps when provided
+        for key in ("series_start_time", "group_start_time",
+                    "fridge_run_start_time"):
+            start = event_metadata.get(key)
+            df[key] = (event_times - np.int64(start)
+                       if start is not None and np.isfinite(event_time_start)
+                       else np.full(n, -1, dtype=np.int64))
         df["trigger_prod_id"] = (np.arange(n, dtype=np.int64)
                                  + self._current_trigger_id + 1)
         self._current_trigger_id = int(df["trigger_prod_id"].iloc[-1])
