@@ -73,7 +73,11 @@ class RawWriter:
                  facility: int = 1, group_name: str = "group",
                  data_type: str = "continuous", adc_name: str = "adc1",
                  nb_pretrigger_samples: Optional[int] = None,
-                 detector_config: Optional[Dict[str, dict]] = None):
+                 detector_config: Optional[Dict[str, dict]] = None,
+                 fridge_run: Optional[int] = None,
+                 series_start_time: Optional[int] = None,
+                 group_start_time: Optional[int] = None,
+                 fridge_run_start_time: Optional[int] = None):
         self.path = path
         self.series_name = series_name
         self.sample_rate = float(sample_rate)
@@ -85,6 +89,10 @@ class RawWriter:
         self.adc_name = adc_name
         self.nb_pretrigger_samples = nb_pretrigger_samples
         self.detector_config = detector_config or {}
+        self.fridge_run = fridge_run
+        self.series_start_time = series_start_time
+        self.group_start_time = group_start_time
+        self.fridge_run_start_time = fridge_run_start_time
         os.makedirs(path, exist_ok=True)
 
     def file_name(self, dump_num: int) -> str:
@@ -113,6 +121,11 @@ class RawWriter:
             f.attrs["data_purpose"] = self.data_type
             f.attrs["group_name"] = self.group_name
             f.attrs["daq_version"] = "detprocess_tpu"
+            for key in ("fridge_run", "series_start_time",
+                        "group_start_time", "fridge_run_start_time"):
+                val = getattr(self, key)
+                if val is not None:
+                    f.attrs[key] = int(val)
             g = f.create_group(self.adc_name)
             g.attrs["nb_events"] = nb_events
             g.attrs["nb_samples"] = nsamp
@@ -280,6 +293,11 @@ class RawReader:
             "data_type": str(f.attrs.get("data_type", "")),
             "file_name": fname,
         }
+        for key in ("fridge_run", "series_start_time", "group_start_time",
+                    "fridge_run_start_time"):
+            if key in f.attrs:
+                admin["fridge_run_number" if key == "fridge_run"
+                      else key] = int(f.attrs[key])
         return traces, admin
 
     def get_detector_config(self, file_name: Optional[str] = None) -> dict:
