@@ -905,6 +905,16 @@ class FeatureProcessing:
         for col in ("event_number", "event_id", "event_time",
                     "series_number", "dump_number", "trigger_type"):
             frame[col] = np.asarray([a.get(col, 0) for a in admins])
+        # fridge-run / elapsed-time provenance (processing_data.py:774-887)
+        if any("fridge_run_number" in a for a in admins):
+            frame["fridge_run_number"] = np.asarray(
+                [np.int64(a.get("fridge_run_number", -1)) for a in admins])
+        for col in ("series_start_time", "group_start_time",
+                    "fridge_run_start_time"):
+            if any(col in a for a in admins):
+                frame[col] = np.asarray(
+                    [np.int64(np.round(a["event_time"] - a[col]))
+                     if col in a else np.int64(-1) for a in admins])
         # trigger-mode carry-over columns
         if self._trigger_df is not None:
             for col in ("trigger_index", "trigger_time",
