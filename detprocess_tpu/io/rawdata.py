@@ -173,6 +173,11 @@ class RawReader:
         self._file_idx = 0
         self._event_idx = 0
         self._h5 = None
+        self._ra_file = None          # cached random-access handle
+        self._ra_name = None
+        self._ra_ds: Dict[int, object] = {}      # event dataset handles
+        self._file_admin_cache: Dict[str, dict] = {}
+        self._event_admin_cache: Dict[tuple, dict] = {}
         self._meta_cache: Dict[str, dict] = {}
 
     # -- metadata ------------------------------------------------------
@@ -217,6 +222,13 @@ class RawReader:
         self._file_idx = 0
         self._event_idx = 0
 
+    def close(self):
+        if self._ra_file is not None:
+            self._ra_file.close()
+            self._ra_file = None
+            self._ra_name = None
+            self._ra_ds = {}
+
     def read_next_event(self, channels: Optional[Sequence[str]] = None):
         """Returns (traces [C, N] amps, admin dict) or (None, None) at end."""
         while True:
@@ -243,11 +255,22 @@ class RawReader:
                           trace_window: Optional[tuple] = None):
         """Random access; ``trace_window=(start, length)`` reads a truncated
         window (trigger-dataframe-driven mode,
-        processing_data.py:555-705)."""
+        processing_data.py:555-705). The file handle is cached across
+        calls — trigger-driven reads hit the same dump thousands of
+        times in a row."""
         fname = file_name or self.files[0]
-        with h5py.File(fname, "r") as f:
-            return self._read_event(f, fname, event_index, channels,
-                                    trace_window)
+        if self._ra_name != fname:
+            if self._ra_file is not None:
+                self._ra_file.close()
+            self._ra_file = h5py.File(fname, "r")
+            self._ra_name = fname
+            self._ra_ds = {}
+        ds = self._ra_ds.get(event_index)
+        if ds is None:
+            ds = self._ra_file[self.adc_name][f"event_{event_index}"]
+            self._ra_ds[event_index] = ds
+        return self._read_event(self._ra_file, fname, event_index,
+                                channels, trace_window, ds=ds)
 
     def read_many_events(self, nevents: Optional[int] = None,
                          channels: Optional[Sequence[str]] = None):
@@ -266,38 +289,56 @@ class RawReader:
         return np.stack(out), admins
 
     def _read_event(self, f, fname, event_index, channels,
-                    trace_window=None):
-        g = f[self.adc_name]
-        ds = g[f"event_{event_index}"]
-        chan_list = [str(c) for c in g.attrs["channel_list"]]
+                    trace_window=None, ds=None):
+        # per-file attr values are cached — HDF5 attribute reads cost
+        # ~0.1-0.3 ms each and trigger-driven windowed reads hit the
+        # same file/event thousands of times in a row
+        fc = self._file_admin_cache.get(fname)
+        if fc is None:
+            g = f[self.adc_name]
+            fc = {
+                "chan_list": [str(c) for c in g.attrs["channel_list"]],
+                "cal": float(g.attrs.get("adc_conversion_factor", 1.0)),
+                "admin": {
+                    "series_name": str(f.attrs.get("series_name", "")),
+                    "series_number": int(f.attrs.get("series_num", 0)),
+                    "dump_number": int(f.attrs.get("dump_num", 0)),
+                    "group_name": str(f.attrs.get("group_name", "")),
+                    "data_type": str(f.attrs.get("data_type", "")),
+                    "file_name": fname,
+                },
+            }
+            for key in ("fridge_run", "series_start_time",
+                        "group_start_time", "fridge_run_start_time"):
+                if key in f.attrs:
+                    fc["admin"]["fridge_run_number" if key == "fridge_run"
+                                else key] = int(f.attrs[key])
+            self._file_admin_cache[fname] = fc
+        if ds is None:
+            ds = f[self.adc_name][f"event_{event_index}"]
         if trace_window is not None:
             start, length = trace_window
             start = max(0, int(start))
             arr = ds[:, start:start + int(length)]
         else:
             arr = ds[...]
-        cal = float(g.attrs.get("adc_conversion_factor", 1.0))
-        traces = arr.astype(np.float64) * cal
+        traces = arr.astype(np.float64) * fc["cal"]
         if channels is not None:
-            idx = [chan_list.index(c) for c in channels]
+            idx = [fc["chan_list"].index(c) for c in channels]
             traces = traces[idx]
-        admin = {
-            "event_id": int(ds.attrs.get("event_id", event_index)),
-            "event_number": int(ds.attrs.get("event_num", event_index)),
-            "event_time": float(ds.attrs.get("event_time", 0.0)),
-            "trigger_type": int(ds.attrs.get("trigger_type", 1)),
-            "series_name": str(f.attrs.get("series_name", "")),
-            "series_number": int(f.attrs.get("series_num", 0)),
-            "dump_number": int(f.attrs.get("dump_num", 0)),
-            "group_name": str(f.attrs.get("group_name", "")),
-            "data_type": str(f.attrs.get("data_type", "")),
-            "file_name": fname,
-        }
-        for key in ("fridge_run", "series_start_time", "group_start_time",
-                    "fridge_run_start_time"):
-            if key in f.attrs:
-                admin["fridge_run_number" if key == "fridge_run"
-                      else key] = int(f.attrs[key])
+        ekey = (fname, event_index)
+        ev = self._event_admin_cache.get(ekey)
+        if ev is None:
+            ev = {
+                "event_id": int(ds.attrs.get("event_id", event_index)),
+                "event_number": int(ds.attrs.get("event_num",
+                                                 event_index)),
+                "event_time": float(ds.attrs.get("event_time", 0.0)),
+                "trigger_type": int(ds.attrs.get("trigger_type", 1)),
+            }
+            self._event_admin_cache[ekey] = ev
+        admin = dict(fc["admin"])
+        admin.update(ev)
         return traces, admin
 
     def get_detector_config(self, file_name: Optional[str] = None) -> dict:
