@@ -324,41 +324,121 @@ def of1x2(
     denom_inv: jnp.ndarray,
     pretrigger: int,
     fs: float,
+    delta_window: Optional[np.ndarray] = None,
+    delta_chunk: int = 8,
 ) -> OF1x2Result:
-    """Two-template sequential OF fit (scintillation + evaporation pulses).
+    """Joint two-template OF fit (scintillation + evaporation pulses).
 
     Equivalent of qetpy.OF1x2 as used by FeatureExtractors.of1x2x2
-    (core/algorithms.py:572-647): fit the dominant template with delay,
-    subtract, then fit the second template on the residual with delay.
-    Both fits share one noise model (denom_inv). Shapes as in of1x1 kernels.
+    (core/algorithms.py:572-647): both amplitudes and both delays are fit
+    *jointly* — at each delay pair (d1, d2) the coupled 2x2 normal
+    equations are solved in closed form and Δχ² is maximized over all
+    pairs. (A greedy fit-subtract-fit biases both amplitudes whenever the
+    pulses overlap; see tests/test_of1x2_joint.py.)
+
+    Math: with per-template numerator series ``q_i(d) = Re Σ_k φ_i ṽ e^{iωd}``
+    and noise-weighted template overlap ``ρ(Δ) = Re Σ_k φ₁ s̃₂ e^{iωΔ}``,
+    the weight matrix at relative shift Δ = d2−d1 is
+    ``W(Δ) = [[norm1, ρ(−Δ)], [ρ(−Δ), norm2]]``. For float32 safety the
+    solve uses the normalized form — significances u_i = q_i/√norm_i and
+    correlation c(Δ) = ρ(−Δ)/√(norm1·norm2):
+
+        Δχ²(d1, Δ) = (u1² − 2c·u1·u2 + u2²) / (1 − c²)
+
+    with u1 = u1(d1), u2 = u2(d1+Δ) (norm products ~1e42 overflow f32;
+    u and c are O(SNR) and O(1)). The scan over Δ runs as a `lax.scan`
+    over chunks of ``delta_chunk`` shifts, each chunk a vectorized pass
+    over all d1 — O(N·|Δ|) work, O(chunk·B·N) memory.
+
+    ``delta_window``: optional static int array of allowed Δ = d2−d1
+    values in samples (e.g. ``np.arange(0, 500)`` for "second pulse after
+    the first"); default scans all N circular shifts.
     """
     n = vfft.shape[-1]
+    rdt = vfft.real.dtype
+    norm1 = jnp.asarray(norm1)
+    norm2 = jnp.asarray(norm2)
 
-    # first pulse: unconstrained delay fit with template 1
-    q1 = dfft.ifft(phi1 * vfft, axis=-1).real * n
-    q1_abs = jnp.roll(q1, pretrigger, axis=-1)
-    i1 = jnp.argmax(q1_abs**2, axis=-1)
-    q1b = jnp.take_along_axis(q1_abs, i1[..., None], axis=-1)[..., 0]
-    amp1 = q1b / norm1
-    shift1 = i1.astype(vfft.real.dtype) - pretrigger
+    sq1 = jnp.sqrt(norm1)
+    sq2 = jnp.sqrt(norm2)
 
-    # subtract template-1 fit from the signal FFT
-    k = jnp.arange(n)
-    phase1 = jnp.exp(-2j * jnp.pi * k * shift1[..., None] / n)
-    vres = vfft - amp1[..., None] * s_fft1 * phase1
+    # per-template significance series u_i = q_i/√norm_i, rolled to
+    # absolute trace indices; shapes [..., S, N] with S the bank slot
+    # axis (S=1 in the pipeline)
+    u1 = jnp.roll(dfft.ifft(phi1 * vfft, axis=-1).real * n,
+                  pretrigger, axis=-1) / sq1[..., None]
+    u2 = jnp.roll(dfft.ifft(phi2 * vfft, axis=-1).real * n,
+                  pretrigger, axis=-1) / sq2[..., None]
+    # c(Δ) = Re Σ_k φ1 s̃2 e^{+2πikΔ/N} / √(norm1·norm2) ∈ [−1, 1]
+    c_all = (dfft.ifft(phi1 * s_fft2, axis=-1).real * n
+             / (sq1 * sq2)[..., None])
 
-    # second pulse on the residual with template 2
-    q2 = dfft.ifft(phi2 * vres, axis=-1).real * n
-    q2_abs = jnp.roll(q2, pretrigger, axis=-1)
-    i2 = jnp.argmax(q2_abs**2, axis=-1)
-    q2b = jnp.take_along_axis(q2_abs, i2[..., None], axis=-1)[..., 0]
-    amp2 = q2b / norm2
-    shift2 = i2.astype(vfft.real.dtype) - pretrigger
+    if delta_window is None:
+        deltas = np.arange(n, dtype=np.int32)
+    else:
+        deltas = (np.asarray(delta_window, dtype=np.int64) % n).astype(
+            np.int32)
+    # pad to a chunk multiple with repeats (duplicates can't win twice)
+    chunk = max(1, min(int(delta_chunk), len(deltas)))
+    pad = (-len(deltas)) % chunk
+    if pad:
+        deltas = np.concatenate([deltas, np.repeat(deltas[:1], pad)])
+    delta_blocks = jnp.asarray(deltas.reshape(-1, chunk))
 
-    phase2 = jnp.exp(-2j * jnp.pi * k * shift2[..., None] / n)
-    vres2 = vres - amp2[..., None] * s_fft2 * phase2
-    chi2 = jnp.sum((vres2.real**2 + vres2.imag**2) * denom_inv, axis=-1)
+    neg_inf = jnp.asarray(-jnp.inf, rdt)
+    batch_shape = u1.shape[:-1]
 
+    def dchi2_for_delta(dl):
+        # W12 carries e^{iω(d1−d2)} = e^{−iωΔ} → c evaluated at −Δ
+        c = jnp.take(c_all, (n - dl) % n, axis=-1)           # [S]
+        det = 1.0 - c * c                                    # [S]
+        u2s = jnp.roll(u2, -dl, axis=-1)                     # [..., S, N]
+        num = (u1 * u1 - 2.0 * c[..., None] * u1 * u2s + u2s * u2s)
+        # degenerate W (templates coincide at this Δ): exclude
+        ok = det > 1e-6
+        safe = jnp.where(ok, det, 1.0)
+        return jnp.where(ok[..., None], num / safe[..., None], neg_inf)
+
+    def scan_body(carry, dls):
+        best_val, best_d1, best_dl = carry
+        vals = jax.vmap(dchi2_for_delta)(dls)                # [chunk, ..., N]
+        cand_d1 = jnp.argmax(vals, axis=-1)                  # [chunk, ...]
+        cand_val = jnp.max(vals, axis=-1)
+        ci = jnp.argmax(cand_val, axis=0)                    # [...]
+        cv = jnp.take_along_axis(cand_val, ci[None], axis=0)[0].astype(rdt)
+        cd1 = jnp.take_along_axis(
+            cand_d1, ci[None], axis=0)[0].astype(jnp.int32)
+        cdl = dls[ci].astype(jnp.int32)
+        upd = cv > best_val
+        return (jnp.where(upd, cv, best_val),
+                jnp.where(upd, cd1, best_d1),
+                jnp.where(upd, cdl, best_dl)), None
+
+    init = (jnp.full(batch_shape, neg_inf, rdt),
+            jnp.zeros(batch_shape, jnp.int32),
+            jnp.zeros(batch_shape, jnp.int32))
+    (best_val, d1, dl), _ = jax.lax.scan(scan_body, init, delta_blocks)
+
+    # re-solve the 2x2 system at the winning (d1, Δ) in normalized form:
+    # a1 = (u1 − c·u2)/(√norm1·(1−c²)), a2 = (u2 − c·u1)/(√norm2·(1−c²))
+    d2 = (d1 + dl) % n
+    u1b = jnp.take_along_axis(u1, d1[..., None], axis=-1)[..., 0]
+    u2b = jnp.take_along_axis(u2, d2[..., None], axis=-1)[..., 0]
+    idxr = (n - dl) % n                                      # [..., S]
+    c = jnp.take_along_axis(
+        jnp.broadcast_to(c_all, idxr.shape + (n,)),
+        idxr[..., None], axis=-1)[..., 0]                    # [..., S]
+    det = 1.0 - c * c
+    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    amp1 = (u1b - c * u2b) / (sq1 * det)
+    amp2 = (u2b - c * u1b) / (sq2 * det)
+
+    c0 = chi2_base(vfft, denom_inv)
+    chi2 = c0 - best_val
+
+    shift1 = d1.astype(rdt) - pretrigger
+    # unwrap d2 to the same circular branch Δ was scanned on
+    shift2 = shift1 + jnp.where(dl > n // 2, dl - n, dl).astype(rdt)
     t0_1 = shift1 / fs
     t0_2 = shift2 / fs
     return OF1x2Result(amp1, amp2, t0_1, t0_2, t0_2 - t0_1, chi2)
