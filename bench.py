@@ -80,16 +80,20 @@ def bench_tpu(bank, template):
 
     keys = jax.random.split(jax.random.PRNGKey(0), NBATCH)
     batches = [make_batch(k) for k in keys]
-    # compile + warm up (block via host transfer: block_until_ready does
-    # not reliably synchronize on this backend)
+    # compile + warm up (block via host transfer so compile cost and any
+    # deferred backend errors surface before timing)
     out = feature_step(batches[0][0], dev_bank)
     np.asarray(out[2])
 
     t0 = time.perf_counter()
     outs = [feature_step(tr, dev_bank) for tr, _ in batches]
-    amps_rec = [np.asarray(o[2]) for o in outs]   # sync all
+    # the single-device stream is FIFO: last-ready = all-done. Syncing
+    # every output with np.asarray would pay one ~30 ms tunnel round-trip
+    # per batch and measure the tunnel, not the kernels.
+    jax.block_until_ready(outs[-1])
     dt = time.perf_counter() - t0
     events_per_sec = BATCH * NBATCH / dt
+    amps_rec = [np.asarray(o[2]) for o in outs]   # post-timing readback
 
     # correctness: recovered amplitudes match the injected ones
     amps_true = np.asarray(batches[0][1])

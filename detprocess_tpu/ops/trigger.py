@@ -67,8 +67,8 @@ class TriggerKernel(NamedTuple):
     nt: int                    # template length
     pretrigger: int
     fs: float
-    block: int                 # overlap-save block size B
-    fft_size: int              # F ≥ B + Nt − 1
+    block: int                 # overlap-save valid samples per segment B
+    fft_size: int              # F = B + overlap, overlap ≥ Nt − 1
     resolution: np.ndarray     # per-amplitude σ
 
 
@@ -80,13 +80,16 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     ``w[c,i,τ] = N·ifft(Phi[c,i])(τ mod N)`` re-rolled so τ is measured
     from the window start; convolution uses the flipped kernel.
 
-    The FFT size is fixed at 2·block (block ≥ template length) so
-    overlap-save segments are exactly two adjacent blocks — they are then
-    built by reshape+concat instead of gathers (TPU layout-friendly).
+    Overlap-save sizing: the FFT size F is a power of two ≥ ``block``;
+    the inter-segment overlap H is Nt−1 rounded up to a lane multiple
+    (128), and each segment contributes B = F − H valid samples. Segments
+    are one B-block plus the first H samples of the next — built by
+    reshape + aligned slice + concat, no gathers (TPU layout-friendly).
+    A symmetric F = 2B split would FFT every sample twice; this wastes
+    only H/F (e.g. 25% at Nt=4096, F=16384 instead of 50%).
     """
     c, m, n = bank.templates.shape
     p = bank.pretrigger
-    block = int(2 ** np.ceil(np.log2(max(block, n))))
     # circular matched filter w(τ) = N·ifft(Phi). The linear FIR kernel is
     # h(j) = w((j−(N−1)) mod N), j ∈ [0, N), so that with y = conv(x, h)
     # the amplitude numerator is q(T) = y[T + N−1−pretrigger]: a pulse
@@ -95,7 +98,9 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # oftrigger.py:659-664, :1005; alignment tested in test_trigger.py)
     w_circ = np.real(np.fft.ifft(bank.phi, axis=-1)) * n    # [C, M, N]
     g = np.roll(w_circ, n - 1, axis=-1)
-    f_size = 2 * block
+    overlap = max(128 * int(np.ceil((n - 1) / 128)), 128)
+    f_size = int(2 ** np.ceil(np.log2(max(block, 2 * overlap))))
+    block = f_size - overlap
     g_pad = np.zeros((c, m, f_size))
     g_pad[..., :n] = g
     # half-spectrum: segments are real, so the FIR runs rfft→multiply→irfft
@@ -131,8 +136,8 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
     The amplitude series q is returned as rows of ``block`` samples
     (row-major order = time order; q[T] = q_blocks[:, T//B, T%B], valid
     for T < L). 1-D layouts serialize badly on TPU, so every step stays
-    2-D: segments are two adjacent blocks glued by reshape+concat (no
-    gathers), and the FFT batch is [C, nb, 2B].
+    2-D: segments are a B-block plus the aligned head of the next block,
+    glued by reshape+slice+concat (no gathers); FFT batch [C, nb, F].
 
     Edge samples (first/last Nt of the trace) are zeroed, mirroring the
     reference's padding cut (oftrigger.py:674-679).
@@ -154,17 +159,19 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
     pad_right = (nblocks + 1) * b - (pad_left + l)
     xpad = jnp.pad(trace, ((0, 0), (pad_left, max(pad_right, 0))))
     blocks = xpad[:, : (nblocks + 1) * b].reshape(c, nblocks + 1, b)
-    segments = jnp.concatenate([blocks[:, :-1, :], blocks[:, 1:, :]],
-                               axis=-1)                       # [C, nb, 2B]
+    # segment i = block i plus the first (F−B) samples of block i+1
+    head = blocks[:, 1:, : f - b]
+    segments = jnp.concatenate([blocks[:, :-1, :], head],
+                               axis=-1)                       # [C, nb, F]
     # trigger FIR only feeds a chi2 threshold + argmax — 3-pass matmul
     # precision (~f32 accuracy) is plenty and ~2x faster than the 6-pass
     # physics-grade default; final amplitudes are refit by the feature OF.
     # Segments are real → half-spectrum rfft/irfft (2x less FFT work/HBM
     # than the full complex path; same win as ops/of1x1.py's half path)
     with dfft.matmul_precision("high"):
-        seg_fft = dfft.rfft(segments, axis=-1)                # [C, nb, B+1]
+        seg_fft = dfft.rfft(segments, axis=-1)                # [C, nb, F/2+1]
         prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
-        y_seg = dfft.irfft(prod, f, axis=-1)                  # [M, nb, 2B]
+        y_seg = dfft.irfft(prod, f, axis=-1)                  # [M, nb, F]
     # valid outputs of segment i: y_global[i·B − pad_left + nt−1 + j]
     #                            = q[i·B + j − pad_left + nt−1 − (nt−1−p)]
     # with pad_left = p this is exactly q[i·B + j] for j ∈ [0, B)
@@ -291,9 +298,21 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
     maximum of merged groups per row, b // (pileup_window + 1) + 2, so
     compaction is exact; pass a smaller value only to trade pathological
     dense-regime capacity for top-k speed.
+
+    Inputs are internally re-tiled to narrow rows (512 samples): the
+    Hillis–Steele doubling scans then need log2(512)=9 full-bandwidth
+    passes instead of log2(B) (the cross-row carry runs on tiny [R]
+    vectors), and the per-row top-k shrinks from O(B/window) of B to
+    ~6 of 512. Row-major flat order — and therefore every global index
+    and the merge semantics — is unchanged by the re-tiling.
     """
-    r, b = dchi2.shape
     m = amps.shape[0]
+    r0, b0 = dchi2.shape
+    tile = 256
+    if b0 > tile and (r0 * b0) % tile == 0:
+        dchi2 = dchi2.reshape(r0 * b0 // tile, tile)
+        amps = amps.reshape(m, r0 * b0 // tile, tile)
+    r, b = dchi2.shape
     l = r * b
     col = jnp.arange(b, dtype=jnp.int32)[None, :]
     row = jnp.arange(r, dtype=jnp.int32)[:, None]
@@ -332,9 +351,23 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
     # winners (+2 for groups straddling the row boundaries).
     if winners_per_row is None:
         winners_per_row = b // (max(pileup_window, 0) + 1) + 2
-    kk = min(winners_per_row, b)
     wd = jnp.where(winner, dchi2, -jnp.inf)
-    vals, cols = jax.lax.top_k(wd, kk)                    # [R, k]
+    g = 1 << int(np.floor(np.log2(max(pileup_window, 0) + 1)))
+    g = min(g, b)
+    if g >= 32 and b % g == 0:
+        # winners of distinct merged groups are > pileup_window ≥ g−1
+        # samples apart, so every g-sample group holds at most one: a
+        # per-group max+argmax compacts exactly and is ~8x cheaper than
+        # lax.top_k on TPU
+        ng = b // g
+        wg = wd.reshape(r, ng, g)
+        vals = jnp.max(wg, axis=-1)                       # [R, ng]
+        loc = jnp.argmax(wg, axis=-1).astype(jnp.int32)
+        cols = jnp.arange(ng, dtype=jnp.int32)[None, :] * g + loc
+        kk = ng
+    else:
+        kk = min(winners_per_row, b)
+        vals, cols = jax.lax.top_k(wd, kk)                # [R, k]
     gidx = (row * b + cols).astype(jnp.int32)
     ok = jnp.isfinite(vals) & (vals > threshold)
     amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
