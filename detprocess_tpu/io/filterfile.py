@@ -122,6 +122,51 @@ class FilterData:
     def has(self, channel: str, name: str) -> bool:
         return name in self._filter_data.get(channel, {})
 
+    def clear_data(self, channels=None, tag=None):
+        """Clear stored data (reference FilterData.clear_data,
+        filterdata.py:179-213).
+
+        - no arguments: clear everything
+        - ``channels``: drop those channels entirely
+        - ``channels`` + ``tag``: drop every parameter of those channels
+          whose name contains ``tag`` (substring match, like the
+          reference)
+        """
+        if channels is None and tag is not None:
+            raise ValueError(
+                'ERROR: "channels" argument needed when "tag" is provided')
+        if channels is None:
+            self._filter_data = {}
+            return
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            if chan not in self._filter_data:
+                continue
+            if tag is None:
+                self._filter_data.pop(chan)
+            else:
+                for key in list(self._filter_data[chan].keys()):
+                    if tag in key:
+                        self._filter_data[chan].pop(key)
+
+    def set_data(self, data: dict, overwrite: bool = False):
+        """Merge a raw ``{channel: {param: value}}`` dict into the store
+        (reference FilterData.set_data, filterdata.py:248-272): existing
+        parameters are kept unless ``overwrite``."""
+        if not isinstance(data, dict):
+            raise ValueError("ERROR: filter data should be a dictionary!")
+        if not self._filter_data:
+            self._filter_data.update(data)
+            return
+        for chan, params in data.items():
+            if chan not in self._filter_data:
+                self._filter_data[chan] = params
+                continue
+            for name, value in params.items():
+                if overwrite or name not in self._filter_data[chan]:
+                    self._filter_data[chan][name] = value
+
     # ------------------------------------------------------------------
     # templates
     # ------------------------------------------------------------------
@@ -281,6 +326,32 @@ class FilterData:
 
     def get_didv_results(self, channel, poles: int, tag: str = "default"):
         return self._get(channel, f"didv_results_{poles}poles_{tag}")
+
+    def set_didv_dataframe(self, channel, dataframe: pd.DataFrame,
+                           metadata: Optional[dict] = None,
+                           tag: str = "default"):
+        """Store a dIdV-processing dataframe under
+        ``didv_processing_{tag}`` (filterdata.py:1296-1322)."""
+        if not isinstance(dataframe, pd.DataFrame):
+            raise ValueError("ERROR: Input is not a pandas DataFrame!")
+        self._set(channel, f"didv_processing_{tag}", dataframe, metadata)
+
+    def get_didv_dataframe(self, channel, tag: str = "default"):
+        """Get the dIdV-processing dataframe (filterdata.py:1324-1347)."""
+        return self._get(channel, f"didv_processing_{tag}")
+
+    def set_noise_dataframe(self, channel, dataframe: pd.DataFrame,
+                            metadata: Optional[dict] = None,
+                            tag: str = "default"):
+        """Store a noise-processing dataframe under
+        ``noise_processing_{tag}`` (filterdata.py:1349-1377)."""
+        if not isinstance(dataframe, pd.DataFrame):
+            raise ValueError("ERROR: Input is not a pandas DataFrame!")
+        self._set(channel, f"noise_processing_{tag}", dataframe, metadata)
+
+    def get_noise_dataframe(self, channel, tag: str = "default"):
+        """Get the noise-processing dataframe (filterdata.py:1379-1401)."""
+        return self._get(channel, f"noise_processing_{tag}")
 
     # ------------------------------------------------------------------
     # HDF5 persistence
