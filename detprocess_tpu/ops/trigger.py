@@ -129,7 +129,8 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
 # device kernels
 # ---------------------------------------------------------------------------
 
-def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
+def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
+                  valid_range: Optional[tuple] = None):
     """Overlap-save FIR in 2-D block layout: trace [C, L] →
     (q_blocks [M, nb, B], nb·B ≥ L).
 
@@ -140,7 +141,10 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
     glued by reshape+slice+concat (no gathers); FFT batch [C, nb, F].
 
     Edge samples (first/last Nt of the trace) are zeroed, mirroring the
-    reference's padding cut (oftrigger.py:674-679).
+    reference's padding cut (oftrigger.py:674-679). ``valid_range``
+    overrides the zeroed span: q is kept for T in [lo, hi) — pass
+    ``(0, l)`` when the trace already carries halo context on both ends
+    (cross-shard long-trace mode, parallel/mesh.py).
     """
     c, l = trace.shape
     nt, p = kernel.nt, kernel.pretrigger
@@ -181,7 +185,8 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel):
     col = jnp.arange(b)[None, :]
     row = jnp.arange(nblocks)[:, None]
     tpos = row * b + col                                       # [nb, B]
-    valid = (tpos >= nt) & (tpos < l - nt)
+    lo, hi = (nt, l - nt) if valid_range is None else valid_range
+    valid = (tpos >= lo) & (tpos < min(hi, l))
     return q_blocks * valid[None, :, :], valid
 
 
@@ -407,6 +412,140 @@ def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                                 amps.reshape(amps.shape[0], r, b),
                                 threshold, pileup_window, capacity,
                                 winners_per_row=winners_per_row)
+
+
+def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
+                          threshold: float, pileup_window: int,
+                          capacity: int, t_offset, axis_name: str,
+                          n_shards: int) -> TriggerSet:
+    """Exact trigger finding on ONE time-shard of a long continuous trace.
+
+    Runs inside shard_map (parallel/mesh.py::sharded_longtrace_trigger):
+    each shard holds dchi2 [R, B] / amps [M, R, B] for a contiguous global
+    sample range starting at ``t_offset``. The segmented-scan carries that
+    :func:`find_triggers_blocks` propagates across block rows are here
+    *also* propagated across shards: per-shard scan end-states are
+    all_gather-ed (a handful of scalars), combined into exclusive
+    prefix/suffix carries with a static loop over the shard count, and
+    applied to the positions before the shard's first segment boundary.
+    Merged pileup groups straddling shard boundaries therefore resolve to
+    exactly one winner globally — the output equals the unsharded kernel
+    on the gathered trace (tests/test_longtrace_sharded.py). This is the
+    long-trace sharding design addition of SURVEY.md §5 (the reference
+    always processes traces whole, oftrigger.py:659-664); the halo = one
+    template length, exchanged by the FIR wrapper.
+
+    Indices are global int32 (traces < 2^31 samples). Winners are
+    compacted per shard with ``capacity`` slots each.
+    """
+    m = amps.shape[0]
+    r0, b0 = dchi2.shape
+    tile = 256
+    if b0 > tile and (r0 * b0) % tile == 0:
+        dchi2 = dchi2.reshape(r0 * b0 // tile, tile)
+        amps = amps.reshape(m, r0 * b0 // tile, tile)
+    r, b = dchi2.shape
+    col = jnp.arange(b, dtype=jnp.int32)[None, :]
+    row = jnp.arange(r, dtype=jnp.int32)[:, None]
+    t = row * b + col + t_offset                       # GLOBAL indices
+    idx = jax.lax.axis_index(axis_name)
+    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
+
+    above = dchi2 > threshold
+    prev_local = _prev_above_index(t, above)
+    # cross-shard carry for "previous above-sample index": exclusive
+    # prefix max of per-shard maxima
+    local_max_above = jnp.max(jnp.where(above, t, -1))
+    ga = jax.lax.all_gather(local_max_above, axis_name)          # [D]
+    run = jax.lax.cummax(ga, axis=0)
+    carry_prev = jnp.concatenate(
+        [jnp.full((1,), -1, run.dtype), run[:-1]])[idx]
+    prev_excl = jnp.where(prev_local < 0, carry_prev, prev_local)
+    gap = t - prev_excl
+    start = above & ((prev_excl < 0) | (gap > pileup_window))
+
+    d_eff = jnp.where(above, dchi2, neg)
+    fwd = _seg_cummax_rows(d_eff, start)
+    # forward carry: exclusive prefix combine of (end value, any reset)
+    gm = jax.lax.all_gather(fwd[-1, -1], axis_name)
+    gs = jax.lax.all_gather(jnp.any(start), axis_name)
+    cm = [neg]
+    for i in range(n_shards - 1):
+        cm.append(jnp.where(gs[i], gm[i], jnp.maximum(cm[-1], gm[i])))
+    carry_m = jnp.stack(cm)[idx]
+    # the carry applies to positions before the shard's first start flag
+    cum_start = _seg_cummax_rows(start.astype(dchi2.dtype),
+                                 jnp.zeros_like(start))
+    fwd = jnp.where(cum_start > 0, fwd, jnp.maximum(fwd, carry_m))
+
+    # segment ENDS: next global position's start flag; the last shard's
+    # final position ends its segment by definition
+    start_flat = start.reshape(-1)
+    from_right = jax.lax.ppermute(
+        start_flat[:1].astype(jnp.int32), axis_name,
+        [(i + 1, i) for i in range(n_shards - 1)])
+    last_next = jnp.where(idx == n_shards - 1, 1, from_right[0])
+    nxt_reset = jnp.concatenate(
+        [start_flat[1:], (last_next > 0)[None]]).reshape(r, b)
+
+    rev = lambda a: jnp.flip(jnp.flip(a, axis=1), axis=0)
+    bwd_rev = _seg_cummax_rows(rev(d_eff), rev(nxt_reset))
+    gmr = jax.lax.all_gather(bwd_rev[-1, -1], axis_name)
+    gsr = jax.lax.all_gather(jnp.any(nxt_reset), axis_name)
+    cmr = [neg]
+    for i in range(n_shards - 1, 0, -1):
+        cmr.append(jnp.where(gsr[i], gmr[i], jnp.maximum(cmr[-1], gmr[i])))
+    carry_mr = jnp.stack(cmr[::-1])[idx]
+    cum_nxt_rev = _seg_cummax_rows(rev(nxt_reset).astype(dchi2.dtype),
+                                   jnp.zeros_like(start))
+    bwd_rev = jnp.where(cum_nxt_rev > 0, bwd_rev,
+                        jnp.maximum(bwd_rev, carry_mr))
+    bwd = rev(bwd_rev)
+    total = jnp.maximum(fwd, bwd)
+
+    # first-achiever rule: the previous global position's fwd value; for
+    # the shard's first position that is the left shard's fixed end = the
+    # exclusive forward carry
+    prevfwd = jnp.concatenate(
+        [carry_m[None], fwd.reshape(-1)[:-1]]).reshape(r, b)
+    winner = above & (dchi2 == total) & (start | (prevfwd < dchi2))
+    count_total = jax.lax.psum(jnp.sum(start.astype(jnp.int32)),
+                               axis_name)
+
+    # per-shard winner compaction (winners are globally unique, so shard
+    # outputs concatenate without dedup)
+    wd = jnp.where(winner, dchi2, neg)
+    g = 1 << int(np.floor(np.log2(max(pileup_window, 0) + 1)))
+    g = min(g, b)
+    if g >= 32 and b % g == 0:
+        ng = b // g
+        wg = wd.reshape(r, ng, g)
+        vals = jnp.max(wg, axis=-1)
+        loc = jnp.argmax(wg, axis=-1).astype(jnp.int32)
+        cols = jnp.arange(ng, dtype=jnp.int32)[None, :] * g + loc
+        kk = ng
+    else:
+        kk = min(b // (max(pileup_window, 0) + 1) + 2, b)
+        vals, cols = jax.lax.top_k(wd, kk)
+    gidx = (row * b + cols).astype(jnp.int32) + t_offset
+    ok = jnp.isfinite(vals) & (vals > threshold)
+    amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+    flat_idx = jnp.where(ok, gidx, big).reshape(-1)
+    flat_val = jnp.where(ok, vals, 0.0).reshape(-1)
+    flat_amp = jnp.where(ok[None], amp_cand, 0.0).reshape(m, -1)
+    order = jnp.argsort(flat_idx)[:capacity]
+    sidx = flat_idx[order]
+    valid = sidx < big
+    count = jnp.sum(valid.astype(jnp.int32))
+    return TriggerSet(
+        indices=jnp.where(valid, sidx, -1),
+        dchi2=jnp.where(valid, flat_val[order], 0.0),
+        amplitudes=jnp.where(valid[None, :], flat_amp[:, order], 0.0),
+        count=count,
+        count_total=count_total,
+    )
 
 
 def find_triggers_dynamic(dchi2: np.ndarray, amps: np.ndarray,

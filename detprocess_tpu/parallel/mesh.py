@@ -109,6 +109,93 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     return jax.jit(_csd)
 
 
+def sharded_longtrace_trigger(mesh: Mesh, kernel, threshold: float,
+                              pileup_window: int, capacity_per_shard: int,
+                              axis_name: str = EVENTS_AXIS):
+    """ONE long continuous trace time-sharded across the mesh with
+    template-length halo exchange — the long-trace design addition of
+    SURVEY.md §5 (the reference processes traces whole and scales only by
+    series, oftrigger.py:659-664; no cross-worker trace splitting exists
+    there).
+
+    Pipeline per shard, inside one shard_map:
+
+    1. **Halo exchange** (ppermute over ICI): q[T] depends on
+       x[T−p … T−p+Nt−1], so each shard fetches the last ``p`` samples of
+       its left neighbor and the first ``Nt−p`` of its right neighbor —
+       halo = one template length total.
+    2. Local overlap-save FIR + Δχ² on the extended trace; global trace
+       edges (first/last Nt samples) zeroed exactly as the unsharded
+       kernel does.
+    3. :func:`ops.trigger.find_triggers_sharded`: segmented-scan carries
+       crossing shard boundaries via tiny all_gathers, so pileup groups
+       straddling boundaries merge exactly.
+
+    Returns a jitted fn(trace [C, L] sharded on the time axis) →
+    (indices [D·K], dchi2 [D·K], amplitudes [M, D·K], count [D]) with
+    global indices; empty slots are −1. Output is shard-count invariant
+    (== the unsharded kernel on the whole trace, tested in
+    tests/test_longtrace_sharded.py). L must divide evenly by the shard
+    count and the per-shard length by 256.
+    """
+    from detprocess_tpu.ops import trigger as trig_ops
+
+    iw = jnp.asarray(kernel.iw_matrix)
+    n_shards = mesh.shape[axis_name]
+    nt, p = kernel.nt, kernel.pretrigger
+    m = kernel.iw_matrix.shape[0]
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(None, axis_name),
+             out_specs=(P(axis_name), P(axis_name), P(None, axis_name),
+                        P(axis_name)))
+    def _trig(local):                                  # [C, Lloc]
+        c, l_loc = local.shape
+        if l_loc % 256 != 0:
+            raise ValueError("per-shard trace length must divide by 256")
+        idx = jax.lax.axis_index(axis_name)
+        t0 = (idx * l_loc).astype(jnp.int32)
+        l_glob = n_shards * l_loc
+
+        # halo exchange (missing links at global edges deliver zeros,
+        # matching the unsharded kernel's zero padding)
+        fwd_perm = [(i, i + 1) for i in range(n_shards - 1)]
+        bwd_perm = [(i + 1, i) for i in range(n_shards - 1)]
+        halo_l = max(p, 1)
+        halo_r = max(nt - p, 1)
+        left = jax.lax.ppermute(local[:, -halo_l:], axis_name, fwd_perm)
+        right = jax.lax.ppermute(local[:, :halo_r], axis_name, bwd_perm)
+        ext = jnp.concatenate([left, local, right], axis=-1)
+        l_ext = l_loc + halo_l + halo_r
+
+        q_ext, _ = trig_ops.of_fir_blocks(ext, kernel,
+                                          valid_range=(0, l_ext))
+        q_loc = q_ext.reshape(m, -1)[:, halo_l: halo_l + l_loc]
+        # zero the GLOBAL trace edges (first/last Nt samples)
+        tt = jnp.arange(l_loc, dtype=jnp.int32) + t0
+        edge_ok = (tt >= nt) & (tt < l_glob - nt)
+        q_loc = q_loc * edge_ok[None, :]
+
+        qb = q_loc.reshape(m, l_loc // 256, 256)
+        d, a = trig_ops.delta_chi2_blocks(qb, iw)
+        ts = trig_ops.find_triggers_sharded(
+            d, a, threshold, pileup_window, capacity_per_shard,
+            t0, axis_name, n_shards)
+        return (ts.indices, ts.dchi2, ts.amplitudes,
+                ts.count.reshape(1))
+
+    return jax.jit(_trig)
+
+
+def merge_sharded_triggers(indices, dchi2, amplitudes):
+    """Host-side assembly of sharded_longtrace_trigger output into one
+    time-ordered trigger list (drops the −1 empty slots)."""
+    indices = np.asarray(indices)
+    keep = indices >= 0
+    order = np.argsort(indices[keep], kind="stable")
+    return (indices[keep][order], np.asarray(dchi2)[keep][order],
+            np.asarray(amplitudes)[:, keep][:, order])
+
+
 def sharded_trigger(mesh: Mesh, kernel, threshold: float,
                     pileup_window: int, capacity: int,
                     axis_name: str = EVENTS_AXIS):

@@ -1,0 +1,161 @@
+"""Long-trace sharding with halo exchange: shard-invariance tests.
+
+SURVEY.md §5 design addition: a single continuous trace is split across
+the device mesh with template-length halos (the reference always
+processes traces whole, detprocess/core/oftrigger.py:659-664). These
+tests prove the sharded path equals the unsharded kernel exactly —
+including pileup groups and FIR responses straddling shard boundaries.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import filterbank, trigger as trig
+from detprocess_tpu.parallel import mesh as pmesh
+
+
+FS = 1.25e6
+NT = 1024
+PRETRIG = 256
+PILEUP = 125
+THRESH_SIGMA = 6.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=10e-6,
+                               tau_f1=100e-6)
+    psd = np.full(NT, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS,
+                                      PRETRIG)
+    kernel = trig.make_trigger_kernel(bank, real_dtype=np.float64)
+    thr = trig.chi2_threshold(THRESH_SIGMA, 1)
+    return tmpl, psd, kernel, thr
+
+
+def _make_trace(tmpl, psd, l_glob, n_shards, rng):
+    """Noise + pulses, engineered to stress shard boundaries."""
+    sigma = np.sqrt(psd[0] * FS)
+    x = rng.standard_normal(l_glob) * sigma
+    l_loc = l_glob // n_shards
+    pos = []
+    # interior pulses
+    for t0 in range(20_000, l_glob - 20_000, 23_117):
+        pos.append(t0)
+    # a pulse whose FIR response straddles each interior boundary
+    for s in range(1, n_shards):
+        pos.append(s * l_loc - NT // 3)
+    # a pileup pair straddling a boundary within the merge window: the
+    # merged group must resolve to ONE winner even though its members
+    # live on different shards
+    b = l_loc
+    pos.append(b - 30)
+    pos.append(b + 40)
+    for t0 in pos:
+        x[t0 - PRETRIG: t0 - PRETRIG + NT] += 3e-6 * tmpl
+    return x.astype(np.float64), pos
+
+
+def _unsharded(x, kernel, thr, capacity=256):
+    q = trig.of_fir(jnp.asarray(x[None, :]), kernel)
+    d, a = trig.delta_chi2(q, jnp.asarray(kernel.iw_matrix))
+    return trig.find_triggers_kernel(d, a, thr, PILEUP, capacity)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_equals_unsharded(setup, n_shards):
+    tmpl, psd, kernel, thr = setup
+    l_glob = 8 * 32768             # divisible by every shard count
+    rng = np.random.default_rng(99)
+    x, pos = _make_trace(tmpl, psd, l_glob, n_shards, rng)
+
+    ref = _unsharded(x, kernel, thr)
+    ref_cnt = int(ref.count)
+    ref_idx = np.asarray(ref.indices)[:ref_cnt]
+    ref_d = np.asarray(ref.dchi2)[:ref_cnt]
+    ref_a = np.asarray(ref.amplitudes)[:, :ref_cnt]
+
+    mesh = pmesh.make_mesh(n_shards)
+    fn = pmesh.sharded_longtrace_trigger(mesh, kernel, thr, PILEUP, 128)
+    xs = jax.device_put(
+        jnp.asarray(x[None, :]),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, pmesh.EVENTS_AXIS)))
+    idx, d, a, cnt = fn(xs)
+    g_idx, g_d, g_a = pmesh.merge_sharded_triggers(idx, d, a)
+
+    # identical triggers (indices exact; values to float roundoff — the
+    # sharded FIR uses different overlap-save segmentation)
+    assert ref_cnt == len(g_idx), (ref_cnt, len(g_idx))
+    np.testing.assert_array_equal(g_idx, ref_idx)
+    np.testing.assert_allclose(g_d, ref_d, rtol=1e-8)
+    np.testing.assert_allclose(g_a, ref_a, rtol=1e-8)
+
+    # sanity: every injected pulse is accounted for by a nearby trigger.
+    # Nearby pulses merge (the Δχ² clusters of 3e-6 pulses span ~±100
+    # samples, bridging gaps < ~300), so localization is loose here — the
+    # strict statement is the exact sharded==unsharded equality above.
+    found = set(int(i) for i in g_idx)
+    for t0 in pos:
+        assert any(abs(t0 - i) <= 450 for i in found), t0
+    # isolated interior pulses localize tightly
+    for t0 in pos[:3]:
+        assert any(abs(t0 - i) <= 6 for i in found), t0
+
+
+def test_boundary_group_single_winner(setup):
+    """A dense above-threshold run crossing a boundary merges to exactly
+    one trigger at the global maximum."""
+    tmpl, psd, kernel, thr = setup
+    n_shards = 4
+    l_glob = 4 * 65536
+    l_loc = l_glob // n_shards
+    rng = np.random.default_rng(3)
+    sigma = np.sqrt(psd[0] * FS)
+    x = (rng.standard_normal(l_glob) * sigma).astype(np.float64)
+    # overlapping pulses every 60 samples across the boundary → one long
+    # merged group (gaps < pileup window) spanning two shards
+    b = 2 * l_loc
+    amps = [2e-6, 3e-6, 8e-6, 4e-6, 2.5e-6, 2e-6]
+    for k, t0 in enumerate(range(b - 120, b + 181, 60)):
+        x[t0 - PRETRIG: t0 - PRETRIG + NT] += amps[k] * tmpl
+
+    ref = _unsharded(x, kernel, thr)
+    mesh = pmesh.make_mesh(n_shards)
+    fn = pmesh.sharded_longtrace_trigger(mesh, kernel, thr, PILEUP, 64)
+    xs = jax.device_put(
+        jnp.asarray(x[None, :]),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, pmesh.EVENTS_AXIS)))
+    idx, d, a, cnt = fn(xs)
+    g_idx, g_d, g_a = pmesh.merge_sharded_triggers(idx, d, a)
+
+    ref_cnt = int(ref.count)
+    np.testing.assert_array_equal(g_idx,
+                                  np.asarray(ref.indices)[:ref_cnt])
+    # the group winner is the strongest pulse (8e-6, third in the comb)
+    winner_pos = b - 120 + 2 * 60
+    assert any(abs(int(i) - winner_pos) <= 2 for i in g_idx)
+    # exactly one trigger inside the comb span
+    in_comb = [i for i in g_idx if b - 200 < i < b + 260]
+    assert len(in_comb) == 1, in_comb
+
+
+def test_count_total_is_global(setup):
+    tmpl, psd, kernel, thr = setup
+    n_shards = 8
+    l_glob = 8 * 32768
+    rng = np.random.default_rng(17)
+    x, pos = _make_trace(tmpl, psd, l_glob, n_shards, rng)
+    mesh = pmesh.make_mesh(n_shards)
+    fn = pmesh.sharded_longtrace_trigger(mesh, kernel, thr, PILEUP, 128)
+    xs = jax.device_put(
+        jnp.asarray(x[None, :]),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, pmesh.EVENTS_AXIS)))
+    idx, d, a, cnt = fn(xs)
+    g_idx, _, _ = pmesh.merge_sharded_triggers(idx, d, a)
+    assert int(np.asarray(cnt).sum()) == len(g_idx)
