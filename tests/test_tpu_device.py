@@ -1,0 +1,182 @@
+"""On-device (real TPU) regression tests — the `-m tpu` lane.
+
+Run:  DETPROC_TPU_TESTS=1 python -m pytest tests -m tpu -q
+
+All other tests run float64 CPU goldens; a device-only regression (e.g.
+in the four-step matmul FFT precision path, ops/fft.py, or the complex
+split/join transfer conventions) would otherwise surface only as a
+silently wrong benchmark. These tests pin the core kernels on the chip
+with float32 tolerances. Kept deliberately small (~1 min warm) so they
+can run every round next to bench.py.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+FS = 1.25e6
+N = 32768
+PRETRIG = N // 2
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_tpu():
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        pytest.skip("no TPU device available")
+
+
+@pytest.fixture(scope="module")
+def bank_and_template():
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank
+
+    template = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    psd = np.full(N, 1e-16)
+    psd[0] = np.inf
+    bank = filterbank.make_of1x1_bank(template, psd, FS, PRETRIG)
+    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    return template, bank, dev
+
+
+def test_fft_large_n_roundtrip_f32():
+    """32k four-step matmul FFT vs numpy, f32 tolerances."""
+    from detprocess_tpu.ops import fft as dfft
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, N)).astype(np.float32)
+    ref = np.fft.fft(x)
+
+    @jax.jit
+    def rt(x):
+        xf = dfft.rfft(x, axis=-1)
+        back = dfft.irfft(xf, N, axis=-1)
+        return jnp.stack([xf.real, xf.imag], 0), back
+
+    (ri, back) = rt(jnp.asarray(x))
+    got = np.asarray(ri[0]) + 1j * np.asarray(ri[1])
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref[..., : N // 2 + 1])) < 2e-5 * scale
+    np.testing.assert_allclose(np.asarray(back), x, atol=2e-6)
+
+
+def test_of1x1_full_equals_half_on_device(bank_and_template):
+    from detprocess_tpu.ops import filterbank, of1x1
+
+    template, bank, dev = bank_and_template
+    rng = np.random.default_rng(1)
+    traces = (rng.standard_normal((16, N)) * 1e-8
+              + 3e-6 * template[None, :]).astype(np.float32)
+
+    @jax.jit
+    def both(tr, dev):
+        bk = filterbank.device_bank_1x1(dev)
+        bh = filterbank.device_bank_1x1_half(dev)
+        vf = of1x1.signal_fft(tr[:, None, :])
+        vr = of1x1.signal_rfft(tr[:, None, :])
+        full = of1x1.of1x1_withdelay(vf, bk.phi, bk.norm, bk.denom_inv,
+                                     bk.s_fft, PRETRIG, FS)
+        half = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm,
+                                          bh.denom_inv, bh.s_fft,
+                                          bh.bin_w, PRETRIG, FS)
+        return full.amp, half.amp, full.chi2, half.chi2, half.t0
+
+    fa, ha, fc, hc, t0 = map(np.asarray, both(jnp.asarray(traces), dev))
+    np.testing.assert_allclose(ha, fa, rtol=1e-4)
+    np.testing.assert_allclose(hc, fc, rtol=1e-3)
+    # physics: amplitude recovered at f32 accuracy
+    np.testing.assert_allclose(ha[:, 0], 3e-6, rtol=1e-3)
+    assert np.all(np.abs(t0) < 2 / FS)
+
+
+def test_welch_psd_white_level_on_device():
+    from detprocess_tpu.ops import spectral
+
+    rng = np.random.default_rng(2)
+    sigma = 1e-8
+    x = (rng.standard_normal((64, 16384)) * sigma).astype(np.float32)
+    psd = np.asarray(jax.jit(lambda t: spectral.welch_psd(t, FS))(
+        jnp.asarray(x)))
+    assert abs(psd[10:].mean() / (sigma**2 / FS) - 1.0) < 0.05
+
+
+def test_trigger_finds_injected_pulses_on_device():
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, trigger as trig
+
+    nt, pre = 4096, 1024
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS, pre)
+    kernel = trig.make_trigger_kernel(bank)
+    thr = trig.chi2_threshold(6.0, 1)
+    iw = jnp.asarray(kernel.iw_matrix)
+
+    rng = np.random.default_rng(3)
+    l = 2**19
+    x = (rng.standard_normal((1, l)) * np.sqrt(psd[0] * FS)).astype(
+        np.float32)
+    inj = list(range(40_000, l - 40_000, 61_337))
+    for t0 in inj:
+        x[0, t0 - pre: t0 - pre + nt] += 3e-6 * tmpl   # ~13 sigma_amp
+
+    @jax.jit
+    def step(x):
+        qb, _ = trig.of_fir_blocks(x, kernel)
+        d, a = trig.delta_chi2_blocks(qb, iw)
+        return trig.find_triggers_blocks(d, a, thr, 125, 64)
+
+    ts = step(jnp.asarray(x))
+    cnt = int(np.asarray(ts.count))
+    idx = np.asarray(ts.indices)[:cnt]
+    for t0 in inj:
+        assert any(abs(int(i) - t0) <= 10 for i in idx), t0
+    assert cnt <= len(inj) + 2
+
+
+def test_autocuts_while_loop_on_device():
+    from detprocess_tpu.ops import autocuts
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    x[5] *= 30.0
+    mask = np.asarray(jax.jit(autocuts.autocuts_noise)(jnp.asarray(x)))
+    assert not mask[5]
+    assert mask.sum() > 200
+
+
+def test_of1x2_joint_on_device(bank_and_template):
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, of1x1
+
+    template, bank, dev = bank_and_template
+    t2 = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=50e-6,
+                             tau_f1=800e-6)
+    psd = np.full(N, 1e-16)
+    psd[0] = np.inf
+    b2 = filterbank.make_of1x1_bank(t2, psd, FS, PRETRIG)
+    dev2 = jax.tree.map(jnp.asarray, b2.to_device(np.float32))
+    sep = 200
+    tr = (np.random.default_rng(5).standard_normal((4, N)) * 1e-8
+          + 5e-6 * template + 3e-6 * np.roll(t2, sep)).astype(np.float32)
+
+    @jax.jit
+    def step(tr, d1, d2):
+        bk1 = filterbank.device_bank_1x1(d1)
+        bk2 = filterbank.device_bank_1x1(d2)
+        v = of1x1.signal_fft(tr[:, None, :])
+        return of1x1.of1x2(v, bk1.phi, bk1.norm, bk1.s_fft,
+                           bk2.phi, bk2.norm, bk2.s_fft, bk1.denom_inv,
+                           PRETRIG, FS, delta_window=np.arange(0, 256))
+
+    r = step(jnp.asarray(tr), dev, dev2)
+    np.testing.assert_allclose(np.asarray(r.amp1)[:, 0], 5e-6, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(r.amp2)[:, 0], 3e-6, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(r.time_diff)[:, 0] * FS, sep,
+                               atol=1.5)
