@@ -32,7 +32,7 @@ FS = 1.25e6
 N = 32768
 PRETRIG = N // 2
 BATCH = 8192
-NBATCH = 4
+NBATCH = 8
 CPU_BASELINE_EVENTS = 24
 
 
@@ -87,10 +87,12 @@ def bench_tpu(bank, template):
 
     t0 = time.perf_counter()
     outs = [feature_step(tr, dev_bank) for tr, _ in batches]
-    # the single-device stream is FIFO: last-ready = all-done. Syncing
-    # every output with np.asarray would pay one ~30 ms tunnel round-trip
-    # per batch and measure the tunnel, not the kernels.
-    jax.block_until_ready(outs[-1])
+    # sync with ONE device→host transfer of the last output: the stream
+    # is FIFO so its availability implies all batches completed. (Do NOT
+    # use jax.block_until_ready here — on this backend it returns before
+    # queued computation finishes; and do not transfer every output —
+    # that pays one ~30 ms tunnel round-trip per batch.)
+    np.asarray(outs[-1][2]).ravel()[:1]
     dt = time.perf_counter() - t0
     events_per_sec = BATCH * NBATCH / dt
     amps_rec = [np.asarray(o[2]) for o in outs]   # post-timing readback

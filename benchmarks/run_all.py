@@ -30,20 +30,26 @@ def _sync(x):
 def timeit_pipelined(fn, args_list, warmup_args):
     """Wall time of len(args_list) back-to-back dispatches.
 
-    Completion is detected by blocking on the LAST output only: the
-    single-device execution stream is FIFO, so last-done = all-done.
-    Syncing every output individually would serialize one device→host
-    transfer per dispatch — each paying the ~25-50 ms tunnel round-trip
-    to the remote chip — and would measure the tunnel, not the kernels
-    (production consumers overlap result readback with compute).
-    """
-    import jax
+    Completion is detected by one device→host transfer of the LAST
+    output: the single-device execution stream is FIFO, so the last
+    result becoming transferable means every prior dispatch completed.
+    Two wrong ways, both observed on this backend:
 
+    - ``jax.block_until_ready`` does NOT reliably wait for computation
+      here (returns in ~0.05 ms while ~30 ms of device work is still
+      queued) — timing with it measures Python dispatch, not kernels;
+    - transferring EVERY output serializes one ~25-50 ms tunnel round
+      trip per dispatch and measures the tunnel instead.
+
+    One final transfer amortizes the single round trip over the whole
+    pipeline (use enough dispatches: the reported mean includes RTT/k).
+    """
     out = fn(*warmup_args)
     _sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
     outs = [fn(*a) for a in args_list]
-    jax.block_until_ready(outs[-1])
+    last = outs[-1]
+    _sync(last[0] if isinstance(last, tuple) else last)
     return time.perf_counter() - t0
 
 
@@ -55,7 +61,7 @@ def bench_of1x1_basic(quick=False):
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
     from reference_impl import RefOF1x1
 
-    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 8)
+    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 16)
     tmpl = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
                                tau_f1=200e-6)
     psd = np.full(n, 1e-20)
@@ -100,7 +106,7 @@ def bench_of1x1_delay(quick=False):
     from detprocess_tpu.ops import filterbank, of1x1
     from reference_impl import RefOF1x1
 
-    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 8)
+    n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 16)
     tmpl = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
                                tau_f1=200e-6)
     psd = np.full(n, 1e-20)
@@ -148,7 +154,7 @@ def bench_psd_build(quick=False):
     from detprocess_tpu.ops import spectral
     from reference_impl import ref_welch_psd
 
-    n, b, k = 32768, 2048, (2 if quick else 8)
+    n, b, k = 32768, 2048, (2 if quick else 16)
 
     @jax.jit
     def step(key):
@@ -181,7 +187,7 @@ def bench_nxm(quick=False):
     from reference_impl import RefOFNxM
 
     c, m, n, pretrig = 4, 2, 8192, 4096
-    b, k = 1024, (2 if quick else 8)
+    b, k = 1024, (2 if quick else 16)
     t_fast = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=10e-6,
                                  tau_f1=80e-6)
     t_slow = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
