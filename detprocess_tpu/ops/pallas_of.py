@@ -7,15 +7,27 @@ this kernel runs the whole chain per event tile inside VMEM: two DFT-matmul
 stages on the MXU, then the reductions — ONE HBM read of the traces and two
 scalars out per event.
 
-STATUS (round 1, v5e dev chip): correct on device (amp agrees with the XLA
-half-spectrum kernel to ~1e-7 relative; χ² to ~2e-3, the f32 accumulation
-width) but ~2× slower than the XLA path at the largest tile this backend's
-Mosaic compiler accepts (tile=8 events; 16+ crashes the remote compiler).
-The per-step re-fetch of the expanded OF weights dominates; shrinking them
-needs an np.repeat-style row expansion in-kernel, which this backend lacks
-(pltpu.repeat has tile semantics). Kept as the reference Pallas
-implementation of the fused rFFT+reduce design — the default pipelines use
-the XLA kernels (ops/of1x1.py), which XLA pipelines better here.
+STATUS — RETIRED EXPERIMENT (round 2, v5e dev chip, honest timing).
+Correct on device (amp agrees with the XLA half-spectrum kernel to
+~6e-7 relative) but **7× slower**: 55.5 ms vs 7.8 ms per 1024×32k-event
+dispatch, measured with transfer-based sync (round 1's "2× slower" used
+`block_until_ready`, which does not reliably wait on this backend — see
+BASELINE.md "Measurement methodology"). Structural reasons, measured and
+reasoned in BASELINE.md's Pallas table:
+
+- the Mosaic compiler here accepts only tile=8 event blocks (16+ crashes
+  the remote compile service) and only 2-D ops, forcing the scrambled
+  layout, full complex arithmetic (no rfft packing → 2× flops), and
+  reductions as selector matmuls;
+- the expanded per-tile OF weights (3×[n1·tile, n2]) stream per grid
+  step;
+- XLA's own four-step matmul FFT (ops/fft.py) already keeps the MXU busy
+  and fuses the OF reductions into the last stage — there is no HBM
+  round trip left to save at these shapes.
+
+Kept as the documented reference implementation of the fused
+rFFT+reduce design for future backends with a full Mosaic; the default
+pipelines use the XLA kernels (ops/of1x1.py).
 
 Backend constraint: this TPU's Mosaic compiler only accepts 2-D operations
 (3-D dot_general/transpose crash), so the four-step FFT runs in a
