@@ -373,17 +373,24 @@ def of1x2(
     c_all = (dfft.ifft(phi1 * s_fft2, axis=-1).real * n
              / (sq1 * sq2)[..., None])
 
+    # Δ values: ``signed`` carries the caller's branch (reported in
+    # time_diff); ``deltas`` is the circular index used for rolling. For
+    # the default full scan, shifts past n/2 are interpreted as negative.
     if delta_window is None:
-        deltas = np.arange(n, dtype=np.int32)
+        signed = np.arange(n, dtype=np.int64)
+        signed = np.where(signed > n // 2, signed - n, signed)
     else:
-        deltas = (np.asarray(delta_window, dtype=np.int64) % n).astype(
-            np.int32)
+        signed = np.asarray(delta_window, dtype=np.int64)
+    deltas = (signed % n).astype(np.int32)
+    signed = signed.astype(np.int32)
     # pad to a chunk multiple with repeats (duplicates can't win twice)
     chunk = max(1, min(int(delta_chunk), len(deltas)))
     pad = (-len(deltas)) % chunk
     if pad:
         deltas = np.concatenate([deltas, np.repeat(deltas[:1], pad)])
+        signed = np.concatenate([signed, np.repeat(signed[:1], pad)])
     delta_blocks = jnp.asarray(deltas.reshape(-1, chunk))
+    signed_blocks = jnp.asarray(signed.reshape(-1, chunk))
 
     neg_inf = jnp.asarray(-jnp.inf, rdt)
     batch_shape = u1.shape[:-1]
@@ -399,8 +406,9 @@ def of1x2(
         safe = jnp.where(ok, det, 1.0)
         return jnp.where(ok[..., None], num / safe[..., None], neg_inf)
 
-    def scan_body(carry, dls):
-        best_val, best_d1, best_dl = carry
+    def scan_body(carry, blocks):
+        dls, sgs = blocks
+        best_val, best_d1, best_dl, best_sg = carry
         vals = jax.vmap(dchi2_for_delta)(dls)                # [chunk, ..., N]
         cand_d1 = jnp.argmax(vals, axis=-1)                  # [chunk, ...]
         cand_val = jnp.max(vals, axis=-1)
@@ -409,15 +417,19 @@ def of1x2(
         cd1 = jnp.take_along_axis(
             cand_d1, ci[None], axis=0)[0].astype(jnp.int32)
         cdl = dls[ci].astype(jnp.int32)
+        csg = sgs[ci].astype(jnp.int32)
         upd = cv > best_val
         return (jnp.where(upd, cv, best_val),
                 jnp.where(upd, cd1, best_d1),
-                jnp.where(upd, cdl, best_dl)), None
+                jnp.where(upd, cdl, best_dl),
+                jnp.where(upd, csg, best_sg)), None
 
     init = (jnp.full(batch_shape, neg_inf, rdt),
             jnp.zeros(batch_shape, jnp.int32),
+            jnp.zeros(batch_shape, jnp.int32),
             jnp.zeros(batch_shape, jnp.int32))
-    (best_val, d1, dl), _ = jax.lax.scan(scan_body, init, delta_blocks)
+    (best_val, d1, dl, sg), _ = jax.lax.scan(
+        scan_body, init, (delta_blocks, signed_blocks))
 
     # re-solve the 2x2 system at the winning (d1, Δ) in normalized form:
     # a1 = (u1 − c·u2)/(√norm1·(1−c²)), a2 = (u2 − c·u1)/(√norm2·(1−c²))
@@ -437,8 +449,8 @@ def of1x2(
     chi2 = c0 - best_val
 
     shift1 = d1.astype(rdt) - pretrigger
-    # unwrap d2 to the same circular branch Δ was scanned on
-    shift2 = shift1 + jnp.where(dl > n // 2, dl - n, dl).astype(rdt)
+    # d2 reported on the caller's branch: the signed Δ that won the scan
+    shift2 = shift1 + sg.astype(rdt)
     t0_1 = shift1 / fs
     t0_2 = shift2 / fs
     return OF1x2Result(amp1, amp2, t0_1, t0_2, t0_2 - t0_1, chi2)

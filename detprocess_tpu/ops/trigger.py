@@ -285,6 +285,69 @@ def _prev_above_index(t: jnp.ndarray, above: jnp.ndarray):
     return jnp.concatenate([carry[:, None], incl[:, :-1]], axis=1)
 
 
+def _retile_rows(dchi2: jnp.ndarray, amps: jnp.ndarray, tile: int = 256):
+    """Reshape [R, B]/[M, R, B] to narrow ``tile``-sample rows (row-major
+    flat order — and therefore global indices and merge semantics — are
+    unchanged). Narrow rows cut the doubling-scan pass count to
+    log2(tile) and shrink the per-row winner compaction."""
+    m = amps.shape[0]
+    r0, b0 = dchi2.shape
+    if b0 > tile and (r0 * b0) % tile == 0:
+        dchi2 = dchi2.reshape(r0 * b0 // tile, tile)
+        amps = amps.reshape(m, r0 * b0 // tile, tile)
+    return dchi2, amps
+
+
+def _compact_winners(winner: jnp.ndarray, dchi2: jnp.ndarray,
+                     amps: jnp.ndarray, threshold: float,
+                     pileup_window: int, capacity: int,
+                     winners_per_row: Optional[int], t_offset):
+    """Compact the sparse winner flags [R, B] into a fixed-capacity,
+    index-sorted list.
+
+    Default path: winners of distinct merged groups are > pileup_window
+    ≥ g−1 samples apart, so a per-group max+argmax over g ≤ window+1
+    sample groups compacts exactly and is ~8× cheaper than lax.top_k.
+    An explicit ``winners_per_row`` opts into the top-k path with that k
+    (trading pathological dense-regime capacity for speed).
+
+    Returns (indices, vals, amps_out, n_valid); ``t_offset`` shifts the
+    reported indices to global coordinates (sharded path).
+    """
+    r, b = dchi2.shape
+    m = amps.shape[0]
+    row = jnp.arange(r, dtype=jnp.int32)[:, None]
+    wd = jnp.where(winner, dchi2, -jnp.inf)
+    g = 1 << int(np.floor(np.log2(max(pileup_window, 0) + 1)))
+    g = min(g, b)
+    if winners_per_row is None and g >= 32 and b % g == 0:
+        ng = b // g
+        wg = wd.reshape(r, ng, g)
+        vals = jnp.max(wg, axis=-1)                       # [R, ng]
+        loc = jnp.argmax(wg, axis=-1).astype(jnp.int32)
+        cols = jnp.arange(ng, dtype=jnp.int32)[None, :] * g + loc
+    else:
+        if winners_per_row is None:
+            winners_per_row = b // (max(pileup_window, 0) + 1) + 2
+        kk = min(winners_per_row, b)
+        vals, cols = jax.lax.top_k(wd, kk)                # [R, k]
+    gidx = (row * b + cols).astype(jnp.int32) + t_offset
+    ok = jnp.isfinite(vals) & (vals > threshold)
+    amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+    flat_idx = jnp.where(ok, gidx, big).reshape(-1)
+    flat_val = jnp.where(ok, vals, 0.0).reshape(-1)
+    flat_amp = jnp.where(ok[None], amp_cand, 0.0).reshape(m, -1)
+    order = jnp.argsort(flat_idx)[:capacity]
+    sidx = flat_idx[order]
+    valid = sidx < big
+    return (jnp.where(valid, sidx, -1),
+            jnp.where(valid, flat_val[order], 0.0),
+            jnp.where(valid[None, :], flat_amp[:, order], 0.0),
+            jnp.sum(valid.astype(jnp.int32)))
+
+
 def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
                          threshold: float, pileup_window: int,
                          capacity: int,
@@ -298,27 +361,13 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     TPU note: 1-D megasample scans serialize, so everything runs as 2-D
     segmented scans (parallel across block rows with small cross-row
-    carries); the winners (≤1 per merged group) are compacted with a
-    per-row top-k. ``winners_per_row`` defaults to the mathematical
-    maximum of merged groups per row, b // (pileup_window + 1) + 2, so
-    compaction is exact; pass a smaller value only to trade pathological
-    dense-regime capacity for top-k speed.
-
-    Inputs are internally re-tiled to narrow rows (512 samples): the
-    Hillis–Steele doubling scans then need log2(512)=9 full-bandwidth
-    passes instead of log2(B) (the cross-row carry runs on tiny [R]
-    vectors), and the per-row top-k shrinks from O(B/window) of B to
-    ~6 of 512. Row-major flat order — and therefore every global index
-    and the merge semantics — is unchanged by the re-tiling.
+    carries) after re-tiling to 256-sample rows (``_retile_rows``); the
+    winners (≤1 per merged group) are compacted per row
+    (``_compact_winners`` — exact group-max by default, top-k when
+    ``winners_per_row`` is given).
     """
-    m = amps.shape[0]
-    r0, b0 = dchi2.shape
-    tile = 256
-    if b0 > tile and (r0 * b0) % tile == 0:
-        dchi2 = dchi2.reshape(r0 * b0 // tile, tile)
-        amps = amps.reshape(m, r0 * b0 // tile, tile)
+    dchi2, amps = _retile_rows(dchi2, amps)
     r, b = dchi2.shape
-    l = r * b
     col = jnp.arange(b, dtype=jnp.int32)[None, :]
     row = jnp.arange(r, dtype=jnp.int32)[:, None]
     t = row * b + col
@@ -350,46 +399,14 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     count_total = jnp.sum(start.astype(jnp.int32))
 
-    # compact winners per row (≤1 per group; winners are sparse).
-    # A merged group plus its following gap spans ≥ pileup_window + 1
-    # samples, so a row of b samples holds at most b//(window+1) + 2
-    # winners (+2 for groups straddling the row boundaries).
-    if winners_per_row is None:
-        winners_per_row = b // (max(pileup_window, 0) + 1) + 2
-    wd = jnp.where(winner, dchi2, -jnp.inf)
-    g = 1 << int(np.floor(np.log2(max(pileup_window, 0) + 1)))
-    g = min(g, b)
-    if g >= 32 and b % g == 0:
-        # winners of distinct merged groups are > pileup_window ≥ g−1
-        # samples apart, so every g-sample group holds at most one: a
-        # per-group max+argmax compacts exactly and is ~8x cheaper than
-        # lax.top_k on TPU
-        ng = b // g
-        wg = wd.reshape(r, ng, g)
-        vals = jnp.max(wg, axis=-1)                       # [R, ng]
-        loc = jnp.argmax(wg, axis=-1).astype(jnp.int32)
-        cols = jnp.arange(ng, dtype=jnp.int32)[None, :] * g + loc
-        kk = ng
-    else:
-        kk = min(winners_per_row, b)
-        vals, cols = jax.lax.top_k(wd, kk)                # [R, k]
-    gidx = (row * b + cols).astype(jnp.int32)
-    ok = jnp.isfinite(vals) & (vals > threshold)
-    amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
-
-    big = jnp.int32(l + 1)
-    flat_idx = jnp.where(ok, gidx, big).reshape(-1)
-    flat_val = jnp.where(ok, vals, 0.0).reshape(-1)
-    flat_amp = jnp.where(ok[None], amp_cand, 0.0).reshape(m, -1)
-    order = jnp.argsort(flat_idx)[:capacity]
-    sidx = flat_idx[order]
-    valid = sidx < big
-    count = jnp.minimum(count_total, jnp.sum(valid.astype(jnp.int32)))
+    idx_out, val_out, amp_out, n_valid = _compact_winners(
+        winner, dchi2, amps, threshold, pileup_window, capacity,
+        winners_per_row, jnp.int32(0))
     return TriggerSet(
-        indices=jnp.where(valid, sidx, -1),
-        dchi2=jnp.where(valid, flat_val[order], 0.0),
-        amplitudes=jnp.where(valid[None, :], flat_amp[:, order], 0.0),
-        count=count,
+        indices=idx_out,
+        dchi2=val_out,
+        amplitudes=amp_out,
+        count=jnp.minimum(count_total, n_valid),
         count_total=count_total,
     )
 
@@ -438,12 +455,7 @@ def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
     Indices are global int32 (traces < 2^31 samples). Winners are
     compacted per shard with ``capacity`` slots each.
     """
-    m = amps.shape[0]
-    r0, b0 = dchi2.shape
-    tile = 256
-    if b0 > tile and (r0 * b0) % tile == 0:
-        dchi2 = dchi2.reshape(r0 * b0 // tile, tile)
-        amps = amps.reshape(m, r0 * b0 // tile, tile)
+    dchi2, amps = _retile_rows(dchi2, amps)
     r, b = dchi2.shape
     col = jnp.arange(b, dtype=jnp.int32)[None, :]
     row = jnp.arange(r, dtype=jnp.int32)[:, None]
@@ -514,36 +526,14 @@ def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     # per-shard winner compaction (winners are globally unique, so shard
     # outputs concatenate without dedup)
-    wd = jnp.where(winner, dchi2, neg)
-    g = 1 << int(np.floor(np.log2(max(pileup_window, 0) + 1)))
-    g = min(g, b)
-    if g >= 32 and b % g == 0:
-        ng = b // g
-        wg = wd.reshape(r, ng, g)
-        vals = jnp.max(wg, axis=-1)
-        loc = jnp.argmax(wg, axis=-1).astype(jnp.int32)
-        cols = jnp.arange(ng, dtype=jnp.int32)[None, :] * g + loc
-        kk = ng
-    else:
-        kk = min(b // (max(pileup_window, 0) + 1) + 2, b)
-        vals, cols = jax.lax.top_k(wd, kk)
-    gidx = (row * b + cols).astype(jnp.int32) + t_offset
-    ok = jnp.isfinite(vals) & (vals > threshold)
-    amp_cand = jnp.take_along_axis(amps, cols[None, :, :], axis=-1)
-
-    big = jnp.int32(np.iinfo(np.int32).max)
-    flat_idx = jnp.where(ok, gidx, big).reshape(-1)
-    flat_val = jnp.where(ok, vals, 0.0).reshape(-1)
-    flat_amp = jnp.where(ok[None], amp_cand, 0.0).reshape(m, -1)
-    order = jnp.argsort(flat_idx)[:capacity]
-    sidx = flat_idx[order]
-    valid = sidx < big
-    count = jnp.sum(valid.astype(jnp.int32))
+    idx_out, val_out, amp_out, n_valid = _compact_winners(
+        winner, dchi2, amps, threshold, pileup_window, capacity,
+        None, t_offset)
     return TriggerSet(
-        indices=jnp.where(valid, sidx, -1),
-        dchi2=jnp.where(valid, flat_val[order], 0.0),
-        amplitudes=jnp.where(valid[None, :], flat_amp[:, order], 0.0),
-        count=count,
+        indices=idx_out,
+        dchi2=val_out,
+        amplitudes=amp_out,
+        count=n_valid,
         count_total=count_total,
     )
 

@@ -152,6 +152,12 @@ def sharded_longtrace_trigger(mesh: Mesh, kernel, threshold: float,
         c, l_loc = local.shape
         if l_loc % 256 != 0:
             raise ValueError("per-shard trace length must divide by 256")
+        if l_loc < nt:
+            # the halo slices below would silently clamp and feed shards
+            # truncated neighbor context, corrupting q near boundaries
+            raise ValueError(
+                f"per-shard length {l_loc} is smaller than the template "
+                f"length {nt}; use fewer shards or longer traces")
         idx = jax.lax.axis_index(axis_name)
         t0 = (idx * l_loc).astype(jnp.int32)
         l_glob = n_shards * l_loc

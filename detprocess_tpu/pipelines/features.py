@@ -542,6 +542,17 @@ class FeatureProcessing:
                                     bank.denom_inv[spec.slot], fs))
                 elif spec.base == "of1x2x2":
                     vfft = vffts[spec.chan_idx][:, None, :]
+                    # optional Δ = t2 − t1 constraint (samples): bounds
+                    # the joint scan to the physical pulse-2 delay range
+                    # (O(N·|Δ|) instead of the O(N²) full circular scan)
+                    dmin = spec.kwargs.get("delta_window_min_usec")
+                    dmax = spec.kwargs.get("delta_window_max_usec")
+                    if dmin is not None or dmax is not None:
+                        lo = int(round((dmin or 0.0) * 1e-6 * fs))
+                        hi = int(round((dmax or 0.0) * 1e-6 * fs))
+                        delta_window = np.arange(lo, hi + 1)
+                    else:
+                        delta_window = None
                     r = of1x1.of1x2(
                         vfft,
                         bank.phi[spec.slot:spec.slot + 1],
@@ -551,7 +562,7 @@ class FeatureProcessing:
                         bank.norm[spec.slot2:spec.slot2 + 1],
                         bank.s_fft[spec.slot2:spec.slot2 + 1],
                         bank.denom_inv[spec.slot:spec.slot + 1],
-                        of_pretrig, fs)
+                        of_pretrig, fs, delta_window=delta_window)
                     out[f"scintillation_amp_{name}_{fc}"] = r.amp1[:, 0]
                     out[f"evaporation_amp_{name}_{fc}"] = r.amp2[:, 0]
                     out[f"time_diff_{name}_{fc}"] = r.time_diff[:, 0]

@@ -161,3 +161,27 @@ def test_weighted_difference_channel(result, data):
     expected = combo[:, :N - 1].mean(axis=-1)
     np.testing.assert_allclose(result["baseline_chan1-chan2"], expected,
                                rtol=1e-6)
+
+
+def test_of1x2x2_delta_window_plumbed(data, result, tmp_path):
+    """delta_window_*_usec YAML kwargs bound the joint of1x2x2 scan and
+    reproduce the full-scan result (true separation 40 samples = 32 usec
+    is inside the window)."""
+    config = {"chan1": {"of1x2x2": {
+        "run": True,
+        "template_tag_1": "Scintillation",
+        "template_tag_2": "Evaporation",
+        "delta_window_min_usec": 0.0,
+        "delta_window_max_usec": 100.0,
+    }}}
+    cpath = tmp_path / "dw.yaml"
+    yaml.safe_dump(config, open(cpath, "w"))
+    proc = FeatureProcessing(data["raw_files"], str(cpath),
+                             filter_data=data["fd"], verbose=False)
+    out = proc.process(batch_size=NB, dtype=np.float64)
+    for col in ("scintillation_amp_of1x2x2_chan1",
+                "evaporation_amp_of1x2x2_chan1",
+                "time_diff_of1x2x2_chan1"):
+        np.testing.assert_allclose(out[col].to_numpy(),
+                                   result[col].to_numpy(), rtol=1e-10)
+    assert np.all(out["time_diff_of1x2x2_chan1"].to_numpy() >= 0)

@@ -149,3 +149,16 @@ def test_joint_chi2_zero_on_noiseless(banks):
     res = _joint(v, b1, b2, delta_window=np.arange(0, 80))
     c0 = float(of1x1.chi2_base(v, jnp.asarray(b1.denom_inv))[0, 0])
     assert float(res.chi2[0, 0]) < 1e-6 * c0
+
+
+def test_positive_window_beyond_half_n(banks):
+    """An explicitly positive delta_window with values > n/2 must report
+    time_diff on the caller's branch, not unwrap it to negative."""
+    t1, t2, b1, b2 = banks
+    sep = 600                      # > N/2 = 512
+    trace = 2e-6 * t1 + 1.5e-6 * np.roll(t2, sep)
+    v = jnp.asarray(np.fft.fft(trace).reshape(1, 1, N))
+    res = _joint(v, b1, b2, delta_window=np.arange(0, 700))
+    assert float(res.time_diff[0, 0]) * FS == pytest.approx(sep, abs=1.0)
+    assert np.isclose(float(res.amp1[0, 0]), 2e-6, rtol=1e-3)
+    assert np.isclose(float(res.amp2[0, 0]), 1.5e-6, rtol=1e-3)
