@@ -538,6 +538,88 @@ def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
     )
 
 
+def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
+                                 threshold: float, window_fn,
+                                 capacity: int,
+                                 candidate_capacity: int = 4096):
+    """Dynamic-pileup-window triggering ON DEVICE.
+
+    Device counterpart of :func:`find_triggers_dynamic` (the reference's
+    ``dynamic=True`` mode, oftrigger.py:78-142): the merge window
+    between successive above-threshold samples is ``window_fn(m)`` of the
+    running maximum Δχ² of the current group — including the candidate
+    being considered, matching the reference loop. The sequential
+    dependence runs as a ``lax.scan`` over the first
+    ``candidate_capacity`` above-threshold samples (compacted in time
+    order), so the scan length is the candidate count, not the trace
+    length. ``window_fn`` must be jax-traceable (scalar → scalar, in
+    samples); use the host version for arbitrary Python callables.
+
+    Returns (indices [capacity] int32 (−1 empty), dchi2 [capacity],
+    amplitudes [M, capacity], count). Candidates beyond
+    ``candidate_capacity`` are dropped (count the above-threshold rate
+    and raise it if needed).
+    """
+    l = dchi2.shape[-1]
+    m = amps.shape[0]
+    above = dchi2 > threshold
+    # first K above-sample indices in time order (sentinel l = missing)
+    key = jnp.where(above, jnp.arange(l, dtype=jnp.int32), jnp.int32(l))
+    cand_idx = jnp.sort(key)[:candidate_capacity]
+    valid = cand_idx < l
+    safe = jnp.clip(cand_idx, 0, l - 1)
+    cand_val = jnp.where(valid, dchi2[safe], -jnp.inf)
+
+    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
+    buf_i = jnp.full((capacity,), -1, jnp.int32)
+    buf_v = jnp.zeros((capacity,), dchi2.dtype)
+
+    def body(carry, x):
+        buf_i, buf_v, nout, gmax, gmax_i, last = carry
+        i, v, ok = x
+        # window from the running max INCLUDING this candidate
+        # (oftrigger.py:_getchangeslessthandynamicthresh semantics)
+        probe = jnp.maximum(gmax, v)
+        window = jnp.asarray(window_fn(probe), dchi2.dtype)
+        gap = (i - last).astype(dchi2.dtype)
+        splits = ok & (last >= 0) & (gap > window)
+        # close the previous group: emit its winner
+        emit = splits & (nout < capacity)
+        buf_i = jnp.where(
+            emit, buf_i.at[jnp.clip(nout, 0, capacity - 1)].set(gmax_i),
+            buf_i)
+        buf_v = jnp.where(
+            emit, buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
+            buf_v)
+        nout = nout + emit.astype(jnp.int32)
+        # start new group or extend the current one
+        new_gmax = jnp.where(splits, v, jnp.maximum(gmax, v))
+        new_gmax_i = jnp.where(
+            splits | (v > gmax), i, gmax_i)
+        gmax = jnp.where(ok, new_gmax, gmax)
+        gmax_i = jnp.where(ok, new_gmax_i, gmax_i)
+        last = jnp.where(ok, i, last)
+        return (buf_i, buf_v, nout, gmax, gmax_i, last), None
+
+    init = (buf_i, buf_v, jnp.int32(0), neg, jnp.int32(-1),
+            jnp.int32(-1))
+    (buf_i, buf_v, nout, gmax, gmax_i, last), _ = jax.lax.scan(
+        body, init, (cand_idx, cand_val, valid))
+    # final group
+    emit = (last >= 0) & (nout < capacity)
+    buf_i = jnp.where(emit,
+                      buf_i.at[jnp.clip(nout, 0, capacity - 1)].set(gmax_i),
+                      buf_i)
+    buf_v = jnp.where(emit,
+                      buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
+                      buf_v)
+    nout = nout + emit.astype(jnp.int32)
+
+    amp_out = jnp.where(buf_i[None, :] >= 0,
+                        amps[:, jnp.clip(buf_i, 0, l - 1)], 0.0)
+    return buf_i, buf_v, amp_out, nout
+
+
 def find_triggers_dynamic(dchi2: np.ndarray, amps: np.ndarray,
                           threshold: float, threshold_function,
                           capacity: int | None = None):

@@ -250,6 +250,11 @@ class _TriggerChannel:
     sat_amps: Optional[list]
     edge_exclusion_msec: Optional[float]
     positive_pulses: bool = True
+    # dynamic-pileup-window mode (reference oftrigger.py dynamic=True):
+    # jax-traceable fn(running-max Δχ²) → merge window in samples; set
+    # programmatically via set_dynamic_threshold (functions can't come
+    # from YAML)
+    dynamic_threshold_function: Optional[object] = None
 
 
 class TriggerProcessing:
@@ -297,6 +302,20 @@ class TriggerProcessing:
         """Attach a salting injector: callable(trace [C, L], admin) →
         salted trace (see pipelines.salting)."""
         self._salt_injector = injector
+
+    def set_dynamic_threshold(self, channel: str, window_fn):
+        """Enable the dynamic-pileup-window mode for one trigger channel
+        (reference find_triggers(dynamic=True, dynamic_threshold_function=…),
+        oftrigger.py:684-688): ``window_fn`` maps the running maximum Δχ²
+        of the current group to a merge window in samples. It must be
+        jax-traceable — the merge then runs on device as a lax.scan over
+        the compacted above-threshold candidates
+        (ops.trigger.find_triggers_dynamic_kernel)."""
+        for tc in self._channels:
+            if tc.name == channel or tc.channel_name == channel:
+                tc.dynamic_threshold_function = window_fn
+                return
+        raise ValueError(f"no trigger channel named {channel}")
 
     def _build_channels(self):
         cfg = self._trigger_config["channels"]
@@ -354,13 +373,19 @@ class TriggerProcessing:
             q_blocks, _ = trig_ops.of_fir_blocks(trace, kernel)
             dchi2_b, amps_b = trig_ops.delta_chi2_blocks(
                 q_blocks, jnp.asarray(kernel.iw_matrix))
-            ts = trig_ops.find_triggers_blocks(
-                dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
-                capacity)
-            # flat views for the residual path
+            # flat views (residual path + dynamic mode)
             l = trace.shape[-1]
             dchi2 = dchi2_b.reshape(-1)[:l]
             amps = amps_b.reshape(amps_b.shape[0], -1)[:, :l]
+            if tc.dynamic_threshold_function is not None:
+                idx, val, amp, cnt = trig_ops.find_triggers_dynamic_kernel(
+                    dchi2, amps, tc.chi2_threshold,
+                    tc.dynamic_threshold_function, capacity)
+                ts = trig_ops.TriggerSet(idx, val, amp, cnt, cnt)
+            else:
+                ts = trig_ops.find_triggers_blocks(
+                    dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
+                    capacity)
             if tc.run_residual:
                 if tc.sat_amps is not None:
                     lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)

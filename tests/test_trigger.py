@@ -5,6 +5,7 @@ OptimumFilterTrigger path (oaconvolve 'same' + einsum + threshold merge +
 pretrigger−N//2 index shift, detprocess/core/oftrigger.py:588-1019).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from scipy.signal import oaconvolve
@@ -361,3 +362,53 @@ def test_fir_alignment_randomized():
         qz[:, -nt:] = 0
         err = np.max(np.abs(qz - ref)) / np.max(np.abs(ref))
         assert err < 1e-6, (nt, pretrig, l, c, err)
+
+
+def test_dynamic_kernel_matches_host():
+    """Device dynamic-window trigger == host reference loop, including
+    window decisions that depend on the running group maximum."""
+    rng = np.random.default_rng(123)
+    l = 50_000
+    dchi2 = np.abs(rng.standard_normal(l)) * 3.0
+    # sprinkle strong excursions with varying spacings
+    for pos, v in [(5_000, 40.0), (5_060, 55.0), (5_200, 35.0),
+                   (20_000, 90.0), (20_400, 88.0), (40_000, 30.0)]:
+        dchi2[pos] = v
+    amps = rng.standard_normal((2, l))
+    thr = 25.0
+
+    def window_fn(m):
+        # larger pulses merge over wider windows
+        return 50.0 + 2.0 * jnp.sqrt(m)
+
+    def window_host(m):
+        return 50.0 + 2.0 * np.sqrt(m)
+
+    h_idx, h_val, h_amp = trigger.find_triggers_dynamic(
+        dchi2, amps, thr, window_host)
+    d_idx, d_val, d_amp, d_cnt = jax.jit(
+        lambda d, a: trigger.find_triggers_dynamic_kernel(
+            d, a, thr, window_fn, capacity=64))(
+        jnp.asarray(dchi2), jnp.asarray(amps))
+    cnt = int(d_cnt)
+    assert cnt == len(h_idx), (cnt, len(h_idx))
+    np.testing.assert_array_equal(np.asarray(d_idx)[:cnt], h_idx)
+    np.testing.assert_allclose(np.asarray(d_val)[:cnt], h_val, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_amp)[:, :cnt], h_amp,
+                               rtol=1e-6)
+
+
+def test_dynamic_kernel_empty_and_capacity():
+    dchi2 = np.zeros(1024)
+    amps = np.zeros((1, 1024))
+    d_idx, d_val, d_amp, cnt = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0,
+        lambda m: 5.0, capacity=8)
+    assert int(cnt) == 0 and np.all(np.asarray(d_idx) == -1)
+    # capacity clamp: many isolated spikes, capacity 3
+    dchi2[::100] = 50.0
+    d_idx, d_val, d_amp, cnt = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0,
+        lambda m: 5.0, capacity=3)
+    assert int(cnt) == 3
+    np.testing.assert_array_equal(np.asarray(d_idx), [0, 100, 200])

@@ -1,6 +1,7 @@
 """End-to-end trigger pipeline test: continuous raw data → trigger tables,
 with cross-channel coincidence merging."""
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -242,3 +243,55 @@ def test_trigger_dumps_and_resume(dataset, tmp_path):
                   resume=True, event_batch=1, pipeline_depth=0,
                   nb_events_per_dump=1, lgc_output=False)
     assert sorted(glob.glob(out_res + "/*.hdf5")) == files_res
+
+
+def test_dynamic_threshold_pipeline(tmp_path):
+    """set_dynamic_threshold routes the pipeline through the device
+    dynamic-window kernel: a wide-merging window function fuses a pulse
+    pair that the static window keeps separate."""
+    import yaml as _yaml
+
+    rng = np.random.default_rng(9)
+    l = 200_000
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    sigma = 2e-6
+    traces = rng.standard_normal((1, 1, l)) * sigma
+    # pulse pair 4000 samples apart: the above-threshold clusters
+    # (±~700 samples at this SNR) stay separated under the static
+    # 0.5 ms window (625 samples) but merge under the dynamic one below
+    for pos in (60_000, 64_000):
+        traces[0, 0, pos - PRETRIG:pos - PRETRIG + NT] += 40e-6 * tmpl
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260816_T300000", FS,
+                  ["chan1"])
+    w.write_dump(traces, dump_num=1)
+    raw_files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+
+    fd = FilterData(verbose=False)
+    psd = np.full(NT, sigma**2 / FS)
+    fd.set_psd("chan1", psd, FS)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
+
+    config = {"trigger": {"chan1": {
+        "run": True, "template_tag": "default", "threshold_sigma": 8.0,
+        "pileup_window_msec": 0.5}}}
+    cpath = tmp_path / "cfg.yaml"
+    _yaml.safe_dump(config, open(cpath, "w"))
+
+    # static window: two triggers
+    proc = TriggerProcessing(raw_files, str(cpath), filter_data=fd,
+                             verbose=False)
+    df_static = proc.process()
+    near = df_static[(df_static["trigger_index"] > 55_000)
+                     & (df_static["trigger_index"] < 65_000)]
+    assert len(near) == 2
+
+    # dynamic window grows with the group maximum: one merged trigger
+    proc2 = TriggerProcessing(raw_files, str(cpath), filter_data=fd,
+                              verbose=False)
+    proc2.set_dynamic_threshold(
+        "chan1", lambda m: jnp.where(m > 1000.0, 6000.0, 200.0))
+    df_dyn = proc2.process()
+    near = df_dyn[(df_dyn["trigger_index"] > 55_000)
+                  & (df_dyn["trigger_index"] < 65_000)]
+    assert len(near) == 1
