@@ -238,3 +238,87 @@ def test_psd_white_noise_level_and_parseval():
     np.testing.assert_allclose(psd.mean(), sigma**2 / FS, rtol=0.02)
     # Parseval per-trace: Σ PSD·fs/N == mean square
     np.testing.assert_allclose(psd.sum() * FS / n, sigma**2, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# 4. NxM closed forms
+# ---------------------------------------------------------------------------
+
+def test_nxm_diagonal_csd_decouples_to_1x1():
+    """With a diagonal CSD, the NxM fit decouples channel-by-channel: for
+    orthogonal per-channel templates the amplitudes equal the independent
+    1x1 estimates — a structural identity of the weight matrix, not a
+    property of this implementation."""
+    from detprocess_tpu.ops import ofnxm
+
+    n = 512
+    pre = 128
+    from detprocess_tpu.models import pulse as pl
+
+    t1 = pl.make_template(FS, n, pre, A=1.0, tau_r=10e-6, tau_f1=50e-6)
+    t2 = pl.make_template(FS, n, pre, A=1.0, tau_r=40e-6, tau_f1=300e-6)
+    templates = np.zeros((2, 2, n))
+    templates[0, 0] = t1          # template 0 lives on channel 0 only
+    templates[1, 1] = t2          # template 1 on channel 1 only
+    psd1, psd2 = 4e-18, 9e-18
+    csd = np.zeros((2, 2, n), dtype=complex)
+    csd[0, 0] = psd1
+    csd[1, 1] = psd2
+
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, pre)
+    # cross-channel weight terms must vanish exactly
+    assert abs(bank.w_matrix[0, 1]) <= 1e-10 * abs(bank.w_matrix[0, 0])
+
+    rng = np.random.default_rng(3)
+    a1t, a2t = 3e-6, 5e-6
+    traces = np.stack([
+        rng.standard_normal(n) * np.sqrt(psd1 * FS) + a1t * t1,
+        rng.standard_normal(n) * np.sqrt(psd2 * FS) + a2t * t2,
+    ])[None, :, :]
+    vfft = jnp.asarray(np.fft.fft(traces, axis=-1))
+    res = ofnxm.ofnxm_nodelay(vfft, jnp.asarray(bank.phi),
+                              jnp.asarray(bank.iw_matrix),
+                              jnp.asarray(bank.icsd), FS)
+    amps = np.asarray(res.amps[0])
+
+    # independent 1x1 fits on each channel
+    for ch, (tmpl, psd_v, a_true) in enumerate(
+            [(t1, psd1, a1t), (t2, psd2, a2t)]):
+        psd_arr = np.full(n, psd_v)
+        b1 = filterbank.make_of1x1_bank(tmpl, psd_arr, FS, pre)
+        v1 = jnp.asarray(np.fft.fft(traces[0, ch])[None, None, :])
+        r1 = of1x1.of1x1_nodelay(v1, jnp.asarray(b1.phi),
+                                 jnp.asarray(b1.norm),
+                                 jnp.asarray(b1.denom_inv),
+                                 jnp.asarray(b1.s_fft))
+        np.testing.assert_allclose(amps[ch], float(r1.amp[0, 0]),
+                                   rtol=1e-8)
+
+
+def test_nxm_delta_chi2_distribution():
+    """On pure noise, Δχ² = qᵀW⁻¹q at a fixed delay is χ²_M distributed:
+    mean M, var 2M — textbook quadratic-form statistics."""
+    from detprocess_tpu.ops import ofnxm
+
+    n = 1024
+    pre = 256
+    from detprocess_tpu.models import pulse as pl
+
+    templates = np.stack([
+        pl.make_template(FS, n, pre, A=1.0, tau_r=10e-6, tau_f1=60e-6),
+        pl.make_template(FS, n, pre, A=1.0, tau_r=30e-6, tau_f1=250e-6),
+    ])[None, :, :]                                       # 1 channel, M=2
+    psd_v = 4e-18
+    csd = np.full((1, 1, n), psd_v, dtype=complex)
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, pre)
+
+    rng = np.random.default_rng(9)
+    m_ev = 3000
+    noise = rng.standard_normal((m_ev, 1, n)) * np.sqrt(psd_v * FS)
+    vfft = jnp.asarray(np.fft.fft(noise, axis=-1))
+    q = jnp.einsum("cmk,bck->bm", jnp.asarray(bank.phi), vfft).real
+    dchi2 = np.asarray(jnp.einsum(
+        "bi,ij,bj->b", q, jnp.asarray(bank.iw_matrix), q))
+    m_amp = 2
+    assert abs(dchi2.mean() - m_amp) < 5 * np.sqrt(2 * m_amp / m_ev)
+    np.testing.assert_allclose(dchi2.var(ddof=1), 2 * m_amp, rtol=0.15)
