@@ -144,3 +144,25 @@ def test_sharded_trigger_shard_invariance():
         j = int(np.argmin(np.abs(found - (5000 + 7000 * k))))
         assert abs(int(found[j]) - (5000 + 7000 * k)) <= 5
         np.testing.assert_allclose(amps[k, 0, j], 1e-5, rtol=0.1)
+
+
+def test_multihost_series_split_properties():
+    """Multi-node series splitting: disjoint, complete, deterministic —
+    the structural race-avoidance invariant the reference gets from
+    unique output series per node (process/features.py:502-508)."""
+    from detprocess_tpu.parallel import multihost
+
+    series = [f"I1_D20260816_T12{k:04d}" for k in range(23)]
+    got = []
+    for host in range(5):
+        mine = multihost.split_series_for_host(series, host, 5)
+        # deterministic
+        assert mine == multihost.split_series_for_host(series, host, 5)
+        got.extend(mine)
+    assert sorted(got) == sorted(series)          # complete
+    assert len(got) == len(set(got))              # disjoint
+
+    # unique output series numbers per host
+    nums = {multihost.output_series_num_for_host(7_000, h)
+            for h in range(5)}
+    assert len(nums) == 5
