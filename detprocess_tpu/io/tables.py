@@ -67,6 +67,40 @@ def output_file_name(output_dir: str, prefix: str, group_name: str,
     return os.path.join(output_dir, name)
 
 
+def write_job_summary(output_dir: str, prefix: str, group_name: str,
+                      series_name: str, summary: dict) -> str:
+    """Write a per-job summary JSON next to the dumps
+    (``{prefix}_{group}_{series}_summary.json``): throughput, livetime,
+    counts, config digest — the machine-readable version of the
+    reference's progress prints (process/features.py:549-561,
+    triggers.py:588-594). Returns the path."""
+    import json
+
+    path = os.path.join(
+        output_dir, f"{prefix}_{group_name}_{series_name}_summary.json")
+
+    def default(o):
+        import numpy as _np
+        if isinstance(o, (_np.integer,)):
+            return int(o)
+        if isinstance(o, (_np.floating,)):
+            return float(o)
+        return str(o)
+
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2, default=default)
+    return path
+
+
+def config_digest(config_dict) -> str:
+    """Stable short hash of a (nested) config mapping for provenance."""
+    import hashlib
+    import json
+
+    blob = json.dumps(config_dict, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
 def write_table(df: pd.DataFrame, path: str, fmt: Optional[str] = None):
     """Dispatch on extension/format ('hdf5' vaex layout, or 'parquet')."""
     fmt = fmt or ("parquet" if path.endswith(".parquet") else "hdf5")

@@ -822,6 +822,9 @@ class FeatureProcessing:
         for long runs (the reference restarts whole series only,
         SURVEY.md §5).
         """
+        import time as _time
+
+        t_start = _time.time()
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
@@ -875,8 +878,30 @@ class FeatureProcessing:
             self._flush_dump(state, output_path, output_format,
                              out_series, group_name)
 
+        wall = _time.time() - t_start
         if self._verbose and state["total"]:
-            print(f"INFO: processed {state['total']} events")
+            print(f"INFO: processed {state['total']} events in "
+                  f"{wall:.1f} s ({state['total']/max(wall, 1e-9):.0f} "
+                  f"events/s)")
+        if lgc_save and output_path is not None:
+            tables.write_job_summary(
+                output_path, self._output_prefix(), group_name,
+                out_series, {
+                    "workload": "feature",
+                    "processing_id": self._processing_id,
+                    "series_name": out_series,
+                    "events": int(state["total"]),
+                    "wall_sec": round(wall, 3),
+                    "events_per_sec": (round(state["total"] / wall, 3)
+                                       if wall else 0),
+                    "dumps": int(state["dump"]),
+                    "trigger_driven": self._trigger_df is not None,
+                    "config_digest": tables.config_digest(
+                        [(s.channel, s.algorithm) for g in self._groups
+                         for s in g.specs]),
+                    "restricted": self._restricted,
+                    "calib": self._calib,
+                })
         if not frames:
             return pd.DataFrame() if lgc_output else None
         result = pd.concat(frames, ignore_index=True)

@@ -475,6 +475,9 @@ class TriggerProcessing:
         fns = {tc.name: self._make_channel_fn(tc, capacity)
                for tc in self._channels}
         builder = EventBuilder()
+        import time as _time
+
+        t_start = _time.time()
         frames: List[pd.DataFrame] = []
         all_frames: List[pd.DataFrame] = []
         out_series = series_name or create_series_name(self._facility)
@@ -626,9 +629,31 @@ class TriggerProcessing:
         all_frames.extend(frames)
         result = (pd.concat(all_frames, ignore_index=True)
                   if all_frames else pd.DataFrame())
+        wall = _time.time() - t_start
         if self._verbose:
             print(f"INFO: processed {total} continuous events, "
-                  f"{len(result)} triggers")
+                  f"{len(result)} triggers in {wall:.1f} s")
+        if lgc_save and output_path is not None:
+            tables.write_job_summary(
+                output_path, self._trigger_prefix(), group_name,
+                out_series, {
+                    "workload": "trigger",
+                    "processing_id": self._processing_id,
+                    "series_name": out_series,
+                    "continuous_events": int(total),
+                    "triggers": int(len(result)),
+                    "livetime_sec": float(livetime),
+                    "wall_sec": round(wall, 3),
+                    "events_per_sec": round(total / wall, 3) if wall else 0,
+                    "dumps": int(dump_num),
+                    "channels": [tc.name for tc in self._channels],
+                    "thresholds_sigma": {tc.name: tc.threshold_sigma
+                                         for tc in self._channels},
+                    "config_digest": tables.config_digest(
+                        self._trigger_config),
+                    "restricted": self._restricted,
+                    "calib": self._calib,
+                })
         return result if lgc_output else None
 
     def _trigger_prefix(self) -> str:

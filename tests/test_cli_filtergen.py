@@ -74,8 +74,10 @@ def test_cli_trigger_feature_chain(rawgroup, tmp_path):
         "--enable-trig", "--enable-feature",
     ])
     assert rc == 0
-    trig_files = os.listdir(os.path.join(out, "trigger"))
-    feat_files = os.listdir(os.path.join(out, "feature"))
+    trig_files = [f for f in os.listdir(os.path.join(out, "trigger"))
+                  if f.endswith(".hdf5")]
+    feat_files = [f for f in os.listdir(os.path.join(out, "feature"))
+                  if f.endswith(".hdf5")]
     assert len(trig_files) == 1 and trig_files[0].startswith("threshtrig_")
     assert len(feat_files) >= 1 and feat_files[0].startswith("feature_")
     feat = tables.read_table(os.path.join(out, "feature", feat_files[0]))

@@ -238,7 +238,7 @@ def test_table_output_roundtrip(dataset, result, tmp_path):
     out_dir = tmp_path / "out"
     df2 = proc2.process(batch_size=100, dtype=np.float64, lgc_save=True,
                         output_path=str(out_dir), series_name="I1_D20260816_T130000")
-    files = sorted(os.listdir(out_dir))
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".hdf5"))
     assert len(files) == 1 and files[0].startswith("feature_")
     back = tables.read_table(str(out_dir / files[0]))
     assert len(back) == NB_EVENTS
@@ -341,3 +341,21 @@ def test_memory_limit_dumping(dataset, tmp_path):
     files = sorted(glob.glob(out + "/*.hdf5"))
     assert len(files) >= 2
     assert sum(tables.count_rows(f) for f in files) == 24
+
+
+def test_feature_job_summary_written(tmp_path, dataset):
+    import glob
+    import json
+
+    out = tmp_path / "out"
+    proc = FeatureProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    proc.process(batch_size=4, lgc_save=True, output_path=str(out))
+    summaries = glob.glob(str(out / "*_summary.json"))
+    assert len(summaries) == 1
+    s = json.load(open(summaries[0]))
+    assert s["workload"] == "feature"
+    assert s["events"] > 0 and s["wall_sec"] > 0
+    assert s["trigger_driven"] is False
+    assert len(s["config_digest"]) == 12

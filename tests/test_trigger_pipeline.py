@@ -110,7 +110,7 @@ def test_trigger_pipeline_finds_injected_pulses(dataset, tmp_path):
     assert np.all(np.diff(np.sort(ids)) > 0)
 
     # output file written
-    files = list((tmp_path / "out").glob("threshtrig_*"))
+    files = list((tmp_path / "out").glob("threshtrig_*.hdf5"))
     assert len(files) == 1
 
 
@@ -295,3 +295,45 @@ def test_dynamic_threshold_pipeline(tmp_path):
     near = df_dyn[(df_dyn["trigger_index"] > 55_000)
                   & (df_dyn["trigger_index"] < 65_000)]
     assert len(near) == 1
+
+
+def test_job_summary_written(tmp_path):
+    import glob
+    import json
+
+    rng = np.random.default_rng(5)
+    l = 100_000
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    sigma = 2e-6
+    traces = rng.standard_normal((1, 1, l)) * sigma
+    traces[0, 0, 50_000 - PRETRIG:50_000 - PRETRIG + NT] += 40e-6 * tmpl
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260816_T310000", FS,
+                  ["chan1"])
+    w.write_dump(traces, dump_num=1)
+    raw_files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+
+    fd = FilterData(verbose=False)
+    fd.set_psd("chan1", np.full(NT, sigma**2 / FS), FS)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
+    config = {"trigger": {"chan1": {"run": True,
+                                    "template_tag": "default",
+                                    "threshold_sigma": 8.0,
+                                    "pileup_window_msec": 0.5}}}
+    cpath = tmp_path / "cfg.yaml"
+    yaml.safe_dump(config, open(cpath, "w"))
+
+    out = tmp_path / "out"
+    proc = TriggerProcessing(raw_files, str(cpath), filter_data=fd,
+                             processing_id="testrun", verbose=False)
+    df = proc.process(lgc_save=True, output_path=str(out))
+
+    summaries = glob.glob(str(out / "*_summary.json"))
+    assert len(summaries) == 1
+    s = json.load(open(summaries[0]))
+    assert s["workload"] == "trigger"
+    assert s["continuous_events"] == 1
+    assert s["triggers"] == len(df) == 1
+    assert s["wall_sec"] > 0 and s["livetime_sec"] > 0
+    assert s["processing_id"] == "testrun"
+    assert len(s["config_digest"]) == 12

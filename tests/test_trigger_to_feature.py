@@ -114,7 +114,7 @@ def test_trigger_dataframe_from_file(chain, tmp_path):
                            filter_data=chain["fpath"], verbose=False)
     tp.process(capacity=128, lgc_save=True,
                output_path=str(tmp_path / "trig2"))
-    trig_files = sorted((tmp_path / "trig2").glob("threshtrig_*"))
+    trig_files = sorted((tmp_path / "trig2").glob("threshtrig_*.hdf5"))
     fp = FeatureProcessing(chain["raw_files"], chain["cpath"],
                            filter_data=chain["fpath"],
                            trigger_dataframe=str(trig_files[0]),
