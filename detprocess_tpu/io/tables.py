@@ -67,17 +67,45 @@ def output_file_name(output_dir: str, prefix: str, group_name: str,
     return os.path.join(output_dir, name)
 
 
+ACCUMULATED_SUMMARY_KEYS = ("events", "triggers", "continuous_events",
+                            "wall_sec", "livetime_sec")
+
+
 def write_job_summary(output_dir: str, prefix: str, group_name: str,
                       series_name: str, summary: dict) -> str:
-    """Write a per-job summary JSON next to the dumps
+    """Write a per-series summary JSON next to the dumps
     (``{prefix}_{group}_{series}_summary.json``): throughput, livetime,
     counts, config digest — the machine-readable version of the
     reference's progress prints (process/features.py:549-561,
-    triggers.py:588-594). Returns the path."""
+    triggers.py:588-594).
+
+    Resumed runs write to the same path; count/time keys
+    (:data:`ACCUMULATED_SUMMARY_KEYS`) are ACCUMULATED with the existing
+    file so the summary always describes the whole series, with an
+    ``invocations`` counter recording how many runs contributed.
+    Returns the path."""
     import json
 
     path = os.path.join(
         output_dir, f"{prefix}_{group_name}_{series_name}_summary.json")
+
+    prior = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
+    for key in ACCUMULATED_SUMMARY_KEYS:
+        if key in summary and isinstance(prior.get(key), (int, float)):
+            summary[key] = type(summary[key])(summary[key] + prior[key])
+    summary["invocations"] = int(prior.get("invocations", 0)) + 1
+    # derived rate stays consistent with the accumulated totals
+    wall = summary.get("wall_sec") or 0
+    for count_key in ("events", "continuous_events"):
+        if count_key in summary and wall:
+            summary["events_per_sec"] = round(summary[count_key] / wall, 3)
+            break
 
     def default(o):
         import numpy as _np
@@ -93,11 +121,22 @@ def write_job_summary(output_dir: str, prefix: str, group_name: str,
 
 
 def config_digest(config_dict) -> str:
-    """Stable short hash of a (nested) config mapping for provenance."""
+    """Stable short hash of a (nested) config mapping for provenance.
+    Non-string keys and arbitrary values are canonicalized to strings so
+    any YAML-derived structure digests."""
     import hashlib
     import json
 
-    blob = json.dumps(config_dict, sort_keys=True, default=str)
+    def norm(o):
+        if isinstance(o, dict):
+            return {str(k): norm(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [norm(v) for v in o]
+        if isinstance(o, (str, int, float, bool)) or o is None:
+            return o
+        return str(o)
+
+    blob = json.dumps(norm(config_dict), sort_keys=True)
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 

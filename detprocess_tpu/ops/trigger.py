@@ -222,6 +222,12 @@ class TriggerSet(NamedTuple):
     count: jnp.ndarray        # scalar int32 — valid entries (≤ capacity)
     count_total: jnp.ndarray  # scalar int32 — merged groups found; if
                               # > count the capacity truncated the output
+    n_above: Optional[jnp.ndarray] = None
+                              # scalar int32 (dynamic kernel only): total
+                              # above-threshold samples; if it exceeds the
+                              # kernel's candidate_capacity, later
+                              # candidates were DROPPED and winners may be
+                              # wrong — raise candidate_capacity
 
 
 def _seg_cummax_rows(x: jnp.ndarray, reset: jnp.ndarray):
@@ -555,14 +561,16 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     length. ``window_fn`` must be jax-traceable (scalar → scalar, in
     samples); use the host version for arbitrary Python callables.
 
-    Returns (indices [capacity] int32 (−1 empty), dchi2 [capacity],
-    amplitudes [M, capacity], count). Candidates beyond
-    ``candidate_capacity`` are dropped (count the above-threshold rate
-    and raise it if needed).
+    Returns a :class:`TriggerSet`; ``count_total`` counts ALL merged
+    groups (including those beyond ``capacity``), and ``n_above`` the
+    above-threshold samples. **If n_above > candidate_capacity, later
+    candidates were dropped and winners inside truncated groups can be
+    wrong** — consumers must check and raise ``candidate_capacity``
+    (pipelines/triggers.py warns loudly).
     """
     l = dchi2.shape[-1]
-    m = amps.shape[0]
     above = dchi2 > threshold
+    n_above = jnp.sum(above.astype(jnp.int32))
     # first K above-sample indices in time order (sentinel l = missing)
     key = jnp.where(above, jnp.arange(l, dtype=jnp.int32), jnp.int32(l))
     cand_idx = jnp.sort(key)[:candidate_capacity]
@@ -575,7 +583,7 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     buf_v = jnp.zeros((capacity,), dchi2.dtype)
 
     def body(carry, x):
-        buf_i, buf_v, nout, gmax, gmax_i, last = carry
+        buf_i, buf_v, nout, ngroups, gmax, gmax_i, last = carry
         i, v, ok = x
         # window from the running max INCLUDING this candidate
         # (oftrigger.py:_getchangeslessthandynamicthresh semantics)
@@ -592,6 +600,7 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
             emit, buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
             buf_v)
         nout = nout + emit.astype(jnp.int32)
+        ngroups = ngroups + splits.astype(jnp.int32)
         # start new group or extend the current one
         new_gmax = jnp.where(splits, v, jnp.maximum(gmax, v))
         new_gmax_i = jnp.where(
@@ -599,11 +608,11 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
         gmax = jnp.where(ok, new_gmax, gmax)
         gmax_i = jnp.where(ok, new_gmax_i, gmax_i)
         last = jnp.where(ok, i, last)
-        return (buf_i, buf_v, nout, gmax, gmax_i, last), None
+        return (buf_i, buf_v, nout, ngroups, gmax, gmax_i, last), None
 
-    init = (buf_i, buf_v, jnp.int32(0), neg, jnp.int32(-1),
+    init = (buf_i, buf_v, jnp.int32(0), jnp.int32(0), neg, jnp.int32(-1),
             jnp.int32(-1))
-    (buf_i, buf_v, nout, gmax, gmax_i, last), _ = jax.lax.scan(
+    (buf_i, buf_v, nout, ngroups, gmax, gmax_i, last), _ = jax.lax.scan(
         body, init, (cand_idx, cand_val, valid))
     # final group
     emit = (last >= 0) & (nout < capacity)
@@ -614,10 +623,12 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                       buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
                       buf_v)
     nout = nout + emit.astype(jnp.int32)
+    ngroups = ngroups + (last >= 0).astype(jnp.int32)
 
     amp_out = jnp.where(buf_i[None, :] >= 0,
                         amps[:, jnp.clip(buf_i, 0, l - 1)], 0.0)
-    return buf_i, buf_v, amp_out, nout
+    return TriggerSet(indices=buf_i, dchi2=buf_v, amplitudes=amp_out,
+                      count=nout, count_total=ngroups, n_above=n_above)
 
 
 def find_triggers_dynamic(dchi2: np.ndarray, amps: np.ndarray,

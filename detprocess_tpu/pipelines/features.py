@@ -897,8 +897,7 @@ class FeatureProcessing:
                     "dumps": int(state["dump"]),
                     "trigger_driven": self._trigger_df is not None,
                     "config_digest": tables.config_digest(
-                        [(s.channel, s.algorithm) for g in self._groups
-                         for s in g.specs]),
+                        self._feature_config),
                     "restricted": self._restricted,
                     "calib": self._calib,
                 })

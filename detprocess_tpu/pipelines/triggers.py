@@ -255,6 +255,7 @@ class _TriggerChannel:
     # programmatically via set_dynamic_threshold (functions can't come
     # from YAML)
     dynamic_threshold_function: Optional[object] = None
+    dynamic_candidate_capacity: int = 4096
 
 
 class TriggerProcessing:
@@ -303,17 +304,22 @@ class TriggerProcessing:
         salted trace (see pipelines.salting)."""
         self._salt_injector = injector
 
-    def set_dynamic_threshold(self, channel: str, window_fn):
+    def set_dynamic_threshold(self, channel: str, window_fn,
+                              candidate_capacity: int = 4096):
         """Enable the dynamic-pileup-window mode for one trigger channel
         (reference find_triggers(dynamic=True, dynamic_threshold_function=…),
         oftrigger.py:684-688): ``window_fn`` maps the running maximum Δχ²
         of the current group to a merge window in samples. It must be
         jax-traceable — the merge then runs on device as a lax.scan over
-        the compacted above-threshold candidates
-        (ops.trigger.find_triggers_dynamic_kernel)."""
+        the first ``candidate_capacity`` above-threshold samples
+        (ops.trigger.find_triggers_dynamic_kernel). If an event's
+        above-threshold count exceeds the capacity the pipeline warns
+        loudly (results past the cap are unreliable) — raise
+        ``candidate_capacity`` for high thresholds-crossing rates."""
         for tc in self._channels:
             if tc.name == channel or tc.channel_name == channel:
                 tc.dynamic_threshold_function = window_fn
+                tc.dynamic_candidate_capacity = candidate_capacity
                 return
         raise ValueError(f"no trigger channel named {channel}")
 
@@ -378,10 +384,10 @@ class TriggerProcessing:
             dchi2 = dchi2_b.reshape(-1)[:l]
             amps = amps_b.reshape(amps_b.shape[0], -1)[:, :l]
             if tc.dynamic_threshold_function is not None:
-                idx, val, amp, cnt = trig_ops.find_triggers_dynamic_kernel(
+                ts = trig_ops.find_triggers_dynamic_kernel(
                     dchi2, amps, tc.chi2_threshold,
-                    tc.dynamic_threshold_function, capacity)
-                ts = trig_ops.TriggerSet(idx, val, amp, cnt, cnt)
+                    tc.dynamic_threshold_function, capacity,
+                    candidate_capacity=tc.dynamic_candidate_capacity)
             else:
                 ts = trig_ops.find_triggers_blocks(
                     dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
@@ -395,9 +401,17 @@ class TriggerProcessing:
                 else:
                     sat = None
                 resid = trig_ops.residual_subtract(dchi2, ts, kernel, sat)
-                ts2 = trig_ops.find_triggers_kernel(
-                    resid, amps, tc.chi2_threshold, tc.pileup_window,
-                    capacity)
+                if tc.dynamic_threshold_function is not None:
+                    # the residual pass must merge with the same dynamic
+                    # window as the primary pass
+                    ts2 = trig_ops.find_triggers_dynamic_kernel(
+                        resid, amps, tc.chi2_threshold,
+                        tc.dynamic_threshold_function, capacity,
+                        candidate_capacity=tc.dynamic_candidate_capacity)
+                else:
+                    ts2 = trig_ops.find_triggers_kernel(
+                        resid, amps, tc.chi2_threshold, tc.pileup_window,
+                        capacity)
                 return ts, ts2
             return ts, None
 
@@ -414,6 +428,13 @@ class TriggerProcessing:
             print(f"WARNING: trigger capacity truncated {tc.name}: "
                   f"{total} merged groups found, {count} kept — raise "
                   f"process(capacity=...)")
+        if (ts.n_above is not None
+                and int(ts.n_above) > tc.dynamic_candidate_capacity):
+            print(f"WARNING: dynamic-trigger candidate capacity exceeded "
+                  f"on {tc.name}: {int(ts.n_above)} above-threshold "
+                  f"samples > {tc.dynamic_candidate_capacity} — triggers "
+                  f"after the cap are unreliable; raise "
+                  f"set_dynamic_threshold(candidate_capacity=...)")
         if count == 0:
             return pd.DataFrame()
         idx = np.asarray(ts.indices)[:count]
@@ -556,7 +577,9 @@ class TriggerProcessing:
                         dchi2=np.asarray(t.dchi2)[e],
                         amplitudes=np.asarray(t.amplitudes)[e],
                         count=np.asarray(t.count)[e],
-                        count_total=np.asarray(t.count_total)[e])
+                        count_total=np.asarray(t.count_total)[e],
+                        n_above=(np.asarray(t.n_above)[e]
+                                 if t.n_above is not None else None))
                 out[name] = (pick(ts), pick(ts2))
             return out
 

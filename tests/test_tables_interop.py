@@ -82,3 +82,26 @@ def test_roundtrip_and_concat(tmp_path):
     cat = tables.concat_tables([p1, p2])
     assert list(cat["n"]) == [1, 2, 3]
     assert tables.count_rows(p1) == 2
+
+
+def test_job_summary_accumulates_on_resume(tmp_path):
+    """Resumed runs must not clobber the series summary: counts and
+    times accumulate, invocations increments."""
+    p1 = tables.write_job_summary(str(tmp_path), "threshtrig", "trigger",
+                                  "S1", {"continuous_events": 100,
+                                         "triggers": 7,
+                                         "wall_sec": 10.0, "dumps": 2})
+    import json
+    s = json.load(open(p1))
+    assert s["invocations"] == 1 and s["continuous_events"] == 100
+    p2 = tables.write_job_summary(str(tmp_path), "threshtrig", "trigger",
+                                  "S1", {"continuous_events": 20,
+                                         "triggers": 3,
+                                         "wall_sec": 2.0, "dumps": 3})
+    s = json.load(open(p2))
+    assert p1 == p2
+    assert s["continuous_events"] == 120 and s["triggers"] == 10
+    assert s["wall_sec"] == 12.0
+    assert s["dumps"] == 3               # cumulative numbering, not summed
+    assert s["invocations"] == 2
+    assert s["events_per_sec"] == 10.0   # 120 / 12

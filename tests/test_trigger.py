@@ -386,11 +386,14 @@ def test_dynamic_kernel_matches_host():
 
     h_idx, h_val, h_amp = trigger.find_triggers_dynamic(
         dchi2, amps, thr, window_host)
-    d_idx, d_val, d_amp, d_cnt = jax.jit(
+    ts = jax.jit(
         lambda d, a: trigger.find_triggers_dynamic_kernel(
             d, a, thr, window_fn, capacity=64))(
         jnp.asarray(dchi2), jnp.asarray(amps))
-    cnt = int(d_cnt)
+    d_idx, d_val, d_amp = ts.indices, ts.dchi2, ts.amplitudes
+    cnt = int(ts.count)
+    assert int(ts.count_total) == cnt      # no truncation here
+    assert int(ts.n_above) == int(np.sum(dchi2 > thr))
     assert cnt == len(h_idx), (cnt, len(h_idx))
     np.testing.assert_array_equal(np.asarray(d_idx)[:cnt], h_idx)
     np.testing.assert_allclose(np.asarray(d_val)[:cnt], h_val, rtol=1e-6)
@@ -401,14 +404,38 @@ def test_dynamic_kernel_matches_host():
 def test_dynamic_kernel_empty_and_capacity():
     dchi2 = np.zeros(1024)
     amps = np.zeros((1, 1024))
-    d_idx, d_val, d_amp, cnt = trigger.find_triggers_dynamic_kernel(
+    ts = trigger.find_triggers_dynamic_kernel(
         jnp.asarray(dchi2), jnp.asarray(amps), 10.0,
         lambda m: 5.0, capacity=8)
-    assert int(cnt) == 0 and np.all(np.asarray(d_idx) == -1)
-    # capacity clamp: many isolated spikes, capacity 3
+    assert int(ts.count) == 0 and np.all(np.asarray(ts.indices) == -1)
+    # capacity clamp: many isolated spikes, capacity 3 — count_total
+    # still reports every merged group so truncation is detectable
     dchi2[::100] = 50.0
-    d_idx, d_val, d_amp, cnt = trigger.find_triggers_dynamic_kernel(
+    ts = trigger.find_triggers_dynamic_kernel(
         jnp.asarray(dchi2), jnp.asarray(amps), 10.0,
         lambda m: 5.0, capacity=3)
-    assert int(cnt) == 3
-    np.testing.assert_array_equal(np.asarray(d_idx), [0, 100, 200])
+    assert int(ts.count) == 3
+    assert int(ts.count_total) == 1024 // 100 + 1
+    np.testing.assert_array_equal(np.asarray(ts.indices), [0, 100, 200])
+
+
+def test_dynamic_kernel_candidate_overflow_reported():
+    """A dense above-threshold cluster wider than candidate_capacity:
+    n_above exposes the overflow so consumers can warn/raise the cap
+    (winners past the cap are unreliable by construction)."""
+    l = 10_000
+    dchi2 = np.zeros(l)
+    dchi2[200:5200] = 30.0       # 5000 above-threshold samples
+    dchi2[4700] = 100.0          # true winner beyond a 4096-sample cap
+    amps = np.zeros((1, l))
+    ts = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0, lambda m: 50.0,
+        capacity=8, candidate_capacity=1024)
+    assert int(ts.n_above) == 5000 > 1024     # overflow detectable
+    # with a sufficient cap the winner is exact
+    ts2 = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0, lambda m: 50.0,
+        capacity=8, candidate_capacity=8192)
+    assert int(ts2.n_above) == 5000 <= 8192
+    assert int(np.asarray(ts2.indices)[0]) == 4700
+    assert float(np.asarray(ts2.dchi2)[0]) == 100.0
