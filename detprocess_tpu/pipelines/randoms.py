@@ -154,6 +154,16 @@ class Randoms:
                 output_path, "rand", group_name, out_series, 1,
                 "parquet" if output_format == "parquet" else "hdf5")
             tables.write_table(df, path, fmt=output_format)
+            tables.write_job_summary(
+                output_path, "rand", group_name, out_series, {
+                    "workload": "randoms",
+                    "processing_id": self._processing_id,
+                    "series_name": out_series,
+                    "randoms": int(len(df)),
+                    "random_rate_hz": random_rate,
+                    "min_separation_msec": min_separation_msec,
+                    "edge_exclusion_msec": edge_exclusion_msec,
+                })
         return df if lgc_output else None
 
     def read_random_traces(self, df: pd.DataFrame, trace_length_samples: int,
