@@ -287,3 +287,59 @@ class Salting:
             "parquet" if output_format == "parquet" else "hdf5")
         tables.write_table(self._df, path, fmt=output_format)
         return path
+
+
+def salt_efficiency(salt_df: pd.DataFrame, trigger_df: pd.DataFrame,
+                    match_window_samples: int = 20,
+                    energy_bins=None) -> pd.DataFrame:
+    """Trigger efficiency vs injected energy from a salting run.
+
+    The analysis step of the reference's saltchecks workflow
+    (examples/salting/saltchecks.ipynb): a salt counts as recovered when
+    the trigger output contains an entry in the same (series, event)
+    within ``match_window_samples`` of the injection index.
+
+    Returns a DataFrame with one row per energy bin:
+    ``energy_lo_ev, energy_hi_ev, energy_mean_ev, n_injected,
+    n_recovered, efficiency, efficiency_err`` (binomial error), plus a
+    ``recovered`` boolean column is added to ``salt_df`` in place.
+    """
+    if not len(salt_df):
+        raise ValueError("empty salting dataframe")
+    recovered = np.zeros(len(salt_df), dtype=bool)
+    if len(trigger_df):
+        trig_by_ev = {}
+        for _, t in trigger_df.iterrows():
+            key = (t["series_number"], t["event_number"])
+            trig_by_ev.setdefault(key, []).append(int(t["trigger_index"]))
+        for i, (_, s) in enumerate(salt_df.iterrows()):
+            key = (s["series_number"], s["event_number"])
+            idxs = trig_by_ev.get(key)
+            if idxs and any(abs(int(s["trigger_index"]) - j)
+                            <= match_window_samples for j in idxs):
+                recovered[i] = True
+    salt_df = salt_df.copy()
+    salt_df["recovered"] = recovered
+
+    e = salt_df["salt_energy_ev"].to_numpy()
+    if energy_bins is None:
+        lo, hi = float(e.min()), float(e.max())
+        if lo == hi:
+            energy_bins = np.array([lo * 0.999, hi * 1.001])
+        else:
+            energy_bins = np.linspace(lo, hi * (1 + 1e-9), 9)
+    energy_bins = np.asarray(energy_bins, dtype=float)
+
+    rows = []
+    for blo, bhi in zip(energy_bins[:-1], energy_bins[1:]):
+        m = (e >= blo) & (e < bhi)
+        n = int(m.sum())
+        k = int(recovered[m].sum())
+        eff = k / n if n else np.nan
+        err = (np.sqrt(eff * (1 - eff) / n) if n and 0 <= eff <= 1
+               else np.nan)
+        rows.append({"energy_lo_ev": blo, "energy_hi_ev": bhi,
+                     "energy_mean_ev": float(e[m].mean()) if n else np.nan,
+                     "n_injected": n, "n_recovered": k,
+                     "efficiency": eff, "efficiency_err": err})
+    return pd.DataFrame(rows)

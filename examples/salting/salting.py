@@ -90,14 +90,15 @@ def main(out_dir=None):
     trig.set_salting(salting.make_injector(CHANNELS))
     df = trig.process()
 
-    # ---- saltchecks: efficiency = recovered / injected -----------------
-    found = 0
-    for _, salt in df_salt.iterrows():
-        m = ((df["series_number"] == salt["series_number"])
-             & (df["event_number"] == salt["event_number"])
-             & (np.abs(df["trigger_index"] - salt["trigger_index"]) < 20))
-        found += int(m.any())
-    print(f"trigger efficiency: {found}/{len(df_salt)} "
+    # ---- saltchecks: efficiency vs energy ------------------------------
+    from detprocess_tpu.pipelines.salting import salt_efficiency
+
+    eff = salt_efficiency(df_salt, df, match_window_samples=20,
+                          energy_bins=[0, 150, 300, 600])
+    print(eff[["energy_lo_ev", "energy_hi_ev", "n_injected",
+               "n_recovered", "efficiency"]].to_string(index=False))
+    found = int(eff["n_recovered"].sum())
+    print(f"overall trigger efficiency: {found}/{len(df_salt)} "
           f"({found/len(df_salt):.0%}) at 5σ")
     assert found >= len(df_salt) * 0.5, "efficiency unexpectedly low"
     return out_dir
