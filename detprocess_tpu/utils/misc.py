@@ -117,3 +117,87 @@ def convert_to_seconds(s: str) -> float:
     value, unit = float(m.group(1)), m.group(2) or "s"
     mult = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}[unit]
     return value * mult
+
+
+def get_dataframe_series_list(file_path):
+    """Series names of all dataframe dumps in a directory
+    (reference utils.get_dataframe_series_list, utils/utils.py:~500):
+    file names ``{prefix}_{group}_I{fac}_D{date}_T{time}_F{dump}.hdf5``
+    → unique sorted ``I…_D…_T…`` series strings."""
+    import glob as _glob
+    import os as _os
+
+    if not _os.path.isdir(file_path):
+        raise ValueError("ERROR: Expecting a directory!")
+    files = sorted(set(_glob.glob(_os.path.join(file_path, "*.hdf5"))))
+    if not files:
+        raise ValueError(f"ERROR: No HDF5 files found in {file_path}")
+    series_list = []
+    for afile in files:
+        name = _os.path.basename(afile)
+        start = name.find("_I")
+        end = name.find("_F")
+        if start < 0 or end < 0 or end <= start:
+            continue
+        series = name[start + 1:end]
+        if series not in series_list:
+            series_list.append(series)
+    return series_list
+
+
+def find_psd_peaks(f, psd, fmin=100.0, fmax=1000.0, npeaks=1,
+                   min_separation_hz=0.0, min_prominence=None):
+    """Host-side PSD peak finding (reference utils.find_psd_peaks,
+    utils/utils.py:559-657): up to ``npeaks`` highest scipy.find_peaks
+    peaks within [fmin, fmax], with optional separation/prominence
+    constraints. Returns a list of dicts with freq/amplitude/prominence/
+    base frequencies/index. (The jit-safe device version used by the
+    feature pipeline is ops.psdfeatures.psd_peaks.)"""
+    from scipy.signal import find_peaks as _find_peaks
+
+    f = np.asarray(f)
+    y = np.asarray(psd)
+    band = (f >= fmin) & (f <= fmax)
+    if not np.any(band):
+        distances = np.where(f < fmin, fmin - f,
+                             np.where(f > fmax, f - fmax, 0.0))
+        idx = int(np.argmin(distances))
+        return [{"freq": float(f[idx]), "amplitude": float(y[idx]),
+                 "prominence": 0.0, "left_base_freq": float(f[idx]),
+                 "right_base_freq": float(f[idx]), "index": idx}]
+    fb = f[band]
+    yb = y[band]
+    offset = int(np.flatnonzero(band)[0])
+    df = np.median(np.diff(fb)) if len(fb) > 1 else 1.0
+    distance = max(int(round(min_separation_hz / df)), 1)
+    kwargs = {"distance": distance}
+    if min_prominence is not None:
+        kwargs["prominence"] = min_prominence
+    else:
+        kwargs["prominence"] = (None, None)
+    idxs, props = _find_peaks(yb, **kwargs)
+    if len(idxs) == 0:
+        # fall back to the band maximum
+        imax = int(np.argmax(yb))
+        return [{"freq": float(fb[imax]), "amplitude": float(yb[imax]),
+                 "prominence": 0.0, "left_base_freq": float(fb[imax]),
+                 "right_base_freq": float(fb[imax]),
+                 "index": imax + offset}]
+    order = np.argsort(yb[idxs])[::-1][:npeaks]
+    out = []
+    for k in order:
+        i = idxs[k]
+        prom = props.get("prominences")
+        lb = props.get("left_bases")
+        rb = props.get("right_bases")
+        out.append({
+            "freq": float(fb[i]),
+            "amplitude": float(yb[i]),
+            "prominence": float(prom[k]) if prom is not None else 0.0,
+            "left_base_freq": (float(fb[lb[k]]) if lb is not None
+                               else float(fb[i])),
+            "right_base_freq": (float(fb[rb[k]]) if rb is not None
+                                else float(fb[i])),
+            "index": int(i) + offset,
+        })
+    return out

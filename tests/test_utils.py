@@ -187,3 +187,36 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="disk on fire"):
             next(pf)
         pf.close()
+
+
+def test_get_dataframe_series_list(tmp_path):
+    from detprocess_tpu.utils.misc import get_dataframe_series_list
+
+    for name in ("feature_grp_I1_D20260816_T120000_F0001.hdf5",
+                 "feature_grp_I1_D20260816_T120000_F0002.hdf5",
+                 "threshtrig_grp_I2_D20260817_T010101_F0001.hdf5"):
+        (tmp_path / name).write_bytes(b"")
+    series = get_dataframe_series_list(str(tmp_path))
+    assert series == ["I1_D20260816_T120000", "I2_D20260817_T010101"]
+    with pytest.raises(ValueError):
+        get_dataframe_series_list(str(tmp_path / "missing"))
+
+
+def test_find_psd_peaks_host():
+    from detprocess_tpu.utils.misc import find_psd_peaks
+
+    fs = 1.25e6
+    n = 8192
+    f = np.fft.rfftfreq(n, 1 / fs)
+    psd = np.full(len(f), 1e-20)
+    for fk, amp in ((20e3, 5e-18), (35e3, 3e-18), (60e3, 8e-18)):
+        k = np.argmin(np.abs(f - fk))
+        psd[k] = amp
+    peaks = find_psd_peaks(f, psd, fmin=10e3, fmax=50e3, npeaks=2,
+                           min_separation_hz=1e3)
+    assert len(peaks) == 2
+    assert abs(peaks[0]["freq"] - 20e3) < 200    # strongest in band
+    assert abs(peaks[1]["freq"] - 35e3) < 200
+    # out-of-band request returns the closest bin
+    got = find_psd_peaks(f, psd, fmin=2 * f[-1], fmax=3 * f[-1])
+    assert got[0]["index"] == len(f) - 1
