@@ -94,7 +94,8 @@ def test_cli_randoms(rawgroup, tmp_path):
         "--enable-rand", "--nrandoms", "12", "--seed", "5",
     ])
     assert rc == 0
-    rand_files = os.listdir(os.path.join(out, "randoms"))
+    rand_files = [f for f in os.listdir(os.path.join(out, "randoms"))
+                  if f.endswith(".hdf5")]
     assert len(rand_files) == 1 and rand_files[0].startswith("rand_")
     df = tables.read_table(os.path.join(out, "randoms", rand_files[0]))
     assert len(df) == 12
