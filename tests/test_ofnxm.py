@@ -166,3 +166,66 @@ def test_ofnxmx2_two_pulse_separation():
                                (d2_true - d1_true) / FS, atol=1e-12)
     np.testing.assert_allclose(np.asarray(res.amps[0]), [2e-6, 1e-6],
                                rtol=1e-3)
+
+
+def test_ofnxmx2_matches_brute_force_grid():
+    """Exactness: the masked (d1, d2) window scan equals a direct numpy
+    grid solve of the coupled system at every pair (amplitudes via the
+    shifted-template weight-matrix inverse, winner by max delta-chi2)."""
+    rng = np.random.default_rng(21)
+    nn = 256
+    pre = 64
+    t1 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=10e-6, tau_f1=60e-6)
+    t2 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=25e-6,
+                             tau_f1=200e-6)
+    templates = np.stack([t1, t2])[None, :, :]
+    csd = np.full((1, 1, nn), 3e-20, dtype=complex)
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, pre)
+
+    trace = (rng.standard_normal(nn) * 2e-8
+             + 3e-6 * np.roll(t1, -5) + 2e-6 * np.roll(t2, 11))[None, :]
+    w1 = np.zeros(nn, bool)
+    w1[pre - 8: pre + 9] = True
+    w2 = np.zeros(nn, bool)
+    w2[pre + 5: pre + 20] = True
+
+    vfft = of1x1.signal_fft(jnp.asarray(trace)[None])
+    (res, (d1, d2)) = ofnxm.ofnxmx2(
+        vfft, jnp.asarray(bank.s_fft), jnp.asarray(bank.icsd),
+        np.array([0, 1]), w1, w2, pre, FS)
+
+    # brute force in plain numpy over the same windows
+    v = np.fft.fft(trace[0])
+    s = bank.s_fft[0]                      # [M, N]
+    icsd = bank.icsd[:, 0, 0]              # [N] (C=1)
+    k = np.arange(nn)
+    phi = np.conj(s) * icsd[None, :] / (nn * FS)
+
+    def q_at(m, d_abs):
+        shift = d_abs - pre
+        return np.real(np.sum(phi[m] * v * np.exp(
+            2j * np.pi * k * shift / nn)))
+
+    def overlap(i, j, di, dj):
+        rel = (di - dj)
+        return np.real(np.sum(
+            phi[i] * s[j] * np.exp(2j * np.pi * k * rel / nn))) / FS * FS
+
+    best = (-np.inf, None)
+    for da in np.where(w1)[0]:
+        for db in np.where(w2)[0]:
+            p = np.empty((2, 2))
+            p[0, 0] = overlap(0, 0, 0, 0)
+            p[1, 1] = overlap(1, 1, 0, 0)
+            p[0, 1] = overlap(0, 1, da - pre, db - pre)
+            p[1, 0] = p[0, 1]
+            q = np.array([q_at(0, da), q_at(1, db)])
+            a = np.linalg.solve(p, q)
+            dchi2 = q @ a
+            if dchi2 > best[0]:
+                best = (dchi2, (a, da, db))
+    a_bf, da_bf, db_bf = best[1]
+
+    assert int(d1[0]) == da_bf
+    assert int(d2[0]) == db_bf
+    np.testing.assert_allclose(np.asarray(res.amps[0]), a_bf, rtol=1e-8)
