@@ -87,16 +87,52 @@ class FilterData:
         from detprocess_tpu.utils import plotting
         return plotting.plot_ivsweep_offset(self, channel, tag=tag, ax=ax)
 
-    def describe(self):
-        """Print the store contents (FilterData.describe, filterdata.py:50)."""
-        for chan, params in self._filter_data.items():
-            print(f"channel: {chan}")
+    def describe(self, channels=None):
+        """Print the store contents, grouped per channel with type,
+        shape, and key metadata — sample rate, pretrigger, SC/normal
+        point counts for sweep data (FilterData.describe,
+        filterdata.py:50-177). ``channels`` filters by substring."""
+        if isinstance(channels, str):
+            channels = [channels]
+        shown = [c for c in self._filter_data
+                 if channels is None
+                 or any(u in c for u in channels)]
+        print(f"List of channels: {shown}")
+        for chan in shown:
+            params = self._filter_data[chan]
+            print(f"\nChannel {chan}:")
             for name, val in params.items():
-                if name.endswith("_metadata"):
+                if name.endswith("_metadata") or name.endswith("_inds"):
                     continue
+                if isinstance(val, pd.Series):
+                    kind = "pandas.Series"
+                elif isinstance(val, pd.DataFrame):
+                    kind = "pandas.DataFrame"
+                elif isinstance(val, np.ndarray):
+                    kind = f"{val.ndim}D numpy.array"
+                else:
+                    kind = type(val).__name__
                 shape = getattr(val, "shape", None)
-                print(f"  {name}: "
-                      f"{type(val).__name__}{f' {shape}' if shape is not None else ''}")
+                msg = f" * {name}: {kind}"
+                if shape is not None:
+                    msg += f" {tuple(shape)}"
+                md = params.get(name + "_metadata") or {}
+                extras = []
+                if "sample_rate" in md:
+                    extras.append(f"fs={float(md['sample_rate']):g} Hz")
+                if "nb_pretrigger_samples" in md:
+                    extras.append(
+                        f"pretrigger={int(md['nb_pretrigger_samples'])}")
+                if (name.startswith("ivsweep_data")
+                        and isinstance(val, pd.DataFrame)
+                        and "state" in val.columns):
+                    st = val["state"].astype(str)
+                    extras.append(f"SC points={int((st == 'sc').sum())}")
+                    extras.append(
+                        f"normal points={int((st == 'normal').sum())}")
+                if extras:
+                    msg += "  [" + ", ".join(extras) + "]"
+                print(msg)
 
     def _set(self, channel: str, name: str, value, metadata: Optional[dict],
              index=None):
