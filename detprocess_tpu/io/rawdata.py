@@ -179,6 +179,37 @@ class RawReader:
         self._file_admin_cache: Dict[str, dict] = {}
         self._event_admin_cache: Dict[tuple, dict] = {}
         self._meta_cache: Dict[str, dict] = {}
+        self._event_name_cache: Dict[str, dict] = {}
+
+    def _event_dataset(self, f, fname: str, event_number: int):
+        """Dataset for a given event NUMBER.
+
+        Fast path assumes the pytesdaq ``event_{num}`` naming with
+        file-local numbering (our RawWriter and common DAQ output). Real
+        files may number events globally across dumps, so if the named
+        dataset is absent or its ``event_num`` attribute disagrees, fall
+        back to a lazily built per-file {event_num: dataset_name} map.
+        """
+        g = f[self.adc_name]
+        name = f"event_{event_number}"
+        if name in g:
+            ds = g[name]
+            if int(ds.attrs.get("event_num", event_number)) == int(
+                    event_number):
+                return ds
+        emap = self._event_name_cache.get(fname)
+        if emap is None:
+            emap = {}
+            for key in g:
+                try:
+                    emap[int(g[key].attrs.get("event_num", -1))] = key
+                except (ValueError, TypeError):
+                    continue
+            self._event_name_cache[fname] = emap
+        if int(event_number) not in emap:
+            raise KeyError(
+                f"no event with event_num={event_number} in {fname}")
+        return g[emap[int(event_number)]]
 
     # -- metadata ------------------------------------------------------
     def get_metadata(self, file_name: Optional[str] = None) -> dict:
@@ -267,7 +298,7 @@ class RawReader:
             self._ra_ds = {}
         ds = self._ra_ds.get(event_index)
         if ds is None:
-            ds = self._ra_file[self.adc_name][f"event_{event_index}"]
+            ds = self._event_dataset(self._ra_file, fname, event_index)
             self._ra_ds[event_index] = ds
         return self._read_event(self._ra_file, fname, event_index,
                                 channels, trace_window, ds=ds)
@@ -296,9 +327,22 @@ class RawReader:
         fc = self._file_admin_cache.get(fname)
         if fc is None:
             g = f[self.adc_name]
+            chan_list = [str(c) for c in g.attrs["channel_list"]]
+            cal = float(g.attrs.get("adc_conversion_factor", 1.0))
+            # per-channel ADC→amps conversion: amps = adc·cal/close_loop_norm
+            # (close_loop_norm lives in /detconfig1/{chan}; 1.0 when absent
+            # — synthetic data is stored in amps with cal=1)
+            cln = np.ones(len(chan_list))
+            if "detconfig1" in f:
+                dc = f["detconfig1"]
+                for i, ch in enumerate(chan_list):
+                    if ch in dc:
+                        cln[i] = float(dc[ch].attrs.get(
+                            "close_loop_norm", 1.0)) or 1.0
             fc = {
-                "chan_list": [str(c) for c in g.attrs["channel_list"]],
-                "cal": float(g.attrs.get("adc_conversion_factor", 1.0)),
+                "chan_list": chan_list,
+                "cal": cal,
+                "conv": (cal / cln),
                 "admin": {
                     "series_name": str(f.attrs.get("series_name", "")),
                     "series_number": int(f.attrs.get("series_num", 0)),
@@ -315,6 +359,9 @@ class RawReader:
                                 else key] = int(f.attrs[key])
             self._file_admin_cache[fname] = fc
         if ds is None:
+            # sequential path (read_next_event): event_index is the
+            # file-local ORDINAL — access by pytesdaq position naming,
+            # not by event_num (real files may number events globally)
             ds = f[self.adc_name][f"event_{event_index}"]
         if trace_window is not None:
             start, length = trace_window
@@ -322,7 +369,7 @@ class RawReader:
             arr = ds[:, start:start + int(length)]
         else:
             arr = ds[...]
-        traces = arr.astype(np.float64) * fc["cal"]
+        traces = arr.astype(np.float64) * fc["conv"][:, None]
         if channels is not None:
             idx = [fc["chan_list"].index(c) for c in channels]
             traces = traces[idx]

@@ -334,9 +334,15 @@ def dpdi_with_uncertainties(fit: DIDVFit, freqs, i0: float, r0: float,
 
 
 def convert_template_to_power(template: np.ndarray, dpdi: np.ndarray,
-                              fs: float) -> np.ndarray:
+                              fs: float = None) -> np.ndarray:
     """Current-domain template → power-domain template via dPdI(f)
-    (qetpy.convert_template_to_power equivalent)."""
+    (qetpy.convert_template_to_power equivalent).
+
+    ``fs`` is accepted for call-site symmetry with the qetpy API but the
+    bin-by-bin DFT product s̃·dPdI needs no sampling-rate normalization
+    (fft/ifft factors cancel); ``dpdi`` must already be tabulated on the
+    template's two-sided frequency axis.
+    """
     s_fft = np.fft.fft(np.asarray(template))
     p_fft = s_fft * np.asarray(dpdi)
     return np.real(np.fft.ifft(p_fft))

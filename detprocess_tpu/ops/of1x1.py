@@ -233,14 +233,18 @@ def of1x1_nodelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
 def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
                          pretrigger: int, fs: float,
                          window_mask=None, low_mask_h=None,
-                         interpolate_t0: bool = False) -> OF1x1Result:
+                         interpolate_t0: bool = False,
+                         n: Optional[int] = None) -> OF1x1Result:
     """Half-spectrum delay-scan OF fit; equal to of1x1_withdelay.
 
     The delay series is one packed irfft:
     q(d) = Σ_k∈full phi_k ṽ_k e^{2πikd/N} = N·irfft(phi_h·ṽ_h)(d).
+
+    ``n``: the full trace length — required for ODD n (the default
+    2·(nh−1) reconstruction only holds for even lengths).
     """
     nh = vr.shape[-1]
-    n = 2 * (nh - 1)
+    n = n if n is not None else 2 * (nh - 1)
     prod = phi_h * vr
     qt = dfft.irfft(prod, n, axis=-1) * n                 # [..., S, N]
     q_abs = jnp.roll(qt, pretrigger, axis=-1)

@@ -411,6 +411,15 @@ class FeatureProcessing:
         raw_n = self._raw_nb_samples()
         raw_pre = self._raw_pretrigger()
         if group.nb_samples == raw_n:
+            if (raw_pre is not None
+                    and group.nb_pretrigger != raw_pre):
+                # same length but shifted trigger point is unsatisfiable —
+                # silently proceeding would misplace every window/t0
+                raise ValueError(
+                    f"configured pretrigger {group.nb_pretrigger} != raw "
+                    f"pretrigger {raw_pre} with full-length traces "
+                    f"({raw_n} samples); set nb_samples to cut a window "
+                    "or match the raw pretrigger")
             return traces
         start = raw_pre - group.nb_pretrigger
         if start < 0 or start + group.nb_samples > raw_n:
@@ -436,16 +445,7 @@ class FeatureProcessing:
         mix = group.mix_matrix
         specs = list(group.specs)
 
-        needs_fft = [s.chan_idx for s in specs
-                     if s.base in OF_1X1_ALGORITHMS + ("of1x2x2",)
-                     + PSD_ALGORITHMS]
-        needs_fft = sorted(set(needs_fft))
-
         # static per-spec masks
-        def low_mask_for(spec):
-            fcut = spec.kwargs.get("lowchi2_fcutoff", 10000)
-            return jnp.asarray(of1x1.lowfreq_mask(n, fs, fcut))
-
         def window_mask_for(spec):
             wmin = spec.kwargs.get("window_min_index")
             wmax = spec.kwargs.get("window_max_index")
@@ -526,7 +526,8 @@ class FeatureProcessing:
                             vr, phi, norm, dinv, s_fft, binw, of_pretrig, fs,
                             window_mask=wmask, low_mask_h=lmask,
                             interpolate_t0=bool(kwargs.get("interpolate",
-                                                           False)))
+                                                           False)),
+                            n=n)
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
                         out[f"t0_{name}_{fc}"] = r.t0[:, 0]
                         out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
@@ -548,8 +549,18 @@ class FeatureProcessing:
                     dmin = spec.kwargs.get("delta_window_min_usec")
                     dmax = spec.kwargs.get("delta_window_max_usec")
                     if dmin is not None or dmax is not None:
-                        lo = int(round((dmin or 0.0) * 1e-6 * fs))
-                        hi = int(round((dmax or 0.0) * 1e-6 * fs))
+                        if dmax is None:
+                            raise ValueError(
+                                f"{spec.algorithm} on {spec.channel}: "
+                                "delta_window_max_usec required when "
+                                "delta_window_min_usec is set")
+                        lo = int(round((dmin if dmin is not None else
+                                        -dmax) * 1e-6 * fs))
+                        hi = int(round(dmax * 1e-6 * fs))
+                        if hi < lo:
+                            raise ValueError(
+                                f"{spec.algorithm} on {spec.channel}: "
+                                f"empty delta window [{lo}, {hi}] samples")
                         delta_window = np.arange(lo, hi + 1)
                     else:
                         delta_window = None
@@ -698,19 +709,29 @@ class FeatureProcessing:
     # execution
     # ------------------------------------------------------------------
     def _file_for_row(self, row) -> Optional[str]:
-        for f in self._reader.files:
-            md = self._reader.get_metadata(f)
-            if (int(md.get("series_num", -1)) == int(row["series_number"])
-                    and int(md.get("dump_num", -1))
-                    == int(row["dump_number"])):
-                return f
-        return None
+        index = getattr(self, "_file_index", None)
+        if index is None:
+            # (series_num, dump_num) -> path, built once — trigger
+            # dataframes hold 1e5+ rows over 1e3+ dump files
+            index = {}
+            for f in self._reader.files:
+                md = self._reader.get_metadata(f)
+                key = (int(md.get("series_num", -1)),
+                       int(md.get("dump_num", -1)))
+                index.setdefault(key, f)
+            self._file_index = index
+        return index.get((int(row["series_number"]),
+                          int(row["dump_number"])))
 
-    def _iter_trigger_batches(self, batch_size: int):
+    def _iter_trigger_batches(self, batch_size: int,
+                              nevents: int = -1):
         """Yield (raw [B, C, N], admins) batches of windowed reads around
-        each trigger-dataframe row (processing_data.py:555-705)."""
+        each trigger-dataframe row (processing_data.py:555-705);
+        ``nevents`` > 0 caps the rows processed."""
         n, pre = self._trigger_geometry
         df = self._trigger_df
+        if nevents is not None and nevents > 0:
+            df = df.iloc[:nevents]
         batch_traces, admins = [], []
         dropped = 0
         for _, row in df.iterrows():
@@ -847,7 +868,7 @@ class FeatureProcessing:
                               f"{skip_events} events "
                               f"(dump {state['dump']})")
 
-        batches = (self._iter_trigger_batches(batch_size)
+        batches = (self._iter_trigger_batches(batch_size, nevents)
                    if self._trigger_df is not None
                    else self._iter_full_batches(batch_size, nevents))
         if skip_events:
@@ -961,13 +982,19 @@ class FeatureProcessing:
         frame["group_name"] = [a.get("group_name", "") for a in admins]
         frame["data_type"] = [a.get("data_type", "") for a in admins]
         frame["processing_id"] = [self._processing_id or ""] * nb
-        # detector settings
-        det = self._reader.get_detector_config(admins[0]["file_name"])
-        for chan, cfg in det.items():
-            if "tes_bias" in cfg:
-                frame[f"tes_bias_{chan}"] = [cfg["tes_bias"]] * nb
-            if "output_gain" in cfg:
-                frame[f"output_gain_{chan}"] = [cfg["output_gain"]] * nb
+        # detector settings — PER ROW: a batch can straddle files/series
+        # with different settings (metadata lookups hit the reader cache)
+        dets = [self._reader.get_detector_config(a["file_name"])
+                for a in admins]
+        det_chans = {c for d in dets for c in d}
+        for chan in det_chans:
+            if any("tes_bias" in d.get(chan, {}) for d in dets):
+                frame[f"tes_bias_{chan}"] = [
+                    d.get(chan, {}).get("tes_bias", np.nan) for d in dets]
+            if any("output_gain" in d.get(chan, {}) for d in dets):
+                frame[f"output_gain_{chan}"] = [
+                    d.get(chan, {}).get("output_gain", np.nan)
+                    for d in dets]
         frame.update(feats)
         df = pd.DataFrame(frame)
         frames.append(df)

@@ -118,3 +118,35 @@ def test_constrained_window_randomized():
             c = float(np.asarray(res.chi2)[i, 0])
             assert abs(a - a_ref) < 1e-9 + 1e-6 * abs(a_ref)
             assert abs(c - c_ref) < 1e-6 * abs(c_ref) + 1e-6
+
+
+def test_withdelay_half_odd_length():
+    """Odd trace lengths: the half path must be told n explicitly (the
+    2*(nh-1) reconstruction only holds for even n)."""
+    import numpy as np
+    from detprocess_tpu.models import pulse as pl
+
+    fs = 1.25e6
+    n = 1025
+    pre = 256
+    tmpl = pl.make_template(fs, n, pre, A=1.0, tau_r=20e-6, tau_f1=200e-6)
+    psd = np.full(n, 1e-18)
+    bank = filterbank.make_of1x1_bank(tmpl, psd, fs, pre)
+    rng = np.random.default_rng(0)
+    tr = rng.standard_normal((4, n)) * 1e-8 + 2e-6 * np.roll(tmpl, 7)
+
+    vf = of1x1.signal_fft(jnp.asarray(tr)[:, None, :])
+    full = of1x1.of1x1_withdelay(vf, jnp.asarray(bank.phi),
+                                 jnp.asarray(bank.norm),
+                                 jnp.asarray(bank.denom_inv),
+                                 jnp.asarray(bank.s_fft), pre, fs)
+    dev = bank.to_device(np.float64)
+    bh = filterbank.device_bank_1x1_half(
+        {k: jnp.asarray(v) for k, v in dev.items()})
+    vr = of1x1.signal_rfft(jnp.asarray(tr)[:, None, :])
+    half = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                      bh.s_fft, bh.bin_w, pre, fs, n=n)
+    np.testing.assert_allclose(np.asarray(half.amp), np.asarray(full.amp),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(half.t0), np.asarray(full.t0),
+                               atol=1e-12)

@@ -220,3 +220,46 @@ def test_find_psd_peaks_host():
     # out-of-band request returns the closest bin
     got = find_psd_peaks(f, psd, fmin=2 * f[-1], fmax=3 * f[-1])
     assert got[0]["index"] == len(f) - 1
+
+
+def test_reader_applies_close_loop_norm(tmp_path):
+    """amps = adc·cal/close_loop_norm: per-channel normalization from
+    /detconfig1 (real pytesdaq data; synthetic amps files default to 1)."""
+    from detprocess_tpu.io.rawdata import RawWriter, RawReader
+
+    rng = np.random.default_rng(0)
+    traces = rng.standard_normal((2, 2, 256))
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260817_T020000", 1.25e6,
+                  ["c1", "c2"],
+                  detector_config={"c1": {"close_loop_norm": 4.0},
+                                   "c2": {"tes_bias": 1e-4}})
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    r = RawReader(files)
+    tr, admin = r.read_next_event()
+    np.testing.assert_allclose(tr[0], traces[0, 0] / 4.0, rtol=1e-6)
+    np.testing.assert_allclose(tr[1], traces[0, 1], rtol=1e-6)  # cln=1
+
+
+def test_reader_resolves_global_event_numbers(tmp_path):
+    """read_single_event finds events by event_num attribute even when
+    dataset names use a different (file-local) ordinal — real pytesdaq
+    dumps can number events globally across dumps."""
+    import h5py
+    from detprocess_tpu.io.rawdata import RawWriter, RawReader
+
+    rng = np.random.default_rng(1)
+    traces = rng.standard_normal((3, 1, 128))
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260817_T021000", 1.25e6,
+                  ["c1"])
+    path = w.write_dump(traces, dump_num=2)
+    # renumber events globally: dump 2 carries event_num 1001..1003
+    with h5py.File(path, "a") as f:
+        for k in range(1, 4):
+            f["adc1"][f"event_{k}"].attrs["event_num"] = 1000 + k
+    r = RawReader([path])
+    tr, admin = r.read_single_event(1002, file_name=path)
+    np.testing.assert_allclose(tr[0], traces[1, 0], rtol=1e-6)
+    assert admin["event_number"] == 1002
+    with pytest.raises(KeyError):
+        r.read_single_event(9999, file_name=path)
