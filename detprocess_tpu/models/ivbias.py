@@ -91,7 +91,10 @@ def analyze_ibis(
             raise ValueError("rp required when no SC points available")
         rp_fit, rp_err = rp, 0.0
     if rp is not None:
-        rp_fit = rp  # explicit value overrides (set_rp, ivsweep.py:285)
+        # explicit value overrides (set_rp, ivsweep.py:285) — and carries
+        # no fit uncertainty, so don't let a noisy SC-branch rp_err
+        # contaminate rn/v0/r0/p0 errors
+        rp_fit, rp_err = rp, 0.0
 
     rl = rsh + rp_fit
     rn = rsh / sl_n - rl
@@ -103,13 +106,24 @@ def analyze_ibis(
     r0 = v0 / i0
     p0 = v0 * i0
 
-    # error propagation (ibias treated as exact)
+    # error propagation (ibias treated as exact). v0, r0, p0 are all
+    # deterministic functions of (i0, rsh, rp) — propagate through the
+    # exact partials rather than treating v0 and i0 as independent
+    # (the naive |r0|·sqrt((v0_err/v0)² + …) form blows up/NaNs on the
+    # SC branch where v0 → 0 even though the true σ stays finite):
+    #   r0 = ibias·rsh/i0 − (rsh + rp)
+    #   p0 = ((ibias − i0)·rsh − i0·rp)·i0
     dv0_di0 = -(rsh + rp_fit)
     v0_err = np.sqrt((dv0_di0 * i0_err) ** 2
                      + ((ibias - i0) * rsh_err) ** 2
                      + (i0 * rp_err) ** 2)
-    r0_err = np.abs(r0) * np.sqrt((v0_err / v0) ** 2 + (i0_err / i0) ** 2)
-    p0_err = np.sqrt((i0 * v0_err) ** 2 + (v0 * i0_err) ** 2)
+    r0_err = np.sqrt((ibias * rsh / i0**2 * i0_err) ** 2
+                     + ((ibias - i0) / i0 * rsh_err) ** 2
+                     + rp_err**2)
+    dp0_di0 = v0 + i0 * dv0_di0
+    p0_err = np.sqrt((dp0_di0 * i0_err) ** 2
+                     + ((ibias - i0) * i0 * rsh_err) ** 2
+                     + (i0**2 * rp_err) ** 2)
 
     return IBISResult(
         ibias=ibias, i0=i0, i0_err=i0_err, r0=r0, r0_err=r0_err,

@@ -429,9 +429,14 @@ def make_ofnxm_bank(
     kept_idx = np.where(keep)[0]
     icsd[kept_idx] = np.linalg.inv(csd_f[kept_idx])
 
-    # phi[:, i, k] = J_k^-1 s̃*[:, i, k] / (N·fs)
+    # phi[c, i, k] = conj(J_k⁻¹ s̃)[c, i] / (N·fs): the numerator
+    # q_i = Σ_{c,k} phi[c,i,k]·ṽ[c,k] must equal s̃_i† J⁻¹ ṽ, which
+    # requires the CONJUGATE of J⁻¹s̃ — J⁻¹·conj(s̃) transposes the
+    # inverse CSD and biases amplitudes whenever the cross-channel terms
+    # carry frequency-dependent phase (regression:
+    # tests/test_ofnxm.py::test_exact_recovery_phase_correlated_csd)
     s_fft_f = np.moveaxis(s_fft, -1, 0)  # [N, C, M]
-    phi_f = np.einsum("kab,kbm->kam", icsd, np.conj(s_fft_f)) / (n * fs)
+    phi_f = np.conj(np.einsum("kab,kbm->kam", icsd, s_fft_f)) / (n * fs)
     phi = np.moveaxis(phi_f, 0, -1)  # [C, M, N]
 
     # W[i, j] = Re Σ_k s̃[:, i, k]† J_k⁻¹ s̃[:, j, k] / (N·fs)

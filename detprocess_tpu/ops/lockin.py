@@ -121,6 +121,10 @@ def process_didv_traces(traces: np.ndarray, fs: float, sgfreq: float,
     nh = len(didv)
     lo = max(3, nh // 60)
     hi = max(lo + 5, nh // 6)
+    if lo >= nh:
+        # very short square-wave periods give only a few odd harmonics —
+        # fall back to every available harmonic for the sign test
+        lo, hi = 0, nh
     band = slice(lo, min(hi, nh))
     re_dvdi = (1.0 / didv[band]).real
     if np.average(re_dvdi, weights=weights[band] ** 2) < 0:

@@ -159,8 +159,9 @@ def ofnxmx2(
     m = s_fft.shape[1]
     g = np.asarray(group_ids)
 
-    # per-template q time series (absolute indices)
-    phi = jnp.einsum("kab,bmk->amk", icsd, jnp.conj(s_fft)) / (n * fs)
+    # per-template q time series (absolute indices); phi = conj(J⁻¹s̃)
+    # (NOT J⁻¹·conj(s̃) — see ops/filterbank.py make_ofnxm_bank)
+    phi = jnp.conj(jnp.einsum("kab,bmk->amk", icsd, s_fft)) / (n * fs)
     q_abs = _q_timeseries(vfft, phi, pretrigger)             # [..., M, N]
 
     # pairwise template overlap vs relative shift Δ (cross-group terms only):

@@ -31,9 +31,20 @@ from detprocess_tpu.utils.misc import create_series_name
 def sample_from_pdf(energies: np.ndarray, drde: np.ndarray, nsamples: int,
                     rng: np.random.Generator) -> np.ndarray:
     """Inverse-transform sampling from a tabulated dR/dE spectrum
-    (salting.py:192-287 sample_DMpdf equivalent)."""
+    (salting.py:192-287 sample_DMpdf equivalent).
+
+    The CDF uses trapezoidal integration over the tabulated grid — DM
+    spectra are conventionally log-spaced, and a plain cumsum of dR/dE
+    values would weight by array index (uniform in log E), oversampling
+    low energies by orders of magnitude.
+    """
+    energies = np.asarray(energies, float)
     drde = np.clip(np.asarray(drde, float), 0, None)
-    cdf = np.cumsum(drde)
+    if len(energies) < 2:
+        raise ValueError("need at least two tabulated energies")
+    cdf = np.concatenate(
+        [[0.0],
+         np.cumsum(0.5 * (drde[1:] + drde[:-1]) * np.diff(energies))])
     if cdf[-1] <= 0:
         raise ValueError("PDF has no positive weight")
     cdf = cdf / cdf[-1]
@@ -87,19 +98,35 @@ class Salting:
         return self._df
 
     def set_dataframe(self, df: pd.DataFrame):
-        """Load an existing salting dataframe (salting.py:447)."""
+        """Load an existing salting dataframe (salting.py:447); templates
+        are loaded per (channel, salt_template_tag) pair so re-injection
+        uses the same pulse shapes the salts were generated with."""
         self._df = df
-        for chan in df["salt_channel"].unique():
-            self._load_template(chan)
+        self._df_by_event = None
+        if "salt_template_tag" in df.columns:
+            pairs = {(row["salt_channel"], row["salt_template_tag"])
+                     for _, row in df.iterrows()}
+            for chan, tag in pairs:
+                self._load_template(chan, template_tag=tag)
+        else:
+            for chan in df["salt_channel"].unique():
+                self._load_template(chan)
 
     def _load_template(self, chan, template_tag="default"):
-        if chan not in self._templates:
+        key = (chan, template_tag)
+        if key not in self._templates:
             tmpl, _, md = self._filter_data.get_template(
                 chan, tag=template_tag, return_metadata=True)
-            self._templates[chan] = np.asarray(tmpl)
-            self._pretriggers[chan] = int(
+            self._templates[key] = np.asarray(tmpl)
+            self._pretriggers[key] = int(
                 md.get("nb_pretrigger_samples",
                        np.asarray(tmpl).shape[-1] // 2))
+
+    def _template_for(self, chan, tag="default"):
+        key = (chan, tag)
+        if key not in self._templates:
+            self._load_template(chan, template_tag=tag)
+        return self._templates[key], self._pretriggers[key]
 
     # ------------------------------------------------------------------
     def generate_salt(self,
@@ -200,12 +227,33 @@ class Salting:
                         f"no energy_norm_ev_per_amp given and no "
                         f"dpdi_{dpdi_poles}poles_{dpdi_tag} in the filter "
                         f"file for channel {chan}")
-                tmpl = self._templates[chan]
+                tmpl, _ = self._template_for(chan, template_tag)
                 _, _, tmd = self._filter_data.get_template(
                     chan, tag=template_tag, return_metadata=True)
                 fs = float(tmd.get("sample_rate", 1.25e6))
+                # the stored dPdI may live on an arbitrary frequency grid
+                # (didv.calc_dpdi takes caller-chosen freqs); the
+                # energy normalization multiplies fft(template)·dPdI
+                # bin-by-bin, so interpolate onto the template's
+                # two-sided axis when the grids differ
+                dpdi = np.asarray(dpdi)
+                freqs_t = np.fft.fftfreq(tmpl.shape[-1], d=1.0 / fs)
+                dpdi_freqs = (np.asarray(dpdi_freqs)
+                              if dpdi_freqs is not None else None)
+                if (dpdi_freqs is None
+                        or len(dpdi) != len(freqs_t)
+                        or not np.allclose(dpdi_freqs, freqs_t)):
+                    if dpdi_freqs is None:
+                        raise ValueError(
+                            f"dPdI for {chan} has no frequency axis and "
+                            f"does not match the template length")
+                    order = np.argsort(dpdi_freqs)
+                    dpdi = (np.interp(freqs_t, dpdi_freqs[order],
+                                      dpdi.real[order])
+                            + 1j * np.interp(freqs_t, dpdi_freqs[order],
+                                             dpdi.imag[order]))
                 joules = didv_models.energy_normalization(
-                    tmpl, np.asarray(dpdi), fs)
+                    tmpl, dpdi, fs)
                 norms[chan] = abs(joules) * EV_PER_JOULE
         rows = []
         salt_id = 0
@@ -232,6 +280,7 @@ class Salting:
                     "trigger_type": 6,
                 })
         self._df = pd.DataFrame(rows)
+        self._df_by_event = None
         return self._df
 
     # ------------------------------------------------------------------
@@ -245,10 +294,16 @@ class Salting:
         processing_data.py:539-553, :613-640)."""
         if self._df is None or len(self._df) == 0:
             return traces
-        sel = self._df[
-            (self._df["series_number"] == admin["series_number"])
-            & (self._df["event_number"] == admin["event_number"])]
-        if len(sel) == 0:
+        by_event = getattr(self, "_df_by_event", None)
+        if by_event is None:
+            # one-time (series, event) index: the injector runs on the
+            # per-event hot path of both pipelines
+            by_event = {key: grp for key, grp in self._df.groupby(
+                ["series_number", "event_number"], sort=False)}
+            self._df_by_event = by_event
+        sel = by_event.get((admin["series_number"],
+                            admin["event_number"]))
+        if sel is None or len(sel) == 0:
             return traces
         out = np.array(traces, copy=True)
         nb = out.shape[-1]
@@ -257,8 +312,8 @@ class Salting:
             if chan not in channel_list:
                 continue
             ci = channel_list.index(chan)
-            tmpl = self._templates[chan]
-            p = self._pretriggers[chan]
+            tmpl, p = self._template_for(
+                chan, row.get("salt_template_tag", "default"))
             start = int(row["trigger_index"]) - p - int(window_start)
             amp = row["salt_amplitude"]
             lo = max(start, 0)
@@ -318,7 +373,6 @@ def salt_efficiency(salt_df: pd.DataFrame, trigger_df: pd.DataFrame,
             if idxs and any(abs(int(s["trigger_index"]) - j)
                             <= match_window_samples for j in idxs):
                 recovered[i] = True
-    salt_df = salt_df.copy()
     salt_df["recovered"] = recovered
 
     e = salt_df["salt_energy_ev"].to_numpy()

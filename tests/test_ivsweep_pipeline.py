@@ -222,3 +222,30 @@ def test_noise_model_chain(processed, sweep):
     ratio = budget["s_itot"] / measured
     med = np.median(ratio)
     assert 0.7 < med < 1.4, med
+
+
+def test_ibis_errors_finite_on_sc_branch():
+    """Exact-partials error propagation: r0_err/p0_err stay finite on the
+    SC branch (v0 ≈ 0), and an explicit rp carries zero uncertainty."""
+    from detprocess_tpu.models import ivbias
+
+    rng = np.random.default_rng(0)
+    rsh, rp, rn = 5e-3, 4e-3, 0.3
+    biases = np.array([400e-6, 350e-6, 300e-6, 100e-6, 80e-6,
+                       4e-6, 2e-6, 1e-6])
+    r0s = np.array([rn, rn, rn, 0.15, 0.10, 0.0, 0.0, 0.0])
+    imeas = biases * rsh / (r0s + rsh + rp) - 1.2e-6
+    imeas += rng.standard_normal(len(imeas)) * 5e-10
+    res = ivbias.analyze_ibis(biases, imeas, rsh=rsh, nnorm=3, nsc=3,
+                              imeas_err=np.full(len(imeas), 5e-10))
+    assert np.all(np.isfinite(res.r0_err))
+    assert np.all(np.isfinite(res.p0_err))
+    # SC points: r0 ≈ 0 with small finite error
+    assert np.all(np.abs(res.r0[-3:]) < 5e-4)
+    assert np.all(res.r0_err[-3:] < 0.05)
+
+    res2 = ivbias.analyze_ibis(biases, imeas, rsh=rsh, nnorm=3, nsc=3,
+                               rp=rp,
+                               imeas_err=np.full(len(imeas), 5e-10))
+    assert res2.rp == rp and res2.rp_err == 0.0
+    assert np.all(np.isfinite(res2.r0_err))

@@ -334,3 +334,20 @@ class TestCompoundChannelPSD:
         psd_diff, _ = noise.get_psd("chan1-chan2")
         ratio2 = np.median(psd_diff[1:] / psd_single[1:])
         assert 1.6 < ratio2 < 2.4
+
+
+def test_sample_from_pdf_bin_width_aware():
+    """A flat dR/dE on a LOG-spaced grid is uniform in E: the CDF must
+    integrate with bin widths, not weight by array index (which would
+    oversample low energies by orders of magnitude)."""
+    from detprocess_tpu.pipelines.salting import sample_from_pdf
+
+    rng = np.random.default_rng(0)
+    energies = np.geomspace(1.0, 1000.0, 200)
+    drde = np.ones_like(energies)
+    samples = sample_from_pdf(energies, drde, 20000, rng)
+    # uniform in E: mean ~ 500, median ~ 500, ~10% below 100
+    assert abs(samples.mean() - 500.0) < 20
+    assert abs(np.median(samples) - 500.0) < 25
+    frac_low = np.mean(samples < 100.0)
+    assert abs(frac_low - 0.1) < 0.02, frac_low

@@ -229,3 +229,49 @@ def test_ofnxmx2_matches_brute_force_grid():
     assert int(d1[0]) == da_bf
     assert int(d2[0]) == db_bf
     np.testing.assert_allclose(np.asarray(res.amps[0]), a_bf, rtol=1e-8)
+
+
+def test_exact_recovery_phase_correlated_csd():
+    """phi must be conj(J⁻¹s̃): with a PHYSICAL CSD whose cross-channel
+    terms carry frequency-dependent phase (estimated from time-shifted
+    correlated noise), a noiseless exact-template event must be
+    recovered exactly with χ² ≈ 0. The transposed form J⁻¹·conj(s̃)
+    biased amplitudes by ~5% on this input (round-2 review finding)."""
+    rng = np.random.default_rng(0)
+    nn, pre = 512, 128
+    t1 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=10e-6, tau_f1=60e-6)
+    t2 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=25e-6,
+                             tau_f1=200e-6)
+    templates = np.zeros((2, 2, nn))
+    templates[0, 0] = t1
+    templates[1, 0] = 0.5 * t1
+    templates[0, 1] = 0.2 * t2
+    templates[1, 1] = t2
+
+    nev = 4000
+    w0 = rng.standard_normal((nev, nn))
+    w1 = 0.6 * np.roll(w0, 3, axis=1) + 0.8 * rng.standard_normal(
+        (nev, nn))
+    v = np.fft.fft(np.stack([w0, w1], axis=1) * 1e-9, axis=-1)
+    csd = np.einsum("bik,bjk->ijk", v, np.conj(v)) / nev / (nn * FS)
+    assert np.abs(csd[0, 1, 16].imag) > 0.01 * np.abs(csd[0, 1, 16])
+
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, pre)
+    a_true = np.array([2.0e-6, -1.5e-6])
+    trace = np.einsum("cmn,m->cn", templates, a_true)
+    vf = of1x1.signal_fft(jnp.asarray(trace)[None])
+    res = ofnxm.ofnxm_nodelay(vf, jnp.asarray(bank.phi),
+                              jnp.asarray(bank.iw_matrix),
+                              jnp.asarray(bank.icsd), FS)
+    np.testing.assert_allclose(np.asarray(res.amps[0]), a_true, rtol=1e-8)
+    c0 = float(ofnxm.chi2_base_nxm(vf, jnp.asarray(bank.icsd), FS)[0])
+    assert abs(float(res.chi2[0])) < 1e-8 * c0
+
+    # delay scan exact too
+    vf2 = of1x1.signal_fft(jnp.asarray(np.roll(trace, 9, -1))[None])
+    r2 = ofnxm.ofnxm_withdelay(vf2, jnp.asarray(bank.phi),
+                               jnp.asarray(bank.w_matrix),
+                               jnp.asarray(bank.iw_matrix),
+                               jnp.asarray(bank.icsd), pre, FS)
+    np.testing.assert_allclose(np.asarray(r2.amps[0]), a_true, rtol=1e-8)
+    assert round(float(r2.t0[0]) * FS) == 9
