@@ -84,7 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--nsalt", type=int, default=100)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--verbose", action="store_true", default=True,
+                   help="verbose output (default; see --quiet)")
+    p.add_argument("--quiet", dest="verbose", action="store_false",
+                   help="suppress per-batch INFO output")
     return p
 
 
@@ -105,9 +108,10 @@ def main(argv=None) -> int:
             return 1
         # ivsweep / filter-generation runs: any data type provides the
         # channel list
-        for alt in ("iv", "noise", "didv"):
+        for alt in ("iv", "didv", "rand", "calib"):
             alt_map = RawData(args.raw_path, data_type=alt,
-                              series=args.series).get_data_files()
+                              series=args.series,
+                              restricted=args.restricted).get_data_files()
             raw_files = sorted(f for files in alt_map.values()
                                for f in files)
             if raw_files:
@@ -280,8 +284,17 @@ def main(argv=None) -> int:
                 paths = [pp for pp in paths
                          if any(sn in os.path.basename(pp)
                                 for sn in args.trigger_series)]
-            if paths:
-                tdf = tables.concat_tables(paths)
+            paths = [pp for pp in paths
+                     if not pp.endswith("_summary.json")]
+            if not paths:
+                print("ERROR: no trigger dataframes found in "
+                      f"{args.trigger_dataframe_path}"
+                      + (f" matching series {args.trigger_series}"
+                         if args.trigger_series else "")
+                      + " — refusing to silently fall back to "
+                      "full-stream feature processing")
+                return 1
+            tdf = tables.concat_tables(paths)
         if tdf is not None and args.ntriggers > 0:
             tdf = tdf.iloc[: args.ntriggers]
         proc = FeatureProcessing(raw_files, config,

@@ -174,7 +174,10 @@ class YamlConfig:
         # remaining top-level keys are feature config (short-hand form)
         for param, val in yaml_dict.items():
             if param == "global":
-                configs["feature"]["overall"] = copy.deepcopy(val)
+                # MERGE into the feature overall dict — replacing it would
+                # silently wipe trace/pretrigger lengths already parsed
+                # from the feature section
+                configs["feature"]["overall"].update(copy.deepcopy(val))
             else:
                 configs["feature"]["channels"][param] = copy.deepcopy(val)
 
@@ -265,6 +268,16 @@ class YamlConfig:
                 algorithm_list.append(algo)
                 nb_s, nb_p = self._resolve_lengths(
                     algo_config, nb_samples, nb_pretrigger)
+                # the same half-specified-geometry validation applied at
+                # channel level must hold after algorithm-level overrides
+                if nb_s is not None and nb_p is None:
+                    raise ValueError(
+                        f'Missing "pretrigger_length_samples" for channel '
+                        f"{chan}, algorithm {algo}")
+                if nb_s is None and nb_p is not None:
+                    raise ValueError(
+                        f'Missing "trace_length_samples" for channel '
+                        f"{chan}, algorithm {algo}")
                 algo_config["nb_samples"] = nb_s
                 algo_config["nb_pretrigger_samples"] = nb_p
 

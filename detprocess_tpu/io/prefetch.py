@@ -61,10 +61,18 @@ class EventPrefetcher:
         except BaseException as exc:   # surfaced on the consumer side
             self._error = exc
         finally:
-            try:
-                self._queue.put(_SENTINEL, timeout=5.0)
-            except queue.Full:
-                pass
+            # the sentinel must NEVER be dropped: a full queue while the
+            # consumer is busy (e.g. minutes-long first jit compile) would
+            # otherwise deadlock the consumer's blocking get() forever and
+            # swallow any stored reader error. Keep retrying until it fits
+            # or close() asks us to stop (close() drains the queue, so the
+            # retry loop terminates then too).
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator:
         return self

@@ -50,16 +50,18 @@ def levenberg_marquardt(
     lambda0: float = 1e-3,
     lambda_up: float = 10.0,
     lambda_down: float = 0.3,
-    xtol: float = 1e-12,
 ) -> LMResult:
     """Minimize ½‖r(x)‖² from x0. All shapes static; vmap over x0/args for
-    batched fits.
+    batched fits (fixed max_iter scan — no data-dependent early exit, the
+    lambda damping simply stops accepting steps once converged).
 
-    Parameters are internally rescaled by |x0| (clipped) so strongly
-    heterogeneous magnitudes (e.g. resistances ~0.1 Ω vs time constants
-    ~1e-4 s) stay well-conditioned — important for float32 execution.
+    Parameters are internally rescaled by |x0| so strongly heterogeneous
+    magnitudes (e.g. resistances ~0.1 Ω vs time constants ~1e-4 s) stay
+    well-conditioned — important for float32 execution. Components whose
+    initial guess is exactly 0 get unit scale (a tiny clip value would
+    effectively freeze them).
     """
-    scale = jnp.maximum(jnp.abs(x0), 1e-12)
+    scale = jnp.where(jnp.abs(x0) > 1e-30, jnp.abs(x0), 1.0)
     user_residual = residual_fn
 
     def residual_scaled(y, *a):

@@ -61,10 +61,20 @@ class DIDVAnalysis(FilterData):
 
     # ------------------------------------------------------------------
     def set_ivsweep_results(self, channel: str, results: dict,
-                            iv_type: str = "noise"):
+                            iv_type: str = "noise", tag: str = "default"):
         """Attach IV-sweep results (i0/r0/p0/rp/rshunt) needed for the
-        small-signal conversion (core/didv.py:239-303)."""
+        small-signal conversion (core/didv.py:239-303).
+
+        Harmonized with the inherited FilterData accessor (``iv_type``
+        plays the ``measurement`` role): the results are ALSO persisted
+        into the store under ``ivsweep_results_{iv_type}_{tag}`` so
+        save_hdf5/auto-save carries them, and 'noise' vs 'didv' results
+        do not overwrite each other on disk.
+        """
         self._bias_params[channel] = dict(results)
+        FilterData.set_ivsweep_results(self, channel, dict(results),
+                                       measurement=iv_type, tag=tag)
+        return self
 
     def set_ivsweep_results_from_data(self, channel: str, results: dict,
                                       iv_type: str = "noise"):

@@ -114,6 +114,13 @@ class Noise(FilterData):
                         for s, w in zip(subs, weights))
             tr = jnp.asarray(tr_np, dtype)
             mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
+            if not mask.any():
+                raise ValueError(
+                    f"autocuts rejected all {len(mask)} randoms for "
+                    f"channel {chan} (nsigma_cut={nsigma_cut}) — a PSD "
+                    "from zero traces would be all-NaN and poison every "
+                    "downstream OF weight; loosen the cut or inspect the "
+                    "data")
             kept = tr[jnp.asarray(np.where(mask)[0])]
             psd = np.asarray(spectral.welch_psd(kept, fs, window=window))
             self.set_psd(chan, psd, fs, tag=tag, metadata={
@@ -144,6 +151,10 @@ class Noise(FilterData):
             raise ValueError("no traces available for CSD estimation")
         tr = jnp.asarray(traces, dtype)
         mask = np.asarray(cuts.autocuts_noise(tr, nsigma=nsigma_cut))
+        if not mask.any():
+            raise ValueError(
+                f"autocuts rejected all {len(mask)} randoms for CSD "
+                f"estimation (nsigma_cut={nsigma_cut})")
         kept = tr[jnp.asarray(np.where(mask)[0])]
         csd_dev = spectral.welch_csd(kept, fs, window=window)
         # complex device→host transfers are unsupported on the TPU
