@@ -80,6 +80,13 @@ def tfn_suppression(p: TESParams) -> float:
     return ((t_ratio ** (p.n + 1)) + 1.0) / 2.0
 
 
+# --- noise densities -------------------------------------------------
+# Convention: every s_* below is a ONE-SIDED spectral density (the
+# physical 4kTR Johnson normalization, qetpy-compatible). Two-sided
+# Welch measurements must be folded (x2 on non-DC bins) before direct
+# comparison — pipelines/noisemodel.py does this at every interface.
+
+
 def s_ites(p: TESParams, freqs):
     """TES Johnson current noise [A²/Hz] (with electro-thermal feedback)."""
     s_v = 4.0 * KB * p.tc * p.r0 * (1.0 + 2.0 * p.beta)

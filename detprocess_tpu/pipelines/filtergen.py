@@ -61,8 +61,9 @@ class FilterDataProcessing:
         files_for_channels = self._noise_files or self._didv_files
         if not files_for_channels:
             raise ValueError("no raw files found for filter generation")
-        self._available_channels = RawReader(files_for_channels).channels
-        self._fs = RawReader(files_for_channels).sample_rate
+        probe = RawReader(files_for_channels)
+        self._available_channels = probe.channels
+        self._fs = probe.sample_rate
 
         if isinstance(config, str):
             config = YamlConfig(config, self._available_channels,

@@ -113,6 +113,12 @@ class IVSweepProcessing(FilterData):
                 tr = traces[:, ci, :]
                 mask = np.asarray(cuts.autocuts_noise(
                     jnp.asarray(tr), nsigma=nsigma_cut))
+                if not mask.any():
+                    raise ValueError(
+                        f"autocuts rejected all {len(mask)} noise traces "
+                        f"at tes_bias={bp.get('tes_bias')} — a NaN PSD/"
+                        "offset would poison the whole sweep; loosen "
+                        "nsigma_cut or inspect the data")
                 kept = tr[mask]
                 psd = np.asarray(spectral.welch_psd(jnp.asarray(kept), fs))
                 row["psd"] = psd
@@ -227,6 +233,19 @@ class IVSweepAnalysis(FilterData):
         df = self._sweep_df[channel].copy()
         df = df.sort_values("tes_bias", key=np.abs, ascending=False,
                             ignore_index=True)
+        # dIdV-only bias points (discover_bias_points with no matching
+        # noise series) carry NaN offsets — a single NaN in the linear
+        # fits would poison rn/rp/ioffset and every derived column
+        finite = np.isfinite(df[offset_key].to_numpy(dtype=float))
+        if not finite.all():
+            dropped = int((~finite).sum())
+            if self._verbose:
+                print(f"INFO: dropping {dropped} bias points without "
+                      f"{offset_key} from the IBIS analysis")
+            df = df[finite].reset_index(drop=True)
+        if len(df) < 3:
+            raise ValueError(
+                f"only {len(df)} bias points with finite {offset_key}")
         ibias = df["tes_bias"].to_numpy(dtype=float)
         imeas = df[offset_key].to_numpy(dtype=float)
         err_key = offset_key + "_err"

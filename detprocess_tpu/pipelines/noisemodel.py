@@ -64,7 +64,18 @@ def flatten_psd(f: np.ndarray, psd: np.ndarray) -> np.ndarray:
 
 
 class NoiseModel(FilterData):
-    """Noise decomposition driver (core/noisemodel.py:40-1411)."""
+    """Noise decomposition driver (core/noisemodel.py:40-1411).
+
+    PSD-sidedness convention (matching the reference, which folds
+    two-sided inputs before fitting — noisemodel.py:837-843): all
+    ``psd_*`` inputs here are TWO-SIDED Welch estimates (the framework's
+    measurement convention), while the physical 4kTR Johnson /
+    Irwin–Hilton formulas in models.tesnoise are ONE-SIDED densities.
+    Every fit/subtraction below therefore folds the measured PSD (×2 on
+    the non-DC bins) before comparing with the models; fitted
+    temperatures and SQUID amplitudes come out physical. Fitting the
+    two-sided PSD directly would bias every temperature low by 2×.
+    """
 
     def __init__(self, verbose: bool = True):
         super().__init__(verbose=verbose)
@@ -81,9 +92,11 @@ class NoiseModel(FilterData):
         normal-state PSD (noisemodel.py:354-492)."""
         mask = np.asarray(freqs) != 0
         squid = np.zeros_like(np.asarray(psd_normal))
+        # fold two-sided → one-sided before subtracting the one-sided
+        # Johnson prediction (see class docstring)
         squid[mask] = tesnoise.squid_noise_from_normal(
-            np.asarray(psd_normal)[mask], rn, rl, L, tc, tload_guess,
-            np.asarray(freqs)[mask])
+            2.0 * np.asarray(psd_normal)[mask], rn, rl, L, tc,
+            tload_guess, np.asarray(freqs)[mask])
         self._squid[channel] = squid
         self._set(channel, f"squid_noise_{tag}", squid,
                   {"rn": rn, "rl": rl, "L": L, "tc": tc})
@@ -106,10 +119,18 @@ class NoiseModel(FilterData):
             psd_sc = flatten_psd(freqs, psd_sc)
         mask = np.asarray(freqs) != 0
         f = jnp.asarray(np.asarray(freqs)[mask])
-        data = jnp.asarray(psd_sc[mask])
+        data = jnp.asarray(2.0 * psd_sc[mask])   # fold: two→one-sided
 
         if squiddc is None and channel in self._squid:
-            squiddc = float(np.median(self._squid[channel][mask]))
+            sq = self._squid[channel]
+            if len(sq) == len(mask):
+                squiddc = float(np.median(sq[mask]))
+            else:
+                # normal and SC PSDs from different trace lengths — the
+                # flat SQUID level is frequency-independent, so the
+                # median over the stored array's nonzero bins suffices
+                squiddc = float(np.median(sq[sq > 0])) if np.any(sq > 0) \
+                    else 0.0
         squiddc = squiddc or 0.0
 
         def residual(params, f, data):
@@ -151,28 +172,45 @@ class NoiseModel(FilterData):
             psd_normal = flatten_psd(freqs, psd_normal)
         mask = np.asarray(freqs) != 0
         f = jnp.asarray(np.asarray(freqs)[mask])
-        data = jnp.asarray(np.asarray(psd_normal)[mask])
+        # fold: two-sided measurement → one-sided model domain
+        data = jnp.asarray(2.0 * np.asarray(psd_normal)[mask])
         if squiddc_guess is None:
             squiddc_guess = float(np.sqrt(
-                max(np.median(np.asarray(psd_normal)[mask]) * 0.1, 1e-30)))
+                max(np.median(2.0 * np.asarray(psd_normal)[mask]) * 0.1,
+                    1e-30)))
+
+        l_fixed = 0.0 if fit_inductance else 4e-7
 
         def residual(params, f, data):
-            ind = jnp.abs(params[0])
-            tload = jnp.abs(params[1])
-            squid = jnp.abs(params[2])
+            # fit_inductance=False genuinely HOLDS L (it is not a
+            # parameter of the residual at all) rather than zeroing the
+            # initial guess of a still-free parameter
+            if fit_inductance:
+                ind = jnp.abs(params[0])
+                tload = jnp.abs(params[1])
+                squid = jnp.abs(params[2])
+            else:
+                ind = l_fixed
+                tload = jnp.abs(params[0])
+                squid = jnp.abs(params[1])
             ztot2 = (rn + rl) ** 2 + (2 * jnp.pi * f * ind) ** 2
             model = ((4 * tesnoise.KB * tc * rn
                       + 4 * tesnoise.KB * tload * rl) / ztot2 + squid**2)
             return jnp.log(model) - jnp.log(data)
 
-        x0 = jnp.asarray([4e-7 if fit_inductance else 0.0, 0.03,
-                          squiddc_guess])
+        x0 = (jnp.asarray([4e-7, 0.03, squiddc_guess]) if fit_inductance
+              else jnp.asarray([0.03, squiddc_guess]))
         res = lm.levenberg_marquardt(residual, x0, args=(f, data),
                                      max_iter=150)
         p = np.abs(np.asarray(res.params))
-        out = {"L": float(p[0]), "tload": float(p[1]),
-               "squiddc": float(p[2]), "cost": float(res.cost),
-               "rn": rn, "rl": rl, "tc": tc}
+        if fit_inductance:
+            out = {"L": float(p[0]), "tload": float(p[1]),
+                   "squiddc": float(p[2])}
+        else:
+            out = {"L": float(l_fixed), "tload": float(p[0]),
+                   "squiddc": float(p[1])}
+        out.update({"cost": float(res.cost), "rn": rn, "rl": rl,
+                    "tc": tc})
         self._set(channel, f"normal_noise_fit_{tag}", out, None)
         return out
 
@@ -229,7 +267,8 @@ class NoiseModel(FilterData):
             budget[key.replace("s_i", "s_p")] = tesnoise.current_to_power(
                 budget[key], params, freqs)
         if psd_measured is not None:
-            budget["s_imeas"] = np.asarray(psd_measured)
+            # measured two-sided PSD folded onto the one-sided budget
+            budget["s_imeas"] = 2.0 * np.asarray(psd_measured)
             budget["s_pmeas"] = tesnoise.current_to_power(
                 psd_measured, params, freqs)
         budget["params"] = params._asdict()

@@ -44,6 +44,11 @@ class Template(FilterData):
                 raise ValueError("pretrigger length required")
             pretrigger_length_samples = int(round(
                 pretrigger_length_msec * 1e-3 * sample_rate))
+        if C is not None and B is None:
+            raise ValueError(
+                "C (4th-pole amplitude) requires B: pulse.make_template "
+                "dispatches on B and would silently build a two-pole "
+                "template while the metadata claimed more poles")
         template = pulse.make_template(
             sample_rate, trace_length_samples, pretrigger_length_samples,
             A=A, B=B, C=C, tau_r=tau_r, tau_f1=tau_f1, tau_f2=tau_f2,

@@ -34,9 +34,11 @@ def _point(ib, r0, beta=2.0, loop=10.0, tau0=1e-3):
 
 def _noise_traces(p, n, nev, rng):
     freqs = np.fft.fftfreq(n, 1 / FS)
+    # s_itot is ONE-sided; synthesize with the two-sided density s/2
     psd = tesnoise.s_itot(p, np.where(freqs == 0, freqs[1], freqs))
     white = np.fft.fft(rng.standard_normal((nev, n)), axis=-1) / np.sqrt(n)
-    return (np.real(np.fft.ifft(white * np.sqrt(psd * FS * n), axis=-1))
+    return (np.real(np.fft.ifft(white * np.sqrt(psd / 2.0 * FS * n),
+                                axis=-1))
             + p.i0)
 
 

@@ -22,8 +22,9 @@ def synth_psd(params, rng, nev=400):
     """Welch-like PSD estimate of synthetic traces drawn from the model."""
     freqs = np.fft.fftfreq(N, 1 / FS)
     f = np.where(freqs == 0, freqs[1], freqs)
+    # s_itot is ONE-sided; synthesize with the two-sided density s/2
     psd_true = tesnoise.s_itot(params, f)
-    scale = np.sqrt(psd_true * FS * N)
+    scale = np.sqrt(psd_true / 2.0 * FS * N)
     white = np.fft.fft(rng.standard_normal((nev, N)), axis=-1) / np.sqrt(N)
     traces = np.real(np.fft.ifft(white * scale, axis=-1))
     vfft = np.fft.fft(traces, axis=-1)
@@ -72,7 +73,7 @@ def main():
         print(f"  {k}: median {np.median(out[k][freqs != 0]):.3e} A^2/Hz")
     # sanity: the budget total tracks the measured transition PSD
     m = np.abs(freqs) > 1e3
-    ratio = np.median(psd_trans[m] / out["s_itot"][m])
+    ratio = np.median(2.0 * psd_trans[m] / out["s_itot"][m])
     print(f"measured/model transition PSD ratio ≈ {ratio:.2f}")
     return out
 

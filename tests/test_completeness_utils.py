@@ -84,8 +84,10 @@ class TestNormalNoiseFit:
         rn, rl, tc = 0.3, 0.02, 0.04
         L_true, tload_true, squid_true = 4e-7, 0.033, 3e-12
         freqs = np.geomspace(10, 2e5, 256)
+        # s_i_normal is ONE-sided; the fit takes a two-sided
+        # measurement, so feed the two-sided density s/2
         psd = tesnoise.s_i_normal(rn, rl, L_true, tc, tload_true,
-                                  squid_true, freqs)
+                                  squid_true, freqs) / 2.0
         nm = NoiseModel(verbose=False)
         # clean synthetic PSD: no spike-flattening needed (the envelope
         # smoothing is for real spectra with EMI lines)
@@ -103,7 +105,7 @@ class TestNormalNoiseFit:
         freqs = np.linspace(0.0, 2e5, 2048)   # folded linear grid, DC first
         psd = tesnoise.s_i_normal(rn, rl, L_true, tc, tload_true,
                                   squid_true, np.where(freqs == 0, 1.0,
-                                                       freqs))
+                                                       freqs)) / 2.0
         spiky = psd.copy()
         spiky[5::97] *= 300.0  # forest of narrow EMI lines
         nm = NoiseModel(verbose=False)

@@ -33,8 +33,9 @@ def _tes_point(ibias, r0, beta=2.0, loop=10.0, ind=4e-7, tau0=1e-3):
 
 def _noise_traces(params, n, nev, rng, ioffset):
     freqs = np.fft.fftfreq(n, 1 / FS)
+    # s_itot is ONE-sided; the synthesized two-sided density is half
     psd = tesnoise.s_itot(params, np.where(freqs == 0, freqs[1], freqs))
-    scale = np.sqrt(psd * FS * n)
+    scale = np.sqrt(psd / 2.0 * FS * n)
     white = np.fft.fft(rng.standard_normal((nev, n)), axis=-1) / np.sqrt(n)
     return np.real(np.fft.ifft(white * scale, axis=-1)) + params.i0 + ioffset
 
@@ -218,8 +219,8 @@ def test_noise_model_chain(processed, sweep):
     budget = nm.analyze_noise("chan1", freqs[freqs > 0], ssp, bias, TC,
                               TBATH, gta=1e-10, squiddc=float(sq_level),
                               tload=tload)
-    measured = df["psd"].iloc[k][freqs > 0]
-    ratio = budget["s_itot"] / measured
+    measured = df["psd"].iloc[k][freqs > 0]   # two-sided → fold
+    ratio = budget["s_itot"] / (2.0 * measured)
     med = np.median(ratio)
     assert 0.7 < med < 1.4, med
 
