@@ -377,8 +377,20 @@ class TriggerProcessing:
 
         def run_one(trace):
             q_blocks, _ = trig_ops.of_fir_blocks(trace, kernel)
-            dchi2_b, amps_b = trig_ops.delta_chi2_blocks(
-                q_blocks, jnp.asarray(kernel.iw_matrix))
+            iw = jnp.asarray(kernel.iw_matrix)
+            # fast path: no residual/dynamic mode and a tileable pileup
+            # window → fused Δχ² + two-level tiled merge; the full
+            # amplitude series a(t) is never materialized (round-3
+            # roofline work, see find_triggers_tiled)
+            if (tc.dynamic_threshold_function is None
+                    and not tc.run_residual
+                    and trig_ops._tile_size(tc.pileup_window) >= 8):
+                dchi2_b = trig_ops.delta_chi2_from_q(q_blocks, iw)
+                ts = trig_ops.find_triggers_tiled(
+                    dchi2_b, q_blocks, tc.chi2_threshold,
+                    tc.pileup_window, capacity, amps_transform=iw)
+                return ts, None
+            dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
             # flat views (residual path + dynamic mode)
             l = trace.shape[-1]
             dchi2 = dchi2_b.reshape(-1)[:l]
@@ -535,16 +547,11 @@ class TriggerProcessing:
             builder.set_current_nb_samples(traces_np.shape[-1])
             for tc in self._channels:
                 ts, ts2 = per_channel[tc.name]
-                df = self._trigger_set_to_df(tc, ts)
                 if ts2 is not None:
-                    df2 = self._trigger_set_to_df(tc, ts2)
-                    if len(df2):
-                        # keep only residual triggers at new indices
-                        if len(df):
-                            new = ~df2["trigger_index"].isin(
-                                df["trigger_index"])
-                            df2 = df2[new]
-                        df = pd.concat([df, df2], ignore_index=True)
+                    # dedup-merge first + residual pass
+                    # (combine_trigger_data, oftrigger.py:262-321)
+                    ts = trig_ops.combine_trigger_sets(ts, ts2)
+                df = self._trigger_set_to_df(tc, ts)
                 if tc.edge_exclusion_msec is not None and len(df):
                     tmin = tc.edge_exclusion_msec * 1e-3
                     tmax = traces_np.shape[-1] / self._fs - tmin

@@ -242,6 +242,52 @@ def test_residual_subtraction_removes_trigger():
     assert float(resid[i0]) < 0.02 * float(dchi2[i0])
 
 
+def test_combine_trigger_sets_dedup():
+    """combine_trigger_data semantics (oftrigger.py:262-321): original
+    entries all kept; new-pass entries appended only at new indices."""
+    def make(indices, dchi2, amps, cap, total=None):
+        k = len(indices)
+        idx = np.full(cap, -1, dtype=np.int32)
+        idx[:k] = indices
+        d = np.zeros(cap)
+        d[:k] = dchi2
+        a = np.zeros((2, cap))
+        a[:, :k] = amps
+        return trigger.TriggerSet(
+            indices=idx, dchi2=d, amplitudes=a,
+            count=np.int32(k),
+            count_total=np.int32(total if total is not None else k))
+
+    first = make([100, 500, 900], [50.0, 40.0, 30.0],
+                 [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], cap=8)
+    second = make([500, 700, 900, 1200], [9.0, 25.0, 8.0, 20.0],
+                  [[7.0, 8.0, 9.0, 10.0], [11.0, 12.0, 13.0, 14.0]], cap=8)
+    merged = trigger.combine_trigger_sets(first, second)
+    n = int(merged.count)
+    assert n == 5
+    np.testing.assert_array_equal(np.asarray(merged.indices)[:n],
+                                  [100, 500, 900, 700, 1200])
+    # originals keep their values; only 700/1200 appended from the new pass
+    np.testing.assert_allclose(np.asarray(merged.dchi2)[:n],
+                               [50.0, 40.0, 30.0, 25.0, 20.0])
+    np.testing.assert_allclose(np.asarray(merged.amplitudes)[0, :n],
+                               [1.0, 2.0, 3.0, 8.0, 10.0])
+    assert int(merged.count_total) == 5
+    assert np.all(np.asarray(merged.indices)[n:] == -1)
+
+    # disjoint sets concatenate; identical sets are idempotent
+    disjoint = trigger.combine_trigger_sets(
+        make([10], [1.0], [[1.0], [1.0]], cap=4),
+        make([20], [2.0], [[2.0], [2.0]], cap=4))
+    assert int(disjoint.count) == 2
+    same = trigger.combine_trigger_sets(first, first)
+    assert int(same.count) == 3
+    # truncation bookkeeping survives the merge
+    trunc = make([100], [50.0], [[1.0], [1.0]], cap=1, total=7)
+    m2 = trigger.combine_trigger_sets(trunc, second)
+    assert int(m2.count_total) == 7 + 4
+
+
 def test_saturation_mask():
     lpf = jnp.zeros((1, 1000)).at[0, 500].set(1.0)
     mask = trigger.saturation_mask(lpf, [0.5], window=10)
@@ -282,6 +328,50 @@ def test_find_triggers_property_vs_numpy():
         np.testing.assert_array_equal(np.sort(got_idx), np.sort(exp_idx))
         np.testing.assert_allclose(np.sort(got_d), np.sort(exp_d),
                                    rtol=1e-6)
+
+
+def test_find_triggers_tiled_vs_numpy():
+    """The two-level tiled merge (round-3 roofline path) must match the
+    numpy reference merge exactly on block-layout inputs across window
+    sizes, including winner ties and groups straddling tile boundaries."""
+    rng = np.random.default_rng(123)
+    l = 65536
+    for window in (7, 16, 100, 255, 511, 1000, 2047):
+        d = rng.exponential(1.0, l)
+        spikes = rng.random(l) < 0.01
+        d[spikes] += rng.exponential(40, spikes.sum())
+        # inject exact duplicate values inside one window to test the
+        # first-achiever tie-break
+        d[1000] = d[1003] = 77.0
+        amps = np.stack([d * 0.5, d * -0.25])
+        thr = 8.0
+
+        above = np.where(d > thr)[0]
+        exp_idx = []
+        if len(above):
+            splits = np.where(np.diff(above) > window)[0] + 1
+            for group in np.split(above, splits):
+                exp_idx.append(group[np.argmax(d[group])])
+
+        ts = trigger.find_triggers_tiled(
+            jnp.asarray(d).reshape(4, -1),
+            jnp.asarray(amps).reshape(2, 4, -1),
+            thr, window, capacity=1024)
+        count = int(ts.count)
+        got_idx = np.sort(np.asarray(ts.indices)[:count])
+        assert count == len(exp_idx), (window, count, len(exp_idx))
+        np.testing.assert_array_equal(got_idx, np.sort(exp_idx))
+        # amplitudes gathered at the winner samples
+        order = np.argsort(np.asarray(ts.indices)[:count])
+        got_amp = np.asarray(ts.amplitudes)[:, :count][:, order]
+        np.testing.assert_allclose(got_amp, amps[:, got_idx], rtol=1e-6)
+        # t_offset shifts reported indices only
+        ts_off = trigger.find_triggers_tiled(
+            jnp.asarray(d).reshape(4, -1),
+            jnp.asarray(amps).reshape(2, 4, -1),
+            thr, window, capacity=1024, t_offset=jnp.int32(5000))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ts_off.indices)[:count]) - 5000, got_idx)
 
 
 def test_capacity_overflow_semantics():
