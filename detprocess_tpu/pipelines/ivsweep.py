@@ -287,33 +287,182 @@ class IVSweepAnalysis(FilterData):
 
     # ------------------------------------------------------------------
     def analyze_didv(self, channel: str, poles=(2, 3),
-                     tag: str = "default") -> pd.DataFrame:
-        """dIdV fits per transition bias point (ivsweep.py:762-826,
-        :1600-1799) with small-signal parameters."""
+                     tag: str = "default",
+                     enable_sc: bool = True,
+                     enable_normal: bool = True,
+                     enable_transition: bool = True,
+                     nb_points_sc_max: int = 4,
+                     nb_points_normal_max: int = 4,
+                     sc_percent_rn_max: float = 0.05,
+                     normal_percent_rn_min: float = 99.8,
+                     transition_percent_rn_min: float = 5.0,
+                     transition_percent_rn_max: float = 70.0) -> pd.DataFrame:
+        """State-aware dIdV fits across the sweep (ivsweep.py:762-826,
+        dispatch :1600-1799).
+
+        Matches the reference semantics:
+
+        - **SC points** (1-pole fit, :1684-1705, 1-pole case :1775-1780):
+          the TES is a short (R0=0), so dVdI(0)=A=Rsh+Rp and
+          ``Rp = A − Rsh``. Fitted points are the smallest-|bias| ones,
+          up to ``nb_points_sc_max``; the summary carries mean/std across
+          points plus the median inductance (:1995-2032).
+        - **Normal points** (1-pole): dVdI(0)=A=Rsh+Rp+Rn, so
+          ``Rn = A − Rsh − Rp_IV`` (the :1803-1805 subtraction); fitted
+          points are the largest-|bias| ones, up to
+          ``nb_points_normal_max``.
+        - **Transition points** (2/3-pole, :1781-1799): full small-signal
+          parameters with covariance errors, infinite-loop-gain bias
+          params, and flattened ``didv_{p}poles_*`` dataframe columns
+          (:1913-1965).
+
+        The dIdV-derived Rp/Rn are cross-checked against the IBIS sweep
+        values (:2035-2046 prints); a disagreement beyond 3σ (combined)
+        *and* 10 % relative emits a loud warning. Results are stored in
+        the ``ivsweep_results`` "didv" entry as ``sc_didv_fit_rp``,
+        ``normal_didv_fit_rn``, ``{sc,normal}_didv_fit_L`` (:2010-2032).
+        """
         df = self._sweep_df[channel]
         if "didv" not in df.columns:
             raise ValueError("no dIdV data in the sweep dataframe")
-        results = []
         rsh = self._rsh[channel]
-        rp = self._ibis[channel].rp if channel in self._ibis else 0.0
+        ibis = self._ibis.get(channel)
+        rp_iv = ibis.rp if ibis is not None else 0.0
+
+        def _state(row):
+            if isinstance(row.get("state"), str):
+                return row["state"]
+            # fall back to percent_rn thresholds (reference filters,
+            # ivsweep.py:1706-1723) when no linearity tagging is present
+            prn = row.get("percent_rn", np.nan)
+            if np.isfinite(prn):
+                if prn < sc_percent_rn_max:
+                    return "sc"
+                if prn > normal_percent_rn_min:
+                    return "normal"
+            return "transition"
+
+        def _has_didv(row):
+            return isinstance(row.get("didv"), np.ndarray)
+
+        # --- select fit points per state ---------------------------------
+        idx_by_state = {"sc": [], "normal": [], "transition": []}
         for idx, row in df.iterrows():
-            if not isinstance(row.get("didv"), np.ndarray):
-                results.append({})
+            if _has_didv(row):
+                idx_by_state[_state(row)].append(idx)
+        absb = df["tes_bias"].abs()
+        # SC: smallest |bias| first; normal: largest |bias| first
+        sc_idx = sorted(idx_by_state["sc"],
+                        key=lambda i: absb[i])[:nb_points_sc_max]
+        norm_idx = sorted(idx_by_state["normal"], key=lambda i: absb[i],
+                          reverse=True)[:nb_points_normal_max]
+        trans_idx = []
+        for i in sorted(idx_by_state["transition"], key=lambda i: absb[i],
+                        reverse=True):
+            prn = df.loc[i].get("percent_rn", np.nan)
+            if (np.isfinite(prn)
+                    and not (transition_percent_rn_min <= prn
+                             <= transition_percent_rn_max)):
                 continue
-            entry = {}
-            for p in (poles if not isinstance(poles, int) else [poles]):
-                fit = didv_models.fit_didv(
-                    row["didv_freqs"], row["didv"], poles=p,
-                    weights=row.get("didv_weights"))
-                entry[f"fit_{p}poles"] = fit
-                if row.get("state") == "transition" and "r0" in row:
-                    ssp = didv_models.smallsignal_with_errors(
-                        fit, row["r0"], rsh + rp)
-                    entry[f"ssp_{p}poles"] = ssp
-            results.append(entry)
+            trans_idx.append(i)
+
         df = df.copy()
-        df["didv_fits"] = results
+        fits_col: List[dict] = [{} for _ in range(len(df))]
+        pos = {idx: k for k, idx in enumerate(df.index)}
+        poles_list = [poles] if isinstance(poles, int) else list(poles)
+        results_didv: dict = {"rshunt": rsh, "rp": rp_iv}
+        if ibis is not None:
+            results_didv.update({"rn": ibis.rn, "rn_err": ibis.rn_err,
+                                 "rp_err": ibis.rp_err})
+
+        # --- 1-pole SC / normal fits -------------------------------------
+        for data_type, indices, enabled in (("sc", sc_idx, enable_sc),
+                                            ("normal", norm_idx,
+                                             enable_normal)):
+            if not enabled or not indices:
+                continue
+            rpn_list, rpn_err_list, l_list = [], [], []
+            for i in indices:
+                row = df.loc[i]
+                fit = didv_models.fit_didv(
+                    row["didv_freqs"], row["didv"], poles=1,
+                    weights=row.get("didv_weights"))
+                fits_col[pos[i]]["fit_1poles"] = fit
+                a = float(fit.params[0])
+                a_err = float(np.sqrt(max(fit.cov[0, 0], 0.0)))
+                rpn = a - rsh - (rp_iv if data_type == "normal" else 0.0)
+                rpn_list.append(rpn)
+                rpn_err_list.append(a_err)
+                l_list.append(float(fit.params[0] * fit.params[1]))
+                df.loc[i, "didv_1poles_rtot"] = a
+                df.loc[i, "didv_1poles_chi2"] = fit.cost
+            fit_val = float(np.mean(rpn_list))
+            # spread across points if several, else the fit error
+            fit_err = (float(np.std(rpn_list)) if len(rpn_list) > 1
+                       else rpn_err_list[0])
+            fit_err = max(fit_err, float(np.mean(rpn_err_list)))
+            name = "rp" if data_type == "sc" else "rn"
+            results_didv[f"{data_type}_didv_fit_{name}"] = fit_val
+            results_didv[f"{data_type}_didv_fit_{name}_err"] = fit_err
+            results_didv[f"{data_type}_didv_fit_L"] = float(
+                np.median(l_list))
+            # cross-check vs IBIS (reference prints both, :2035-2046;
+            # here a real disagreement warns loudly)
+            if ibis is not None:
+                iv_val = ibis.rp if data_type == "sc" else ibis.rn
+                iv_err = ibis.rp_err if data_type == "sc" else ibis.rn_err
+                sigma = float(np.hypot(fit_err, iv_err))
+                dev = abs(fit_val - iv_val)
+                if (dev > 3 * sigma
+                        and dev > 0.1 * max(abs(iv_val), 1e-12)):
+                    print(f"WARNING: {channel} {name} from "
+                          f"{data_type} dIdV fit = {fit_val*1e3:.3f} mOhms "
+                          f"disagrees with IV sweep "
+                          f"{iv_val*1e3:.3f} ± {iv_err*1e3:.3f} mOhms "
+                          f"({dev/max(sigma,1e-30):.1f}σ) — check Rshunt "
+                          "or the SC/normal point selection")
+                if self._verbose:
+                    print(f"{channel} {name} from dIdV fit = "
+                          f"{fit_val*1e3:.3f} ± {fit_err*1e3:.3f} mOhms; "
+                          f"from IV sweep = {iv_val*1e3:.3f} ± "
+                          f"{iv_err*1e3:.3f} mOhms")
+
+        # --- 2/3-pole transition fits ------------------------------------
+        if enable_transition:
+            for i in trans_idx:
+                row = df.loc[i]
+                for p in poles_list:
+                    if p == 1:
+                        continue
+                    fit = didv_models.fit_didv(
+                        row["didv_freqs"], row["didv"], poles=p,
+                        weights=row.get("didv_weights"))
+                    fits_col[pos[i]][f"fit_{p}poles"] = fit
+                    df.loc[i, f"didv_{p}poles_chi2"] = fit.cost
+                    if "r0" not in row or not np.isfinite(row.get("r0",
+                                                                  np.nan)):
+                        continue
+                    ssp = didv_models.smallsignal_with_errors(
+                        fit, row["r0"], rsh + rp_iv)
+                    fits_col[pos[i]][f"ssp_{p}poles"] = ssp
+                    for key in ("l", "beta", "tau0", "L"):
+                        df.loc[i, f"didv_{p}poles_{key}"] = ssp[key]
+                        df.loc[i, f"didv_{p}poles_{key}_err"] = (
+                            ssp[f"{key}_err"])
+                    if p == 3:
+                        df.loc[i, "didv_3poles_gratio"] = ssp["gratio"]
+                    # infinite-loop-gain bias point (:1946-1965)
+                    ilg = didv_models.biasparams_ilg(
+                        fit.params, rsh + rp_iv, rsh,
+                        float(row["tes_bias"]), poles=p)
+                    for key in ("r0", "i0", "p0"):
+                        df.loc[i, f"didv_{p}poles_{key}_infinite_lgain"] = (
+                            ilg[key])
+
+        df["didv_fits"] = fits_col
         self._sweep_df[channel] = df
+        self.set_ivsweep_results(channel, results_didv, "didv", tag=tag)
+        self.set_ivsweep_data(channel, df, tag=tag)
         return df
 
     def analyze_noise(self, channel: str, tc: float, tbath: float,

@@ -150,6 +150,68 @@ def test_didv_fits_across_sweep(processed, sweep):
     assert n_checked >= 3
 
 
+def test_state_aware_didv_fits(processed, sweep, capsys):
+    """Reference parity (ivsweep.py:762-826, :1600-2046): SC and normal
+    points get 1-pole fits whose Rp/Rn recover truth and cross-check
+    against the IBIS sweep values; transition points carry flattened
+    didv_{p}poles_* columns and infinite-loop-gain bias params."""
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    ana.set_data_from_dataframe("chan1", df, rsh=RSH)
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=3)
+    ana.analyze_sweep("chan1")
+    out = ana.analyze_didv("chan1", poles=(2, 3))
+
+    res = ana.get_ivsweep_results("chan1", "didv")
+    # dIdV-derived Rp (SC 1-pole) and Rn (normal 1-pole) recover truth
+    np.testing.assert_allclose(res["sc_didv_fit_rp"], RP, rtol=0.05)
+    np.testing.assert_allclose(res["normal_didv_fit_rn"], RN, rtol=0.05)
+    assert res["sc_didv_fit_rp_err"] >= 0
+    assert res["normal_didv_fit_rn_err"] >= 0
+    # the recovered inductance is physical
+    assert 1e-8 < res["sc_didv_fit_L"] < 1e-5
+    # 1-pole fits landed on SC/normal rows only
+    for _, row in out.iterrows():
+        fits = row["didv_fits"]
+        if row["state"] in ("sc", "normal") and fits:
+            assert "fit_1poles" in fits
+            assert fits["fit_1poles"].poles == 1
+        if row["state"] == "transition" and fits:
+            assert "fit_1poles" not in fits
+            assert "fit_2poles" in fits and "fit_3poles" in fits
+    # flattened transition columns + ILG bias params
+    trans = out[out["state"] == "transition"]
+    assert np.isfinite(trans["didv_2poles_l"]).sum() >= 3
+    assert np.isfinite(trans["didv_2poles_beta"]).sum() >= 3
+    assert np.isfinite(trans["didv_2poles_r0_infinite_lgain"]).sum() >= 3
+    # ILG r0 at finite loop gain: r0_ilg = Rl − dVdI(0) with
+    # dVdI(0) = Rl + R0(1+β) + R0·l(2+β)/(1−l), so analytically
+    # r0_ilg/r0 = l(2+β)/(l−1) − (1+β); for l=10, β=2 → 40/9 − 3 ≈ 1.444
+    sel = np.isfinite(trans["didv_2poles_r0_infinite_lgain"])
+    expected_ratio = 10.0 * 4.0 / 9.0 - 3.0
+    np.testing.assert_allclose(
+        trans.loc[sel, "didv_2poles_r0_infinite_lgain"]
+        / trans.loc[sel, "r0"],
+        expected_ratio, rtol=0.1)
+    # no disagreement warning on a consistent sweep
+    assert "WARNING" not in capsys.readouterr().out
+
+
+def test_didv_ibis_disagreement_warns(processed, capsys):
+    """Seed an inconsistent IBIS Rp and check the cross-check fires."""
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    ana.set_data_from_dataframe("chan1", df, rsh=RSH)
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=3)
+    ana.analyze_sweep("chan1")
+    ibis = ana.get_ibis("chan1")
+    ana._ibis["chan1"] = ibis._replace(rp=3 * RP, rp_err=1e-6)
+    ana.analyze_didv("chan1", poles=2, enable_normal=False,
+                     enable_transition=False)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "disagrees with IV sweep" in out
+
+
 def test_energy_resolution_curve(processed, sweep):
     from detprocess_tpu.models import pulse
     proc, df = processed
