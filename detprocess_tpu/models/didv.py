@@ -270,6 +270,46 @@ def smallsignal_with_errors(fit: DIDVFit, r0: float, rl: float) -> dict:
     return out
 
 
+def didv_falltimes(fit: DIDVFit) -> np.ndarray:
+    """True dIdV pole time constants ("falltimes": τ₊, τ₋, τ₃ —
+    qetpy convention, reported by the reference at
+    core/ivsweep.py:1845-1851 and process/filterprocess.py:1013-1016).
+
+    These are NOT the raw fit parameters τ₁/τ₂/τ₃ but the poles of the
+    rational function dIdV(s) = 1/dVdI(s), s = iω: the roots of the
+    dVdI numerator polynomial in s. For the 2-pole model
+
+        dVdI·(1+sτ₁) = A τ₁τ₂ s² + A(τ₁+τ₂) s + (A+B)
+
+    and for the 3-pole model (denominator D = (1+sτ₁)(1+sτ₃) − C)
+
+        dVdI·D = A τ₂τ₁τ₃ s³ + A(τ₁τ₃ + τ₂(τ₁+τ₃)) s²
+                 + [A(τ₁+τ₃+τ₂(1−C)) + Bτ₃] s + [A(1−C) + B].
+
+    Each root s_i contributes exp(s_i t); the time constants are
+    |1/Re s_i|, sorted ascending (τ₊ = fastest). Returns a length-3
+    array (NaN-padded below 3 poles).
+    """
+    p = np.asarray(fit.params, dtype=float)
+    if fit.poles == 1:
+        return np.array([abs(p[1]), np.nan, np.nan])
+    if fit.poles == 2:
+        a, b, tau1, tau2 = p
+        coeffs = [a * tau1 * tau2, a * (tau1 + tau2), a + b]
+    else:
+        a, b, c, tau1, tau2, tau3 = p
+        coeffs = [a * tau2 * tau1 * tau3,
+                  a * (tau1 * tau3 + tau2 * (tau1 + tau3)),
+                  a * ((tau1 + tau3) + tau2 * (1.0 - c)) + b * tau3,
+                  a * (1.0 - c) + b]
+    roots = np.roots(coeffs)
+    with np.errstate(divide="ignore"):
+        taus = np.sort(np.abs(1.0 / np.real(roots)))
+    out = np.full(3, np.nan)
+    out[:len(taus)] = taus
+    return out
+
+
 def biasparams_ilg(fit_params, rl: float, rsh: float, ibias: float,
                    poles: int = 2) -> dict:
     """Infinite-loop-gain bias point (qetpy.get_biasparams_ilg,
