@@ -553,21 +553,30 @@ def bench_end_to_end(quick=False):
         staged = jnp.asarray(traces)
         dt_dev = timeit_pipelined(step, [(staged,)] * 4, (staged,)) / 4
 
-        # --- full trigger pipeline end-to-end
-        t0 = time.perf_counter()
+        # --- full trigger pipeline end-to-end: cold (incl. XLA compile)
+        # and warm (steady-state, what a long production run sees)
         tp = TriggerProcessing(raw_files, tpath, filter_data=fpath,
                                verbose=False)
+        t0 = time.perf_counter()
         trig_df = tp.process(capacity=512, lgc_save=True,
                              output_path=os.path.join(tmp, "trig"))
+        t_trig_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        trig_df = tp.process(capacity=512, lgc_save=True,
+                             output_path=os.path.join(tmp, "trig_warm"))
         t_trig = time.perf_counter() - t0
         n_trig = len(trig_df)
 
         # --- feature pipeline end-to-end on the trigger dataframe
-        t0 = time.perf_counter()
         fp = FeatureProcessing(raw_files, cpath, filter_data=fpath,
                                trigger_dataframe=trig_df, verbose=False)
+        t0 = time.perf_counter()
         feat_df = fp.process(batch_size=256, lgc_save=True,
                              output_path=os.path.join(tmp, "feat"))
+        t_feat_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        feat_df = fp.process(batch_size=256, lgc_save=True,
+                             output_path=os.path.join(tmp, "feat_warm"))
         t_feat = time.perf_counter() - t0
 
         total_samples = nev * l
@@ -578,7 +587,9 @@ def bench_end_to_end(quick=False):
             "n_features_rows": len(feat_df),
             "io_read_sec": round(t_io, 3),
             "device_trigger_sec_per_batch": round(dt_dev, 3),
+            "trigger_e2e_cold_sec": round(t_trig_cold, 3),
             "trigger_e2e_sec": round(t_trig, 3),
+            "feature_e2e_cold_sec": round(t_feat_cold, 3),
             "feature_e2e_sec": round(t_feat, 3),
             "trigger_e2e_msamples_per_sec": round(
                 total_samples / t_trig / 1e6, 2),

@@ -505,8 +505,26 @@ class TriggerProcessing:
             coincident_window_samples = overall.get(
                 "coincident_window_samples")
 
-        fns = {tc.name: self._make_channel_fn(tc, capacity)
-               for tc in self._channels}
+        # cache compiled channel fns on the instance: rebuilding them per
+        # process() call would give each call a fresh jit identity and
+        # force XLA recompilation (measured ~10 s on a 1-core host). The
+        # key carries every tc field read at trace time, so mutating the
+        # config (set_dynamic_threshold) invalidates the entry.
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        fns = {}
+        for tc in self._channels:
+            key = (tc.name, capacity, tc.chi2_threshold,
+                   tc.pileup_window, tc.run_residual,
+                   tuple(tc.sat_amps) if tc.sat_amps is not None else None,
+                   tc.positive_pulses,
+                   (id(tc.dynamic_threshold_function)
+                    if tc.dynamic_threshold_function is not None else None),
+                   tc.dynamic_candidate_capacity)
+            if key not in cache:
+                cache[key] = self._make_channel_fn(tc, capacity)
+            fns[tc.name] = cache[key]
         builder = EventBuilder()
         import time as _time
 
