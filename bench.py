@@ -114,6 +114,12 @@ def bench_cpu_baseline(template, psd):
     ref = RefOF1x1(template, psd, FS, PRETRIG)
     sub = (rng.standard_normal((CPU_BASELINE_EVENTS, N)) * 3e-9
            + 2e-6 * template[None, :])
+    # pinned core (round-3 CPU protocol — see benchmarks/run_all.py)
+    import os
+    try:
+        os.sched_setaffinity(0, {0})
+    except (AttributeError, OSError):
+        pass
     # best of 3 passes: the fastest CPU run gives the most conservative
     # speedup (the host is shared, single runs swing with contention)
     best_dt = float("inf")
