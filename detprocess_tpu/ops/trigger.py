@@ -570,6 +570,116 @@ def find_triggers_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                                 winners_per_row=winners_per_row)
 
 
+def find_triggers_sharded_tiled(dchi2: jnp.ndarray, amps: jnp.ndarray,
+                                threshold: float, pileup_window: int,
+                                capacity: int, t_offset, axis_name: str,
+                                n_shards: int) -> TriggerSet:
+    """Two-level tiled trigger merge on ONE time-shard of a long trace —
+    the cross-shard counterpart of :func:`find_triggers_tiled`.
+
+    Identical carry structure to :func:`find_triggers_sharded` (exclusive
+    prefix max of last-above indices; (value, any-reset) combines for the
+    forward/backward segmented maxima; ppermute of the right neighbour's
+    first reset flag) but applied to L/G-element TILE summaries instead
+    of full sample arrays: shards exchange the same handful of scalars
+    while the per-shard work drops to one fused pass over the samples.
+    Requires the shard length to be a multiple of the tile size G (true
+    for power-of-two block layouts; the dispatcher checks).
+
+    Winner-uniqueness argument is unchanged: every shard sees the same
+    segment structure through the carries, and exactly one tile achieves
+    a segment's maximum first (ties resolve to the earliest global
+    position because in-tile argmax takes the first maximum and the
+    first-achiever rule compares against the carried prefix max).
+    """
+    r, b = dchi2.shape
+    m = amps.shape[0]
+    l = r * b
+    g = _tile_size(pileup_window)
+    nt = l // g
+    d = dchi2.reshape(nt, g)
+    a = amps.reshape(m, nt, g)
+    idx = jax.lax.axis_index(axis_name)
+    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
+
+    # --- one fused pass: per-tile summaries (global indices) --------------
+    col = jnp.arange(g, dtype=jnp.int32)[None, :]
+    above = d > threshold
+    d_eff = jnp.where(above, d, neg)
+    tile_max = jnp.max(d_eff, axis=-1)                        # [T]
+    tile_arg = jnp.argmax(d_eff, axis=-1).astype(jnp.int32)
+    first_in = jnp.min(jnp.where(above, col, g), axis=-1)
+    last_in = jnp.max(jnp.where(above, col, -1), axis=-1)
+    has = last_in >= 0
+    base = jnp.arange(nt, dtype=jnp.int32) * g + t_offset
+    first_idx = base + first_in
+    last_idx = jnp.where(has, base + last_in, -1)
+
+    # --- cross-shard previous-above carry ---------------------------------
+    local_prev = _excl_runmax_1d(last_idx)
+    ga = jax.lax.all_gather(jnp.max(last_idx), axis_name)
+    run = jax.lax.cummax(ga, axis=0)
+    carry_prev = jnp.concatenate(
+        [jnp.full((1,), -1, run.dtype), run[:-1]])[idx]
+    prev_last = jnp.maximum(local_prev, carry_prev)
+    start = has & ((prev_last < 0)
+                   | (first_idx - prev_last > pileup_window))
+
+    # --- forward segmented max with cross-shard carry ---------------------
+    fwd = _seg_cummax_1d(tile_max, start)
+    gm = jax.lax.all_gather(fwd[-1], axis_name)
+    gs = jax.lax.all_gather(jnp.any(start), axis_name)
+    cm = [neg]
+    for i in range(n_shards - 1):
+        cm.append(jnp.where(gs[i], gm[i], jnp.maximum(cm[-1], gm[i])))
+    carry_m = jnp.stack(cm)[idx]
+    before_first_start = jnp.cumsum(start.astype(jnp.int32)) == 0
+    fwd = jnp.where(before_first_start, jnp.maximum(fwd, carry_m), fwd)
+
+    # --- backward segmented max (resets at segment ends) ------------------
+    from_right = jax.lax.ppermute(
+        start[:1].astype(jnp.int32), axis_name,
+        [(i + 1, i) for i in range(n_shards - 1)])
+    last_next = jnp.where(idx == n_shards - 1, 1, from_right[0])
+    nxt_reset = jnp.concatenate([start[1:], (last_next > 0)[None]])
+    bwd_rev = _seg_cummax_1d(jnp.flip(tile_max), jnp.flip(nxt_reset))
+    gmr = jax.lax.all_gather(bwd_rev[-1], axis_name)
+    gsr = jax.lax.all_gather(jnp.any(nxt_reset), axis_name)
+    cmr = [neg]
+    for i in range(n_shards - 1, 0, -1):
+        cmr.append(jnp.where(gsr[i], gmr[i], jnp.maximum(cmr[-1], gmr[i])))
+    carry_mr = jnp.stack(cmr[::-1])[idx]
+    before_first_rev = jnp.cumsum(
+        jnp.flip(nxt_reset).astype(jnp.int32)) == 0
+    bwd_rev = jnp.where(before_first_rev, jnp.maximum(bwd_rev, carry_mr),
+                        bwd_rev)
+    bwd = jnp.flip(bwd_rev)
+    total = jnp.maximum(fwd, bwd)
+
+    # --- first-achiever winner + per-shard compaction ---------------------
+    prevfwd = jnp.concatenate([carry_m[None], fwd[:-1]])
+    winner = has & (tile_max == total) & (start | (prevfwd < tile_max))
+    count_total = jax.lax.psum(jnp.sum(start.astype(jnp.int32)),
+                               axis_name)
+
+    cand_idx = base + tile_arg
+    cand_amp = jnp.take_along_axis(
+        a, tile_arg[None, :, None], axis=-1)[..., 0]          # [M, T]
+    big = jnp.int32(np.iinfo(np.int32).max)
+    flat_idx = jnp.where(winner, cand_idx, big)
+    flat_val = jnp.where(winner, tile_max, 0.0)
+    order = jnp.argsort(flat_idx)[:capacity]
+    sidx = flat_idx[order]
+    valid = sidx < big
+    return TriggerSet(
+        indices=jnp.where(valid, sidx, -1),
+        dchi2=jnp.where(valid, flat_val[order], 0.0),
+        amplitudes=jnp.where(valid[None, :], cand_amp[:, order], 0.0),
+        count=jnp.sum(valid.astype(jnp.int32)),
+        count_total=count_total,
+    )
+
+
 def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
                           threshold: float, pileup_window: int,
                           capacity: int, t_offset, axis_name: str,
@@ -593,7 +703,17 @@ def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     Indices are global int32 (traces < 2^31 samples). Winners are
     compacted per shard with ``capacity`` slots each.
+
+    Dispatch: tileable pileup windows (G ≥ 8, shard length divisible)
+    use the two-level tiled variant
+    (:func:`find_triggers_sharded_tiled`) — same carries, one fused
+    sample pass instead of three full doubling scans per shard.
     """
+    g = _tile_size(pileup_window)
+    if g >= 8 and (dchi2.shape[0] * dchi2.shape[1]) % g == 0:
+        return find_triggers_sharded_tiled(
+            dchi2, amps, threshold, pileup_window, capacity, t_offset,
+            axis_name, n_shards)
     dchi2, amps = _retile_rows(dchi2, amps)
     r, b = dchi2.shape
     col = jnp.arange(b, dtype=jnp.int32)[None, :]

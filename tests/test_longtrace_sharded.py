@@ -144,6 +144,35 @@ def test_boundary_group_single_winner(setup):
     assert len(in_comb) == 1, in_comb
 
 
+def test_tiny_window_flat_fallback(setup):
+    """Pileup windows < 7 samples can't tile (G would be < 8), so the
+    sharded finder falls back to the flat segmented-scan path — keep it
+    covered and shard-count-invariant."""
+    tmpl, psd, kernel, thr = setup
+    n_shards = 4
+    l_glob = 4 * 32768
+    rng = np.random.default_rng(7)
+    x, pos = _make_trace(tmpl, psd, l_glob, n_shards, rng)
+    window = 3
+
+    q = trig.of_fir(jnp.asarray(x[None, :]), kernel)
+    d, a = trig.delta_chi2(q, jnp.asarray(kernel.iw_matrix))
+    ref = trig.find_triggers_kernel(d, a, thr, window, 256)
+    ref_cnt = int(ref.count)
+
+    mesh = pmesh.make_mesh(n_shards)
+    fn = pmesh.sharded_longtrace_trigger(mesh, kernel, thr, window, 128)
+    xs = jax.device_put(
+        jnp.asarray(x[None, :]),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, pmesh.EVENTS_AXIS)))
+    idx, dv, av, cnt = fn(xs)
+    g_idx, g_d, _ = pmesh.merge_sharded_triggers(idx, dv, av)
+    np.testing.assert_array_equal(g_idx, np.asarray(ref.indices)[:ref_cnt])
+    np.testing.assert_allclose(g_d, np.asarray(ref.dchi2)[:ref_cnt],
+                               rtol=1e-8)
+
+
 def test_count_total_is_global(setup):
     tmpl, psd, kernel, thr = setup
     n_shards = 8
