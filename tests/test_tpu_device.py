@@ -140,6 +140,109 @@ def test_trigger_finds_injected_pulses_on_device():
     assert cnt <= len(inj) + 2
 
 
+def test_trigger_fused_tiled_on_device():
+    """Round-3 fast path on the real chip: Δχ² straight from q, tiled
+    merge, amplitudes reconstructed at the winners only — must agree
+    with the amps-materializing path bit-for-bit on indices."""
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, trigger as trig
+
+    nt, pre = 4096, 1024
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS, pre)
+    kernel = trig.make_trigger_kernel(bank)
+    thr = trig.chi2_threshold(6.0, 1)
+    iw = jnp.asarray(kernel.iw_matrix)
+
+    rng = np.random.default_rng(5)
+    l = 2**19
+    x = (rng.standard_normal((1, l)) * np.sqrt(psd[0] * FS)).astype(
+        np.float32)
+    inj = list(range(40_000, l - 40_000, 61_337))
+    for t0 in inj:
+        x[0, t0 - pre: t0 - pre + nt] += 3e-6 * tmpl
+
+    @jax.jit
+    def fused(x):
+        qb, _ = trig.of_fir_blocks(x, kernel)
+        d = trig.delta_chi2_from_q(qb, iw)
+        return trig.find_triggers_tiled(d, qb, thr, 125, 64,
+                                        amps_transform=iw)
+
+    @jax.jit
+    def materialized(x):
+        qb, _ = trig.of_fir_blocks(x, kernel)
+        d, a = trig.delta_chi2_blocks(qb, iw)
+        return trig.find_triggers_tiled(d, a, thr, 125, 64)
+
+    ts_f = fused(jnp.asarray(x))
+    ts_m = materialized(jnp.asarray(x))
+    cnt = int(np.asarray(ts_f.count))
+    assert cnt == int(np.asarray(ts_m.count))
+    np.testing.assert_array_equal(np.asarray(ts_f.indices)[:cnt],
+                                  np.asarray(ts_m.indices)[:cnt])
+    np.testing.assert_allclose(np.asarray(ts_f.amplitudes)[:, :cnt],
+                               np.asarray(ts_m.amplitudes)[:, :cnt],
+                               rtol=2e-5)
+    # every injection found; amplitudes near truth
+    idx = np.asarray(ts_f.indices)[:cnt]
+    amps = np.asarray(ts_f.amplitudes)[0, :cnt]
+    for t0 in inj:
+        k = int(np.argmin(np.abs(idx - t0)))
+        assert abs(int(idx[k]) - t0) <= 10, t0
+        # winner amplitude = unconstrained FIR value at the noisy argmax
+        # (biased high by selection) — 20% window, exact fit is the
+        # feature OF's job
+        assert abs(amps[k] - 3e-6) / 3e-6 < 0.2, (t0, amps[k])
+
+
+def test_residual_subtract_on_device():
+    """The fori_loop dynamic-slice residual subtraction runs on the real
+    chip and kills a clean trigger's Δχ² peak."""
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, trigger as trig
+
+    nt, pre = 4096, 1024
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS, pre)
+    kernel = trig.make_trigger_kernel(bank)
+    thr = trig.chi2_threshold(6.0, 1)
+    iw = jnp.asarray(kernel.iw_matrix)
+
+    rng = np.random.default_rng(6)
+    l = 2**18
+    x = (rng.standard_normal((1, l)) * np.sqrt(psd[0] * FS)).astype(
+        np.float32)
+    t0 = l // 2
+    x[0, t0 - pre: t0 - pre + nt] += 5e-6 * tmpl
+
+    @jax.jit
+    def step(x):
+        qb, _ = trig.of_fir_blocks(x, kernel)
+        d, a = trig.delta_chi2_blocks(qb, iw)
+        dflat = d.reshape(-1)[: x.shape[-1]]
+        ts = trig.find_triggers_kernel(
+            dflat, a.reshape(a.shape[0], -1)[:, : x.shape[-1]],
+            thr, 125, 16)
+        resid = trig.residual_subtract(dflat, ts, kernel)
+        return ts, dflat, resid
+
+    ts, dflat, resid = step(jnp.asarray(x))
+    cnt = int(np.asarray(ts.count))
+    assert cnt >= 1
+    # indices are sorted by position; pick the strongest trigger (a
+    # 22 sigma pulse also raises sidelobe triggers near the main cluster)
+    dv = np.asarray(ts.dchi2)[:cnt]
+    i0 = int(np.asarray(ts.indices)[:cnt][int(np.argmax(dv))])
+    assert abs(i0 - t0) <= 2
+    assert float(np.asarray(resid[i0])) < 0.02 * float(
+        np.asarray(dflat[i0]))
+
+
 def test_autocuts_while_loop_on_device():
     from detprocess_tpu.ops import autocuts
 
