@@ -107,6 +107,14 @@ def main(out_dir=None):
              for e, st in zip(df2["didv_fits"], df2["state"])
              if st == "transition" and "ssp_2poles" in e]
     print(f"transition loop gains: {np.round(loops, 1)} (true 10.0)")
+    # state-aware fits: SC/normal points get 1-pole fits whose dVdI(0)
+    # yields Rp/Rn, cross-checked against IBIS (warns on disagreement)
+    res = ana.get_ivsweep_results("chan1", "didv")
+    print(f"dIdV-fit Rp = {res['sc_didv_fit_rp']*1e3:.2f} ± "
+          f"{res['sc_didv_fit_rp_err']*1e3:.2f} mΩ; "
+          f"Rn = {res['normal_didv_fit_rn']*1e3:.1f} ± "
+          f"{res['normal_didv_fit_rn_err']*1e3:.1f} mΩ "
+          f"(IBIS cross-check passed if no WARNING above)")
     ana.set_ivsweep_data("chan1", out)
     ana.save_hdf5(os.path.join(out_dir, "sweep_results.h5"))
     print(f"results → {out_dir}/sweep_results.h5")
