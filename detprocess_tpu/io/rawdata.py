@@ -64,6 +64,15 @@ def series_to_number(series_name: str) -> int:
     return int(fac) * 10**14 + int(day) * 10**6 + int(tme)
 
 
+def series_number_to_name(series_num: int) -> str:
+    """Inverse of :func:`series_to_number` (pytesio's
+    extract_series_name accepts either form; core/rawdata.py:205)."""
+    series_num = int(series_num)
+    fac, daytime = divmod(series_num, 10**14)
+    day, tme = divmod(daytime, 10**6)
+    return f"I{fac}_D{day:08d}_T{tme:06d}"
+
+
 class RawWriter:
     """Write pytesdaq-format raw files (used for synthetic data, salting
     output and tests)."""
@@ -283,7 +292,8 @@ class RawReader:
     def read_single_event(self, event_index: int,
                           file_name: Optional[str] = None,
                           channels: Optional[Sequence[str]] = None,
-                          trace_window: Optional[tuple] = None):
+                          trace_window: Optional[tuple] = None,
+                          adctoamp: bool = True):
         """Random access; ``trace_window=(start, length)`` reads a truncated
         window (trigger-dataframe-driven mode,
         processing_data.py:555-705). The file handle is cached across
@@ -301,7 +311,8 @@ class RawReader:
             ds = self._event_dataset(self._ra_file, fname, event_index)
             self._ra_ds[event_index] = ds
         return self._read_event(self._ra_file, fname, event_index,
-                                channels, trace_window, ds=ds)
+                                channels, trace_window, ds=ds,
+                                adctoamp=adctoamp)
 
     def read_many_events(self, nevents: Optional[int] = None,
                          channels: Optional[Sequence[str]] = None):
@@ -320,7 +331,7 @@ class RawReader:
         return np.stack(out), admins
 
     def _read_event(self, f, fname, event_index, channels,
-                    trace_window=None, ds=None):
+                    trace_window=None, ds=None, adctoamp=True):
         # per-file attr values are cached — HDF5 attribute reads cost
         # ~0.1-0.3 ms each and trigger-driven windowed reads hit the
         # same file/event thousands of times in a row
@@ -369,7 +380,9 @@ class RawReader:
             arr = ds[:, start:start + int(length)]
         else:
             arr = ds[...]
-        traces = arr.astype(np.float64) * fc["conv"][:, None]
+        traces = arr.astype(np.float64)
+        if adctoamp:
+            traces = traces * fc["conv"][:, None]
         if channels is not None:
             idx = [fc["chan_list"].index(c) for c in channels]
             traces = traces[idx]
@@ -435,6 +448,119 @@ class RawData:
                 continue
             self._file_map.setdefault(dtype, {}).setdefault(
                 series, []).append(afile)
+
+    # -- group identity accessors (reference core/rawdata.py:83-132) ----
+    @property
+    def verbose(self) -> bool:
+        return getattr(self, "_verbose", True)
+
+    def get_group_name(self) -> str:
+        """Raw-data group = the scanned directory's base name."""
+        return os.path.basename(os.path.normpath(self.raw_path))
+
+    def get_base_path(self) -> str:
+        return os.path.dirname(os.path.normpath(self.raw_path))
+
+    def get_facility(self) -> Optional[int]:
+        """Facility number from the first series name ('I{fac}_...')."""
+        for dtype_map in self._file_map.values():
+            for series in dtype_map:
+                m = SERIES_RE.search(series)
+                if m:
+                    return int(m.group(1))
+        return None
+
+    def describe(self):
+        """Print the group layout (core/rawdata.py:83-103)."""
+        print(f"Raw data group: {self.get_group_name()}")
+        print(f"Base path: {self.get_base_path()}")
+        print("Number of series:")
+        for dtype, series_map in sorted(self._file_map.items()):
+            if not series_map:
+                continue
+            label = ("restricted " if self.restricted else "") + dtype
+            print(f" - {label} data: {len(series_map)} series")
+
+    def get_data_config(self, data_type: Optional[str] = None,
+                        series: Optional[str] = None) -> dict:
+        """Per-series metadata map {series: {'channel_list', 'overall',
+        'detector_config'}} (core/rawdata.py:173-184)."""
+        out = {}
+        for ser, files in self.get_data_files(data_type, series).items():
+            if not files:
+                continue
+            md = RawReader(files[0]).get_metadata()
+            out[ser] = {
+                "channel_list": list(md.get("channel_list", [])),
+                "detector_config": md.get("detector_config", {}),
+                "overall": {k: v for k, v in md.items()
+                            if k not in ("detector_config",)},
+            }
+        return out
+
+    def get_available_channels(self, data_type: Optional[str] = None,
+                               series: Optional[str] = None) -> List[str]:
+        """Channel list of the first available series
+        (core/rawdata.py:134-151)."""
+        for cfg in self.get_data_config(data_type, series).values():
+            return list(cfg["channel_list"])
+        return []
+
+    def get_sample_rate(self, data_type: Optional[str] = None,
+                        series: Optional[str] = None) -> float:
+        """Sample rate of the first available series
+        (core/rawdata.py:153-171)."""
+        for cfg in self.get_data_config(data_type, series).values():
+            return float(cfg["overall"]["sample_rate"])
+        return float("nan")
+
+    def get_traces(self, series_nums, event_nums, channels=None,
+                   adctoamp: bool = True, include_metadata: bool = False):
+        """Read specific events from specific series → [nevents, C, N]
+        (core/rawdata.py:186-259). ``series_nums`` accepts numbers or
+        'I.._D.._T..' names; events are resolved by their event_num
+        attribute across each series' dumps."""
+        if not isinstance(series_nums, (list, tuple, np.ndarray)):
+            series_nums = [series_nums]
+        if not isinstance(event_nums, (list, tuple, np.ndarray)):
+            event_nums = [event_nums]
+        if len(series_nums) == 1 and len(event_nums) > 1:
+            series_nums = list(series_nums) * len(event_nums)
+        if len(series_nums) != len(event_nums):
+            raise ValueError("series_nums and event_nums must align")
+        readers: Dict[str, RawReader] = {}
+        traces, admins = [], []
+        for ser, ev in zip(series_nums, event_nums):
+            name = (ser if isinstance(ser, str)
+                    else series_number_to_name(ser))
+            reader = readers.get(name)
+            if reader is None:
+                files = []
+                for dtype_map in self._file_map.values():
+                    files.extend(dtype_map.get(name, []))
+                if not files:
+                    raise KeyError(f"series {name} not in this group")
+                reader = RawReader(sorted(files))
+                readers[name] = reader
+            ev = int(ev)
+            tr = admin = None
+            for fname in reader.files:
+                try:
+                    tr, admin = reader.read_single_event(
+                        ev, fname, channels=channels, adctoamp=adctoamp)
+                    break
+                except KeyError:
+                    continue
+            if tr is None:
+                raise KeyError(f"event_num {ev} not found in series {name}")
+            traces.append(tr)
+            admins.append(admin)
+        for reader in readers.values():
+            reader.close()
+        stacked = np.stack(traces) if traces else np.zeros((0, 0, 0))
+        if include_metadata:
+            return stacked, admins
+        return stacked
 
     def get_series_list(self, data_type: Optional[str] = None) -> List[str]:
         dtype = data_type or self.data_type

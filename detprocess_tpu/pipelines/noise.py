@@ -42,11 +42,37 @@ class Noise(FilterData):
         self._randoms_df: Optional[pd.DataFrame] = None
         self._traces: Optional[np.ndarray] = None
         self._trace_channels = None
+        self._offset: dict = {}
+        self._fs: Optional[float] = None
 
     # ------------------------------------------------------------------
     def set_randoms(self, randoms_df: pd.DataFrame):
         """Use an existing randoms dataframe (core/noise.py:91)."""
         self._randoms_df = randoms_df
+
+    def clear_randoms(self):
+        """Drop randoms + derived per-channel state, keep the filter-data
+        store (core/noise.py:74-89)."""
+        self._randoms_df = None
+        self._traces = None
+        self._trace_channels = None
+        self._offset = {}
+        self._fs = None
+
+    def get_sample_rate(self) -> Optional[float]:
+        """Sample rate in Hz; needs calc_psd/calc_csd first
+        (core/noise.py:50-56)."""
+        return self._fs
+
+    def get_offset(self, channel: str) -> Optional[float]:
+        """Per-channel DC offset computed during calc_psd — the average
+        over kept randoms of each trace's median (core/noise.py:59-72,
+        :349). None (with a warning) before calc_psd."""
+        if channel not in self._offset:
+            print(f"WARNING: No offset available for channel {channel}. "
+                  "You need to calculate psd first! Returning None.")
+            return None
+        return self._offset[channel]
 
     def generate_randoms(self, random_rate: Optional[float] = None,
                          nrandoms: Optional[int] = None,
@@ -122,6 +148,11 @@ class Noise(FilterData):
                     "downstream OF weight; loosen the cut or inspect the "
                     "data")
             kept = tr[jnp.asarray(np.where(mask)[0])]
+            # per-channel DC offset: average over kept randoms of the
+            # per-trace median (core/noise.py:349)
+            self._offset[chan] = float(
+                np.average(np.median(tr_np[mask], axis=-1)))
+            self._fs = fs
             psd = np.asarray(spectral.welch_psd(kept, fs, window=window))
             self.set_psd(chan, psd, fs, tag=tag, metadata={
                 "nb_randoms": int(mask.sum()),
@@ -156,6 +187,7 @@ class Noise(FilterData):
                 f"autocuts rejected all {len(mask)} randoms for CSD "
                 f"estimation (nsigma_cut={nsigma_cut})")
         kept = tr[jnp.asarray(np.where(mask)[0])]
+        self._fs = fs
         csd_dev = spectral.welch_csd(kept, fs, window=window)
         # complex device→host transfers are unsupported on the TPU
         # backend; pull re/im separately

@@ -82,6 +82,35 @@ def find_linear_segment(x, y, tolerance: float = 0.05) -> List[int]:
     return index_list
 
 
+def build_range_str(data_list) -> str:
+    """Inverse of :func:`hyphen_range`: compress a list of integers into
+    an underscore-joined run string, e.g. [1,2,3,5] -> '1-3_5'
+    (detprocess/utils/arg_utils.py:6-23 — used to build compact series
+    labels for merged-output file names)."""
+    data_list = sorted(int(v) for v in data_list)
+    runs: List[List[int]] = []
+    for val in data_list:
+        if runs and val == runs[-1][-1] + 1:
+            runs[-1].append(val)
+        else:
+            runs.append([val])
+    return "_".join(f"{r[0]}-{r[-1]}" if len(r) > 1 else str(r[0])
+                    for r in runs)
+
+
+def twopole(t, rtau, ftau, amp0, t0):
+    """Two-pole pulse shape clipped at zero
+    (detprocess/utils/utils.py:780-786): amp0·(e^-(t-t0)/ftau −
+    e^-(t-t0)/rtau), negative values (t < t0) zeroed. The fall time is
+    error-trapped to stay strictly above the rise time BEFORE the pulse
+    is evaluated (the reference adjusts it after, which has no effect)."""
+    t = np.asarray(t, dtype=float)
+    if ftau <= rtau:
+        ftau = rtau * 1.001
+    pulse = amp0 * (np.exp(-(t - t0) / ftau) - np.exp(-(t - t0) / rtau))
+    return np.where(pulse > 0, pulse, 0.0)
+
+
 def hyphen_range(s: str) -> List[int]:
     """Expand '1-3,5' -> [1, 2, 3, 5] (detprocess/utils/arg_utils.py:26)."""
     out: List[int] = []
