@@ -185,8 +185,15 @@ class IVSweepAnalysis(FilterData):
         self._sweep_df: Dict[str, pd.DataFrame] = {}
         self._ibis: Dict[str, ivbias.IBISResult] = {}
         self._rsh: Dict[str, float] = {}
+        self._rsh_err: Dict[str, float] = {}
+        self._rp_user: Dict[str, float] = {}
+        self._rp_user_err: Dict[str, float] = {}
         self._nnorm: Dict[str, int] = {}
         self._nsc: Dict[str, int] = {}
+        self._tbath: Optional[float] = None
+        self._tload_guess: Optional[float] = None
+        self._tc: Dict[str, float] = {}
+        self._gta: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
     def set_data_from_dataframe(self, channel: str, df: pd.DataFrame,
@@ -225,11 +232,219 @@ class IVSweepAnalysis(FilterData):
         self._nnorm[channel] = nnorm
         self._nsc[channel] = nsc
 
+    def set_data_from_dict(self, data_dict: Dict[str, pd.DataFrame],
+                           rsh: float = 5e-3):
+        """Set sweep data from {channel: dataframe} (ivsweep.py:192-212)."""
+        for chan, df in data_dict.items():
+            if not isinstance(df, pd.DataFrame):
+                raise ValueError(
+                    "ERROR: Unrecognized format. Dictionary item should "
+                    "be a pandas dataframe!")
+            self.set_data_from_dataframe(chan, df, rsh=rsh)
+        return self
+
+    def clear(self, channels=None):
+        """Drop analysis state (and stored filter data) for some or all
+        channels (ivsweep.py:93-104)."""
+        if channels is None:
+            self._sweep_df = {}
+            self._ibis = {}
+            self._nnorm = {}
+            self._nsc = {}
+        else:
+            if isinstance(channels, str):
+                channels = [channels]
+            for chan in channels:
+                for store in (self._sweep_df, self._ibis, self._nnorm,
+                              self._nsc):
+                    store.pop(chan, None)
+        self.clear_data(channels)
+
+    @staticmethod
+    def _broadcast_per_channel(channels, name, val):
+        """Reference list-broadcast semantics (ivsweep.py:254-276): a
+        scalar applies to every channel; a list must match in length."""
+        if val is None:
+            return [None] * len(channels)
+        if isinstance(val, (int, float)):
+            val = [val]
+        if len(val) == 1:
+            val = list(val) * len(channels)
+        if len(val) != len(channels):
+            raise ValueError(
+                f'ERROR: "{name}" list should have length = # channels')
+        return list(val)
+
+    def set_rshunt(self, channels, rshunt=None, rshunt_err=None):
+        """Set Rshunt (and error) when absent from the raw data
+        (ivsweep.py:243-283)."""
+        if isinstance(channels, str):
+            channels = [channels]
+        rshunt = self._broadcast_per_channel(channels, "rshunt", rshunt)
+        rshunt_err = self._broadcast_per_channel(channels, "rshunt_err",
+                                                 rshunt_err)
+        for chan, val, err in zip(channels, rshunt, rshunt_err):
+            if val is not None:
+                self._rsh[chan] = float(val)
+            if err is not None:
+                self._rsh_err[chan] = float(err)
+        return self
+
+    def set_rp(self, channels, rp=None, rp_err=None):
+        """Set Rp directly for channels with no SC points
+        (ivsweep.py:285-331); used as the analyze_sweep default."""
+        if isinstance(channels, str):
+            channels = [channels]
+        rp = self._broadcast_per_channel(channels, "rp", rp)
+        rp_err = self._broadcast_per_channel(channels, "rp_err", rp_err)
+        for chan, val, err in zip(channels, rp, rp_err):
+            if val is not None:
+                self._rp_user[chan] = float(val)
+            if err is not None:
+                self._rp_user_err[chan] = float(err)
+        return self
+
+    def set_tbath(self, tbath: float):
+        """Bath temperature default for analyze_noise (ivsweep.py:1200)."""
+        self._tbath = float(tbath)
+
+    def set_tload_guess(self, tload: float):
+        """Load-temperature seed for analyze_noise (ivsweep.py:1207)."""
+        self._tload_guess = float(tload)
+
+    def set_tc(self, channel: str, tc: float):
+        """Per-channel Tc default for analyze_noise (ivsweep.py:1215)."""
+        self._tc[channel] = float(tc)
+
+    def set_gta(self, channel: str, gta: float):
+        """Per-channel TES-bath thermal conductance (ivsweep.py:1223)."""
+        self._gta[channel] = float(gta)
+
+    # -- reference-style result accessors ------------------------------
+    def get_didv_objects(self, channel: str):
+        """{tes_bias: per-point fit dict} for every sweep point that was
+        dIdV-fitted (ivsweep.py:107-117; values are this package's fit
+        result dicts, the native replacement for DIDVAnalysis objects)."""
+        if channel not in self._sweep_df:
+            return None
+        df = self._sweep_df[channel]
+        if "didv_fits" not in df.columns:
+            return None
+        out = {}
+        for _, row in df.iterrows():
+            fits = row.get("didv_fits")
+            if isinstance(fits, dict) and fits:
+                out[float(row["tes_bias"])] = fits
+        return out or None
+
+    def get_ibis_qetpy_object(self, channel: str):
+        """The sweep-analysis result object (ivsweep.py:119-127). The
+        native :class:`~detprocess_tpu.models.ivbias.IBISResult` replaces
+        qetpy's IBIS object (fields: rn/rp/ioffset + errors, per-point
+        i0/r0/p0)."""
+        return self._ibis.get(channel)
+
+    def get_didv_summary(self, channel: str, tag: str = "default"):
+        """Summary dict of the state-aware dIdV fits
+        (ivsweep.py:129-137): the stored ivsweep_results 'didv'
+        measurement (sc_didv_fit_rp, normal_didv_fit_rn, L medians...)."""
+        try:
+            return self.get_ivsweep_results(channel, "didv", tag=tag)
+        except (KeyError, ValueError):
+            return None
+
+    def get_resolution_data(self, channel: str):
+        """Per-bias-point energy-resolution table
+        (ivsweep.py:139-146): {tes_bias: sigma_E} from
+        calc_energy_resolution."""
+        if channel not in self._sweep_df:
+            return None
+        df = self._sweep_df[channel]
+        if "energy_resolution" not in df.columns:
+            return None
+        out = {float(b): float(s)
+               for b, s in zip(df["tes_bias"], df["energy_resolution"])
+               if np.isfinite(s)}
+        return out or None
+
+    # -- state-filtered fit drivers (ivsweep.py:829-928) ----------------
+    def fit_didv_sc(self, channels=None, percent_rn_max: float = 0.05,
+                    nb_points_max: int = 4, tag: str = "default",
+                    **kwargs):
+        """1-pole fits on the SC points only → Rp cross-check."""
+        for chan in self._fit_channels(channels):
+            self.analyze_didv(chan, tag=tag, enable_normal=False,
+                              enable_transition=False,
+                              sc_percent_rn_max=percent_rn_max,
+                              nb_points_sc_max=nb_points_max, **kwargs)
+        return self
+
+    def fit_didv_normal(self, channels=None, percent_rn_min: float = 99.8,
+                        nb_points_max: int = 4, tag: str = "default",
+                        **kwargs):
+        """1-pole fits on the normal points only → Rn cross-check."""
+        for chan in self._fit_channels(channels):
+            self.analyze_didv(chan, tag=tag, enable_sc=False,
+                              enable_transition=False,
+                              normal_percent_rn_min=percent_rn_min,
+                              nb_points_normal_max=nb_points_max, **kwargs)
+        return self
+
+    def fit_didv_transition(self, channels=None,
+                            percent_rn_min: float = 5.0,
+                            percent_rn_max: float = 70.0,
+                            poles=(2, 3), tag: str = "default", **kwargs):
+        """2/3-pole fits + small-signal params on the transition points."""
+        for chan in self._fit_channels(channels):
+            self.analyze_didv(chan, poles=poles, tag=tag,
+                              enable_sc=False, enable_normal=False,
+                              transition_percent_rn_min=percent_rn_min,
+                              transition_percent_rn_max=percent_rn_max,
+                              **kwargs)
+        return self
+
+    def _fit_channels(self, channels):
+        if channels is None:
+            return list(self._sweep_df.keys())
+        return [channels] if isinstance(channels, str) else list(channels)
+
+    def plot_didv_summary(self, channel: str, poles: int = 3,
+                          save_path: Optional[str] = None):
+        """Small-signal parameters vs percent Rn across the transition
+        points (ivsweep.py:929-1037)."""
+        import matplotlib.pyplot as plt
+
+        df = self._sweep_df[channel]
+        cols = [f"didv_{poles}poles_{k}" for k in ("l", "beta", "tau0")]
+        have = [c for c in cols if c in df.columns]
+        if not have:
+            print(f"ERROR: No dIdV analysis done for {channel}")
+            return None
+        fig, axes = plt.subplots(len(have), 1, sharex=True,
+                                 figsize=(6, 2.2 * len(have)))
+        if len(have) == 1:
+            axes = [axes]
+        x = df.get("percent_rn", df["tes_bias"])
+        for ax, col in zip(axes, have):
+            err = df.get(col + "_err")
+            ax.errorbar(x, df[col], yerr=err, fmt="o", ms=4)
+            ax.set_ylabel(col.split("_")[-1])
+            ax.grid(alpha=0.3)
+        axes[-1].set_xlabel("percent Rn" if "percent_rn" in df.columns
+                            else "TES bias [A]")
+        fig.suptitle(f"{channel} {poles}-pole dIdV summary")
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path, dpi=120)
+        return fig
+
     # ------------------------------------------------------------------
     def analyze_sweep(self, channel: str, offset_key: str = "offset_noise",
                       rp: Optional[float] = None,
                       tag: str = "default") -> pd.DataFrame:
         """IBIS bias analysis over the sweep (ivsweep.py:401-757)."""
+        if rp is None:
+            rp = self._rp_user.get(channel)
         df = self._sweep_df[channel].copy()
         df = df.sort_values("tes_bias", key=np.abs, ascending=False,
                             ignore_index=True)
@@ -367,10 +582,24 @@ class IVSweepAnalysis(FilterData):
             trans_idx.append(i)
 
         df = df.copy()
-        fits_col: List[dict] = [{} for _ in range(len(df))]
+        # seed from existing fits so partial (state-filtered) runs
+        # accumulate rather than clobber the per-point fit dicts
+        if "didv_fits" in df.columns:
+            fits_col = [dict(v) if isinstance(v, dict) else {}
+                        for v in df["didv_fits"]]
+        else:
+            fits_col = [{} for _ in range(len(df))]
         pos = {idx: k for k, idx in enumerate(df.index)}
         poles_list = [poles] if isinstance(poles, int) else list(poles)
-        results_didv: dict = {"rshunt": rsh, "rp": rp_iv}
+        # merge into previously stored results so the state-filtered
+        # drivers (fit_didv_sc / fit_didv_normal / fit_didv_transition)
+        # accumulate instead of clobbering each other
+        try:
+            results_didv = dict(self.get_ivsweep_results(
+                channel, "didv", tag=tag) or {})
+        except (KeyError, ValueError):
+            results_didv = {}
+        results_didv.update({"rshunt": rsh, "rp": rp_iv})
         if ibis is not None:
             results_didv.update({"rn": ibis.rn, "rn_err": ibis.rn_err,
                                  "rp_err": ibis.rp_err})
@@ -465,8 +694,9 @@ class IVSweepAnalysis(FilterData):
         self.set_ivsweep_data(channel, df, tag=tag)
         return df
 
-    def analyze_noise(self, channel: str, tc: float, tbath: float,
-                      tload_guess: float = 0.03,
+    def analyze_noise(self, channel: str, tc: Optional[float] = None,
+                      tbath: Optional[float] = None,
+                      tload_guess: Optional[float] = None,
                       poles: int = 2) -> dict:
         """Noise model across the sweep (ivsweep.py:1231-1599): SQUID+
         electronics noise averaged over the normal points, Tload from the
@@ -478,6 +708,18 @@ class IVSweepAnalysis(FilterData):
         and stores a "noise_budget" column in the sweep dataframe.
         """
         from detprocess_tpu.pipelines.noisemodel import NoiseModel
+
+        # stored defaults (set_tc/set_tbath/set_tload_guess,
+        # ivsweep.py:1200-1230)
+        tc = self._tc.get(channel) if tc is None else tc
+        tbath = self._tbath if tbath is None else tbath
+        if tload_guess is None:
+            tload_guess = (self._tload_guess
+                           if self._tload_guess is not None else 0.03)
+        if tc is None or tbath is None:
+            raise ValueError(
+                f'tc/tbath required for channel {channel} — pass them or '
+                'call set_tc/set_tbath first')
 
         df = self._sweep_df[channel]
         if "didv_fits" not in df.columns:
@@ -538,6 +780,7 @@ class IVSweepAnalysis(FilterData):
                  "rshunt": self._rsh[channel], "rp": ibis.rp,
                  "p0": row["p0"]},
                 tc, tbath, tload=tload,
+                gta=self._gta.get(channel),
                 squiddc=(float(np.median(squid[freqs != 0]))
                          if squid is not None else None),
                 psd_measured=row["psd"][pos])

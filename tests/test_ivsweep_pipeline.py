@@ -312,3 +312,88 @@ def test_ibis_errors_finite_on_sc_branch():
                                imeas_err=np.full(len(imeas), 5e-10))
     assert res2.rp == rp and res2.rp_err == 0.0
     assert np.all(np.isfinite(res2.r0_err))
+
+
+def test_reference_accessor_surface(processed, sweep):
+    """Reference-parity accessors (ivsweep.py:93-146, :192-331,
+    :829-928, :1200-1230): dict setters, per-channel readout params,
+    state-filtered fit drivers, and result getters."""
+    from detprocess_tpu.models import pulse
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    # dict-based data entry + rshunt/rp setters with list broadcast
+    ana.set_data_from_dict({"chan1": df}, rsh=1e-3)
+    ana.set_rshunt(["chan1"], rshunt=RSH, rshunt_err=1e-4)
+    assert ana._rsh["chan1"] == RSH
+    with pytest.raises(ValueError):
+        ana.set_rshunt(["chan1"], rshunt=[1e-3, 2e-3])
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=3)
+    ana.analyze_sweep("chan1")
+
+    # state-filtered drivers populate the same summary as analyze_didv
+    ana.fit_didv_sc("chan1")
+    ana.fit_didv_normal("chan1")
+    ana.fit_didv_transition("chan1", poles=2)
+    summary = ana.get_didv_summary("chan1")
+    assert summary is not None
+    np.testing.assert_allclose(summary["sc_didv_fit_rp"], RP, rtol=0.15)
+    np.testing.assert_allclose(summary["normal_didv_fit_rn"], RN,
+                               rtol=0.15)
+
+    # result-object getters
+    objs = ana.get_didv_objects("chan1")
+    assert objs and all(isinstance(v, dict) for v in objs.values())
+    ibis = ana.get_ibis_qetpy_object("chan1")
+    assert ibis is not None and abs(ibis.rn - RN) / RN < 0.05
+    assert ana.get_ibis_qetpy_object("nope") is None
+
+    # stored tc/tbath/tload defaults drive analyze_noise
+    ana.set_tc("chan1", TC)
+    ana.set_tbath(TBATH)
+    ana.set_tload_guess(TLOAD)
+    out = ana.analyze_noise("chan1", poles=2)
+    assert len(out["budgets"]) >= 3
+    with pytest.raises(ValueError):
+        IVSweepAnalysis(verbose=False).analyze_noise("chan1")
+
+    # resolution data getter
+    tmpl = pulse.make_template(FS, 8192, 4096, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    ana.calc_energy_resolution("chan1", tmpl, FS, poles=2)
+    res = ana.get_resolution_data("chan1")
+    assert res and all(s > 0 for s in res.values())
+
+    # clear drops analysis state and stored filter data
+    ana.clear("chan1")
+    assert "chan1" not in ana._sweep_df
+    assert ana.get_didv_summary("chan1") is None
+
+
+def test_set_rp_used_as_analyze_sweep_default(processed):
+    """set_rp (ivsweep.py:285-331) feeds analyze_sweep when the sweep has
+    no usable SC points."""
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    # drop the SC points entirely: rp must come from set_rp
+    no_sc = df[df["state"] != "sc"].reset_index(drop=True)
+    ana.set_data_from_dataframe("chan1", no_sc, rsh=RSH)
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=0)
+    ana.set_rp("chan1", rp=RP, rp_err=1e-4)
+    ana.analyze_sweep("chan1")
+    ibis = ana.get_ibis("chan1")
+    np.testing.assert_allclose(ibis.rp, RP, rtol=1e-6)
+
+
+def test_plot_didv_summary_smoke(processed, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    proc, df = processed
+    ana = IVSweepAnalysis(verbose=False)
+    ana.set_data_from_dataframe("chan1", df, rsh=RSH)
+    ana.set_nb_sc_normal_points("chan1", nnorm=3, nsc=3)
+    ana.analyze_sweep("chan1")
+    ana.analyze_didv("chan1", poles=2)
+    fig = ana.plot_didv_summary("chan1", poles=2,
+                                save_path=str(tmp_path / "didv.png"))
+    assert fig is not None
+    assert (tmp_path / "didv.png").exists()
