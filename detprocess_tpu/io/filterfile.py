@@ -480,20 +480,43 @@ class FilterData:
             FilterData._write_array(g, "values", value)
         elif isinstance(value, dict):
             g.attrs["__type__"] = "dict"
-            vg = g.create_group("values")
-            for k, v in value.items():
-                if isinstance(v, (np.ndarray, list)):
-                    FilterData._write_array(vg, str(k), np.asarray(v))
-                elif v is None:
-                    continue
-                else:
-                    try:
-                        vg.attrs[str(k)] = v
-                    except TypeError:
-                        vg.attrs[str(k)] = str(v)
+            FilterData._write_dict(g.create_group("values"), value)
         else:
             g.attrs["__type__"] = "scalar"
             g.attrs["value"] = value
+
+    @staticmethod
+    def _write_dict(vg: h5py.Group, value: dict):
+        """Dict payloads: scalars as attrs, arrays as datasets, nested
+        dicts (e.g. didv_results['smallsignalparams']) as __subdict__
+        groups so they roundtrip as real dicts."""
+        for k, v in value.items():
+            if isinstance(v, dict):
+                sub = vg.create_group(str(k))
+                sub.attrs["__subdict__"] = True
+                FilterData._write_dict(sub, v)
+            elif isinstance(v, (np.ndarray, list)):
+                FilterData._write_array(vg, str(k), np.asarray(v))
+            elif v is None:
+                continue
+            else:
+                try:
+                    vg.attrs[str(k)] = v
+                except TypeError:
+                    vg.attrs[str(k)] = str(v)
+
+    @staticmethod
+    def _read_dict(vg: h5py.Group) -> dict:
+        out = dict(vg.attrs)
+        out.pop("__subdict__", None)
+        for k in vg:
+            node = vg[k]
+            if (isinstance(node, h5py.Group)
+                    and node.attrs.get("__subdict__")):
+                out[k] = FilterData._read_dict(node)
+            else:
+                out[k] = FilterData._read_array(node)
+        return out
 
     @staticmethod
     def _write_array(parent, name, arr: np.ndarray):
@@ -542,10 +565,7 @@ class FilterData:
         if kind == "array":
             return FilterData._read_array(g["values"])
         if kind == "dict":
-            out = dict(g["values"].attrs)
-            for k in g["values"]:
-                out[k] = FilterData._read_array(g["values"][k])
-            return out
+            return FilterData._read_dict(g["values"])
         if kind == "scalar":
             return g.attrs["value"]
         raise ValueError(f"unknown stored type: {kind}")

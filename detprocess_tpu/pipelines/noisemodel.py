@@ -81,6 +81,221 @@ class NoiseModel(FilterData):
         super().__init__(verbose=verbose)
         self._squid: Dict[str, np.ndarray] = {}
         self._tload: Dict[str, float] = {}
+        # reference-style nested store: {channel: {state: {...},
+        # 'sim': {state: budget arrays}, 'smallsignalparams', 'biasparams'}}
+        self._noise_data: Dict[str, dict] = {}
+        self._tbath: Optional[float] = None
+        self._tload_guess: Optional[float] = None
+        self._tc: Dict[str, float] = {}
+        self._gta: Dict[str, float] = {}
+        self._inductance: Dict[str, dict] = {}
+        self._poles: Optional[int] = None
+
+    # -- reference-parity setters (noisemodel.py:50-360) ----------------
+    def set_tbath(self, tbath: float):
+        """Bath temperature default (noisemodel.py:210)."""
+        self._tbath = float(tbath)
+
+    def set_tload_guess(self, tload: float):
+        """Load-temperature seed (noisemodel.py:217)."""
+        self._tload_guess = float(tload)
+
+    def set_tc(self, channel: str, tc: float):
+        """Per-channel Tc default (noisemodel.py:225)."""
+        self._tc[channel] = float(tc)
+
+    def set_gta(self, channel: str, gta: float):
+        """Per-channel TES-bath conductance override (noisemodel.py:233)."""
+        self._gta[channel] = float(gta)
+
+    def set_inductance(self, channel: str, L: float, state: str):
+        """Record the loop inductance measured in the normal/SC state
+        (noisemodel.py:196-208)."""
+        if state not in ("normal", "sc"):
+            raise ValueError(
+                'ERROR: "state" argument should be "normal" or "sc"!')
+        self._inductance.setdefault(channel, {})[state] = float(L)
+
+    def set_psd(self, channel, psd, psd_freqs=None, state=None, **kwargs):
+        """Two signatures: the FilterData store form
+        ``set_psd(channels, psd, sample_rate, tag=...)`` (state=None),
+        and the reference NoiseModel form
+        ``set_psd(channel, psd, psd_freqs, state)`` (noisemodel.py:262-283)
+        which files the two-sided PSD under the channel's normal/sc/
+        transition slot for the noise fits."""
+        if state is None:
+            return super().set_psd(channel, psd, psd_freqs, **kwargs)
+        if state not in ("normal", "sc", "transition"):
+            raise ValueError('ERROR: "state" argument should be "normal", '
+                             '"sc", or "transition"')
+        psd_freqs = np.asarray(psd_freqs)
+        if not np.any(psd_freqs < 0):
+            raise ValueError("ERROR: Two-sided PSD needs to be provided, "
+                             "not folded PSD!")
+        slot = self._noise_data.setdefault(channel, {}).setdefault(
+            state, {})
+        slot["psd"] = np.asarray(psd)
+        slot["psd_freqs"] = psd_freqs
+
+    def set_psd_from_file(self, file_name: str):
+        """Load PSDs from a filter HDF5 file whose tags name the TES
+        state (``psd_normal`` / ``psd_sc`` / ``psd_transition``) and file
+        them into the noise-data slots (reference stub at
+        noisemodel.py:241-249; here implemented against this package's
+        tagged PSD store)."""
+        self.load_hdf5(file_name)
+        found = 0
+        for chan in list(self._filter_data):
+            for state in ("normal", "sc", "transition"):
+                try:
+                    psd = self._get(chan, f"psd_{state}")
+                except (KeyError, ValueError):
+                    continue
+                md = (self._filter_data[chan].get(f"psd_{state}_metadata")
+                      or {})
+                fs = float(md.get("sample_rate", 0.0))
+                if not fs:
+                    continue
+                freqs = np.fft.fftfreq(len(np.asarray(psd)), d=1.0 / fs)
+                self.set_psd(chan, np.asarray(psd), freqs, state)
+                found += 1
+        if not found:
+            raise ValueError(
+                f"no state-tagged PSDs (psd_normal/psd_sc/psd_transition) "
+                f"found in {file_name} — store them with "
+                "set_psd(channel, psd, sample_rate, tag=state) first")
+        return self
+
+    def set_normal_fit_results(self, channel: str, squiddc=None,
+                               squidpole=None, squidn=None):
+        """Record externally obtained normal-fit SQUID parameters
+        (noisemodel.py:285-311)."""
+        if squiddc is None or squidpole is None or squidn is None:
+            raise ValueError('ERROR: "squiddc", "squidpole", and '
+                             '"squidn" are required!')
+        self._noise_data.setdefault(channel, {}).setdefault(
+            "normal", {})["fit"] = {
+                "squiddc": float(squiddc), "squidpole": float(squidpole),
+                "squidn": float(squidn)}
+
+    def set_sc_fit_results(self, channel: str, tload=None):
+        """Record an externally obtained SC-fit Tload
+        (noisemodel.py:313-330)."""
+        if tload is None:
+            raise ValueError('ERROR: "tload" is required!')
+        self._noise_data.setdefault(channel, {}).setdefault(
+            "sc", {})["fit"] = {"tload": float(tload)}
+        self._tload[channel] = float(tload)
+
+    def set_squid_noise(self, channel: str, squid_noise, squid_noise_freqs):
+        """Record an externally measured SQUID noise PSD [A²/Hz]
+        (noisemodel.py:332-357); also used as the squiddc default in
+        analyze_noise (which keeps amplitudes [A/√Hz] internally, hence
+        the sqrt at this boundary)."""
+        sim = self._noise_data.setdefault(channel, {}).setdefault(
+            "sim", {"normal": {}, "sc": {}, "transition": {}})
+        sim["normal"]["s_isquid"] = np.asarray(squid_noise)
+        sim["normal"]["freqs"] = np.asarray(squid_noise_freqs)
+        self._squid[channel] = np.sqrt(np.asarray(squid_noise))
+
+    def set_iv_didv_results_from_dict(self, channel: str,
+                                      didv_results: Optional[dict] = None,
+                                      poles: int = 2,
+                                      ivsweep_results: Optional[dict] = None):
+        """File dIdV small-signal params and IV-sweep bias params for a
+        channel (noisemodel.py:96-194)."""
+        data = self._noise_data.setdefault(channel, {})
+        self._poles = poles
+        if didv_results is not None:
+            if poles is None:
+                raise ValueError("ERROR: dIdV poles (2 or 3) required!")
+            self.set_didv_results(channel, didv_results, poles=poles,
+                                  metadata=didv_results.get("metadata"))
+            if "smallsignalparams" not in didv_results:
+                raise ValueError(
+                    f'ERROR: dIdV fit results do not contain '
+                    f'"smallsignalparams" for channel {channel}!')
+            data["smallsignalparams"] = dict(
+                didv_results["smallsignalparams"])
+            if didv_results.get("biasparams") is not None:
+                data["biasparams"] = dict(didv_results["biasparams"])
+        if ivsweep_results is not None:
+            self.set_ivsweep_results(channel, ivsweep_results, "noise")
+            bias = data.setdefault("biasparams", {})
+            for key in ("rn", "rp", "rshunt"):
+                if key in ivsweep_results and key not in bias:
+                    bias[key] = ivsweep_results[key]
+            bias.update({k: v for k, v in ivsweep_results.items()
+                         if k not in bias})
+            for state, key in (("normal", "normal_didv_fit_L"),
+                               ("sc", "sc_didv_fit_L")):
+                if key in ivsweep_results:
+                    self.set_inductance(channel, ivsweep_results[key],
+                                        state)
+        if "rn" not in data.get("biasparams", {}):
+            raise ValueError(
+                f'ERROR: No Rn found for channel {channel}! Add "rn" '
+                'key/value in "ivsweep_results" argument.')
+
+    def set_iv_didv_results_from_file(self, file_name: str, poles: int = 2,
+                                      channels=None):
+        """Load dIdV/IV-sweep results from a filter HDF5 file
+        (noisemodel.py:50-94)."""
+        self.load_hdf5(file_name)
+        if channels is None:
+            channels = list(self._filter_data.keys())
+            if not channels:
+                raise ValueError(f"ERROR: No data loaded... "
+                                 f"Check file {file_name}")
+        elif isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            if chan not in self._filter_data:
+                raise ValueError(f"ERROR: No data loaded for channel "
+                                 f"{chan}. Check file {file_name}!")
+            didv_results = None
+            try:
+                didv_results = self.get_didv_results(chan, poles=poles)
+            except (KeyError, ValueError):
+                print(f"WARNING: No {poles}-poles dIdV results found "
+                      f"for channel {chan}!")
+            ivsweep_results = None
+            try:
+                ivsweep_results = self.get_ivsweep_results(chan, "noise")
+            except (KeyError, ValueError):
+                pass
+            self.set_iv_didv_results_from_dict(
+                chan, didv_results=didv_results, poles=poles,
+                ivsweep_results=ivsweep_results)
+        return self
+
+    # -- reference-parity getters ---------------------------------------
+    @staticmethod
+    def get_squid_noise_from_fit(freqs, squiddc, squidpole, squidn):
+        """SQUID current-noise PSD from the three-parameter normal-fit
+        model, (squiddc·(1+(squidpole/f)^squidn))² (noisemodel.py:695-702)."""
+        return (squiddc * (1.0 + (squidpole / np.asarray(freqs))
+                           ** squidn)) ** 2.0
+
+    def get_noise_data(self, channel: Optional[str] = None,
+                       mode: str = "transition") -> dict:
+        """Simulated budget arrays for a channel/state
+        (noisemodel.py:704-746): keys s_ites/s_iload/s_itfn/s_isquid/
+        s_itot (+ power-referred) and freqs."""
+        if channel is None:
+            raise ValueError("You must specify a channel.")
+        if mode not in ("transition", "normal", "sc"):
+            raise ValueError(f"'{mode}' is not a valid mode. Valid "
+                             "options are: transition, normal, sc.")
+        if channel not in self._noise_data:
+            raise ValueError(
+                f"Channel '{channel}' not found in noise data.")
+        sim = self._noise_data[channel].get("sim", {})
+        if mode not in sim or not sim[mode]:
+            raise ValueError(
+                f"Noise data for mode '{mode}' not available for channel "
+                f"'{channel}'. Have you run analyze_noise()?")
+        return sim[mode]
 
     # ------------------------------------------------------------------
     def calc_squid_noise(self, channel: str,
@@ -100,6 +315,12 @@ class NoiseModel(FilterData):
         self._squid[channel] = squid
         self._set(channel, f"squid_noise_{tag}", squid,
                   {"rn": rn, "rl": rl, "L": L, "tc": tc})
+        sim = self._noise_data.setdefault(channel, {}).setdefault(
+            "sim", {"normal": {}, "sc": {}, "transition": {}})
+        # sim slot carries the PSD [A²/Hz] (reference get_noise_data
+        # units); self._squid keeps the amplitude [A/√Hz]
+        sim["normal"]["s_isquid"] = squid ** 2
+        sim["normal"]["freqs"] = np.asarray(freqs)
         return squid
 
     def get_squid_noise(self, channel: str) -> np.ndarray:
@@ -217,10 +438,10 @@ class NoiseModel(FilterData):
     # ------------------------------------------------------------------
     def analyze_noise(self, channel: str,
                       freqs: np.ndarray,
-                      ssp: dict,
-                      bias: dict,
-                      tc: float,
-                      tbath: float,
+                      ssp: Optional[dict] = None,
+                      bias: Optional[dict] = None,
+                      tc: Optional[float] = None,
+                      tbath: Optional[float] = None,
                       gta: Optional[float] = None,
                       squiddc: Optional[float] = None,
                       tload: Optional[float] = None,
@@ -233,6 +454,25 @@ class NoiseModel(FilterData):
         gta: thermal conductance (default from P0 and temperatures,
         G = n·P0/(Tc·(1−(Tb/Tc)^n)) with n=5).
         """
+        # stored defaults (set_tc/set_tbath/set_gta and
+        # set_iv_didv_results_from_dict, noisemodel.py:96-240)
+        data = self._noise_data.get(channel, {})
+        if ssp is None:
+            ssp = data.get("smallsignalparams")
+        if bias is None:
+            bias = data.get("biasparams")
+        if ssp is None or bias is None:
+            raise ValueError(
+                f"ssp/bias required for channel {channel} — pass them or "
+                "call set_iv_didv_results_from_dict first")
+        tc = self._tc.get(channel) if tc is None else tc
+        tbath = self._tbath if tbath is None else tbath
+        if tc is None or tbath is None:
+            raise ValueError(
+                f"tc/tbath required for channel {channel} — pass them or "
+                "call set_tc/set_tbath first")
+        if gta is None:
+            gta = self._gta.get(channel)
         freqs = np.asarray(freqs)
         r0 = bias["r0"]
         rl = bias.get("rshunt", bias.get("rsh", 0.0)) + bias.get("rp", 0.0)
@@ -270,8 +510,13 @@ class NoiseModel(FilterData):
             # measured two-sided PSD folded onto the one-sided budget
             budget["s_imeas"] = 2.0 * np.asarray(psd_measured)
             budget["s_pmeas"] = tesnoise.current_to_power(
-                psd_measured, params, freqs)
+                budget["s_imeas"], params, freqs)
         budget["params"] = params._asdict()
+        # file under the reference's sim slot for get_noise_data
+        sim = self._noise_data.setdefault(channel, {}).setdefault(
+            "sim", {"normal": {}, "sc": {}, "transition": {}})
+        sim["transition"] = {k: v for k, v in budget.items()
+                             if isinstance(v, np.ndarray)}
         self._set(channel, f"noise_budget_{tag}",
                   {k: v for k, v in budget.items()
                    if isinstance(v, np.ndarray)},

@@ -159,3 +159,114 @@ class TestNoiseAccessors:
         assert noise.get_offset("chan1") is None
         # filter data survives clear_randoms
         assert noise.get_psd("chan1") is not None
+
+
+class TestNoiseModelSetters:
+    """Reference-parity NoiseModel surface (core/noisemodel.py:50-360,
+    :695-746): external-result setters, stored defaults, state-slot PSDs,
+    and the sim-slot getters."""
+
+    def _ssp_bias(self):
+        ssp = {"beta": 2.0, "l": 10.0, "L": 4e-7, "tau0": 1e-3}
+        bias = {"r0": 0.1, "rp": 4e-3, "rshunt": 5e-3, "i0": 2e-6,
+                "p0": 4e-13, "rn": 0.3}
+        return ssp, bias
+
+    def test_stored_defaults_drive_analyze_noise(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        nm = NoiseModel(verbose=False)
+        ssp, bias = self._ssp_bias()
+        nm.set_iv_didv_results_from_dict(
+            "chan1", didv_results={"smallsignalparams": ssp}, poles=2,
+            ivsweep_results=bias)
+        nm.set_tc("chan1", 0.040)
+        nm.set_tbath(0.020)
+        freqs = np.linspace(100.0, 1e5, 200)
+        budget = nm.analyze_noise("chan1", freqs)
+        assert np.all(budget["s_itot"] > 0)
+        # get_noise_data returns the sim transition slot
+        sim = nm.get_noise_data("chan1", mode="transition")
+        np.testing.assert_allclose(sim["s_itot"], budget["s_itot"])
+        with pytest.raises(ValueError):
+            nm.get_noise_data("chan1", mode="sc")
+        with pytest.raises(ValueError):
+            nm.get_noise_data("nope")
+        with pytest.raises(ValueError):
+            nm.get_noise_data()
+
+    def test_missing_rn_rejected(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        nm = NoiseModel(verbose=False)
+        ssp, _ = self._ssp_bias()
+        with pytest.raises(ValueError, match="No Rn"):
+            nm.set_iv_didv_results_from_dict(
+                "chan1", didv_results={"smallsignalparams": ssp},
+                ivsweep_results={"rp": 4e-3, "rshunt": 5e-3})
+
+    def test_state_psd_slot_and_validation(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        nm = NoiseModel(verbose=False)
+        n = 256
+        psd = np.ones(n)
+        freqs = np.fft.fftfreq(n, d=1.0 / FS)
+        nm.set_psd("chan1", psd, freqs, "normal")
+        assert "psd" in nm._noise_data["chan1"]["normal"]
+        with pytest.raises(ValueError, match="folded"):
+            nm.set_psd("chan1", psd[:128], np.abs(freqs[:128]), "sc")
+        with pytest.raises(ValueError, match="state"):
+            nm.set_psd("chan1", psd, freqs, "superduper")
+        # state=None falls through to the FilterData tagged store
+        nm.set_psd("chan1", psd, FS, tag="default")
+        assert nm.get_psd("chan1") is not None
+
+    def test_fit_results_setters(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        nm = NoiseModel(verbose=False)
+        nm.set_normal_fit_results("chan1", squiddc=6e-12, squidpole=200.0,
+                                  squidn=0.7)
+        assert nm._noise_data["chan1"]["normal"]["fit"]["squidpole"] == 200.0
+        with pytest.raises(ValueError):
+            nm.set_normal_fit_results("chan1", squiddc=6e-12)
+        nm.set_sc_fit_results("chan1", tload=0.03)
+        assert nm.get_tload("chan1") == 0.03
+        with pytest.raises(ValueError):
+            nm.set_sc_fit_results("chan1")
+        nm.set_inductance("chan1", 4e-7, "normal")
+        with pytest.raises(ValueError):
+            nm.set_inductance("chan1", 4e-7, "transition")
+
+    def test_squid_noise_setter_feeds_analyze(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        nm = NoiseModel(verbose=False)
+        ssp, bias = self._ssp_bias()
+        freqs = np.linspace(100.0, 1e5, 200)
+        squid = np.full(200, 25e-24)  # (5 pA/rtHz)^2
+        nm.set_squid_noise("chan1", squid, freqs)
+        budget = nm.analyze_noise("chan1", freqs, ssp, bias,
+                                  tc=0.040, tbath=0.020)
+        np.testing.assert_allclose(budget["s_isquid"], 25e-24, rtol=1e-6)
+        sim_n = nm.get_noise_data("chan1", mode="normal")
+        np.testing.assert_allclose(sim_n["s_isquid"], squid)
+
+    def test_squid_fit_formula(self):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        freqs = np.array([100.0, 1000.0])
+        out = NoiseModel.get_squid_noise_from_fit(freqs, 6e-12, 200.0, 0.7)
+        want = (6e-12 * (1 + (200.0 / freqs) ** 0.7)) ** 2
+        np.testing.assert_allclose(out, want)
+
+    def test_roundtrip_through_file(self, tmp_path):
+        from detprocess_tpu.pipelines.noisemodel import NoiseModel
+        ssp, bias = self._ssp_bias()
+        nm = NoiseModel(verbose=False)
+        nm.set_iv_didv_results_from_dict(
+            "chan1", didv_results={"smallsignalparams": ssp}, poles=2,
+            ivsweep_results=bias)
+        path = str(tmp_path / "filter.h5")
+        nm.save_hdf5(path)
+        nm2 = NoiseModel(verbose=False)
+        nm2.set_iv_didv_results_from_file(path, poles=2)
+        assert nm2._noise_data["chan1"]["smallsignalparams"][
+            "beta"] == pytest.approx(2.0)
+        assert nm2._noise_data["chan1"]["biasparams"]["rn"] == \
+            pytest.approx(0.3)
