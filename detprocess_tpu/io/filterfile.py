@@ -336,6 +336,23 @@ class FilterData:
     # ------------------------------------------------------------------
     # IV sweep / dIdV results (tabular & dict payloads)
     # ------------------------------------------------------------------
+    @property
+    def verbose(self) -> bool:
+        """Verbosity flag (reference FilterData property,
+        filterdata.py:43-48)."""
+        return self._verbose
+
+    @verbose.setter
+    def verbose(self, value: bool):
+        self._verbose = bool(value)
+
+    def set_ivsweep_data_from_dict(self, data_dict: dict,
+                                   tag: str = "default"):
+        """Store sweep dataframes from {channel: dataframe}
+        (filterdata.py:968-976)."""
+        for chan, df in data_dict.items():
+            self.set_ivsweep_data(chan, df, tag=tag)
+
     def set_ivsweep_data(self, channel, df: pd.DataFrame,
                          tag: str = "default",
                          metadata: Optional[dict] = None):

@@ -131,3 +131,47 @@ def analyze_ibis(
         rn=float(rn), rn_err=float(rn_err),
         rp=float(rp_fit), rp_err=float(rp_err),
         ioffset=float(ioffset), ioffset_err=float(ioffset_err))
+
+
+def biasparams_from_normal_iv(norm_avs, norm_errs, trans_av, trans_err,
+                              ibias_norms, ibias_trans,
+                              rl: float, rsh: float,
+                              rl_err: float = 0.0) -> dict:
+    """Bias parameters from a handful of normal IV points plus one
+    transition point (qetpy get_biasparams_normal_iv semantics; used by
+    the beginning-of-run IV path, reference core/didv.py:385-485).
+
+    Normal branch: imeas = ioffset + ibias·rsh/(rn+rl) — a weighted
+    linear fit gives ioffset (intercept) and rn (from the slope).
+    Transition point: i0 = imeas − ioffset,
+    r0 = rsh·(ibias − i0)/i0 − rp with rp = rl − rsh, p0 = i0²·r0.
+    First-order error propagation throughout.
+    """
+    norm_avs = np.asarray(norm_avs, float)
+    ibias_norms = np.asarray(ibias_norms, float)
+    norm_errs = (np.asarray(norm_errs, float)
+                 if norm_errs is not None else None)
+    if len(norm_avs) < 2:
+        raise ValueError("need at least two normal IV points")
+    slope, ioffset, slope_err, ioffset_err = _linfit(
+        ibias_norms, norm_avs, sigma=norm_errs)
+    rn = rsh / slope - rl
+    rn_err = float(np.hypot(rsh * slope_err / slope**2, rl_err))
+
+    i0 = float(trans_av - ioffset)
+    i0_err = float(np.hypot(trans_err, ioffset_err))
+    rp = rl - rsh
+    r0 = rsh * (ibias_trans - i0) / i0 - rp
+    dr0_di0 = -rsh * ibias_trans / i0**2
+    r0_err = float(np.hypot(dr0_di0 * i0_err, rl_err))
+    p0 = i0**2 * r0
+    p0_err = float(abs(2 * i0 * r0 + i0**2 * dr0_di0) * i0_err)
+    return {
+        "i0": i0, "i0_err": i0_err,
+        "r0": float(r0), "r0_err": r0_err,
+        "p0": float(p0), "p0_err": p0_err,
+        "rn": float(rn), "rn_err": rn_err,
+        "ioffset": float(ioffset), "ioffset_err": float(ioffset_err),
+        "rp": float(rp), "rshunt": float(rsh), "rl": float(rl),
+        "ibias": float(ibias_trans),
+    }

@@ -10,6 +10,7 @@ FilterData store under the reference's key schema
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -29,6 +30,8 @@ class DIDVAnalysis(FilterData):
         self._fits: Dict[str, Dict[int, didv_models.DIDVFit]] = {}
         self._bias_params: Dict[str, dict] = {}
         self._ssp: Dict[str, Dict[int, dict]] = {}
+        self._ilg: Dict[str, Dict[int, dict]] = {}
+        self._ivbor: Dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     def process_raw_data(self, channels: Sequence[str] | str,
@@ -209,6 +212,7 @@ class DIDVAnalysis(FilterData):
                                             ibias, poles)
             self._set(chan, f"didv_results_{poles}poles_biasparams_{tag}",
                       ilg, {"method": "infinite_loop_gain"})
+            self._ilg.setdefault(chan, {})[poles] = ilg
             out[chan] = ilg
         return out
 
@@ -245,3 +249,246 @@ class DIDVAnalysis(FilterData):
                 f"{len(template)} — recompute dPdI on the template's "
                 "frequency axis")
         return didv_models.energy_resolution(template, psd, dpdi, fs)
+
+    # -- reference-parity surface (core/didv.py:57-160, :996-1320) ------
+    def clear(self, channels=None):
+        """Drop per-channel analysis state (core/didv.py:57-70)."""
+        if channels is None:
+            self._didv_data = {}
+            self._fits = {}
+            self._bias_params = {}
+            self._ssp = {}
+            self._ilg = {}
+            self._ivbor = {}
+            return
+        if isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            for store in (self._didv_data, self._fits, self._bias_params,
+                          self._ssp, self._ilg, self._ivbor):
+                store.pop(chan, None)
+
+    def get_qetpy_object(self, channel: str):
+        """The per-channel dIdV data/fit bundle (core/didv.py:117-127).
+        The native :class:`~detprocess_tpu.ops.lockin.DIDVData` replaces
+        qetpy's DIDV object (fields: freqs, didv, weights, sgfreq,
+        sgamp, rsh)."""
+        if channel not in self._didv_data:
+            raise ValueError(f'ERROR: No dIdV data available for '
+                             f'channel "{channel}"!')
+        return self._didv_data[channel]
+
+    def get_fit_results(self, channel: str, poles: int,
+                        verbose: bool = True) -> dict:
+        """Assembled fit-result dict — params/cov/cost plus
+        smallsignalparams / biasparams / biasparams_infinite_lgain when
+        computed (core/didv.py:996-1013). Empty dict when the fit was
+        never run."""
+        fit = self._fits.get(channel, {}).get(poles)
+        if fit is None:
+            if self._verbose and verbose:
+                print(f"WARNING: {channel}: No fit result found for "
+                      f"poles {poles}! Returning empty dictionary.")
+            return {}
+        result = {"params": np.asarray(fit.params),
+                  "cov": np.asarray(fit.cov),
+                  "cost": float(fit.cost), "poles": int(poles)}
+        ssp = self._ssp.get(channel, {}).get(poles)
+        if ssp is not None:
+            result["smallsignalparams"] = {k: v for k, v in ssp.items()
+                                           if k != "cov"}
+        bias = self._bias_params.get(channel)
+        if bias is not None:
+            result["biasparams"] = dict(bias)
+        ilg = self._ilg.get(channel, {}).get(poles)
+        if ilg is not None:
+            result["biasparams_infinite_lgain"] = dict(ilg)
+        return result
+
+    def get_bias_params(self, channel: str, poles: int = 3) -> dict:
+        """I0/R0/P0 bias parameters in use (core/didv.py:129-141)."""
+        result = self.get_fit_results(channel, poles, verbose=False)
+        if "biasparams" not in result:
+            raise ValueError(f'ERROR: No bias parameters available for '
+                             f'channel "{channel}"!')
+        return result["biasparams"]
+
+    def get_bias_params_infinite_loop_gain(self, channel: str,
+                                           poles: int = 3) -> dict:
+        """ILG bias point from calc_bias_params_infinite_loop_gain
+        (core/didv.py:143-155)."""
+        ilg = self._ilg.get(channel, {}).get(poles)
+        if ilg is None:
+            raise ValueError(
+                f"ERROR: No bias parameters with infinite loop gain "
+                f'available for channel "{channel}"!')
+        return ilg
+
+    def set_iv_bor_data(self, base_path: str, bor_series_number: int,
+                        channel: str, files_per_set: int = 4):
+        """Bias parameters from a beginning-of-run IV taken alongside
+        continuous data (core/didv.py:385-485): groups of
+        ``files_per_set`` 'iv_bor' dumps — normal points first, the
+        transition point last — give mean currents + TES bias per point;
+        a normal-branch line fit plus the transition point yields
+        i0/r0/p0 (models.ivbias.biasparams_from_normal_iv). Requires
+        rp/rshunt (set_ivsweep_results first)."""
+        import glob as globmod
+
+        from detprocess_tpu.models import ivbias
+
+        bias = self._bias_params.get(channel)
+        if not bias or "rp" not in bias:
+            raise ValueError('ERROR: Unable to find rp! Use '
+                             '"set_ivsweep_results()" first')
+        rsh = bias.get("rshunt", bias.get("rsh"))
+        rl = rsh + bias["rp"]
+
+        files = sorted(
+            globmod.glob(os.path.join(base_path, "**", "*.hdf5"),
+                         recursive=True))
+        bor = [f for f in files if "iv_bor" in os.path.basename(f)]
+        if not bor:
+            raise ValueError(f"no iv_bor files under {base_path}")
+        groups = [bor[i:i + files_per_set]
+                  for i in range(0, len(bor), files_per_set)]
+        group = groups[bor_series_number]
+        *normal_files, trans_file = group
+
+        def _point(fname):
+            reader = RawReader(fname)
+            traces, _ = reader.read_many_events(channels=[channel])
+            det = reader.get_detector_config().get(channel, {})
+            means = traces[:, 0, :].mean(axis=-1)
+            return (float(means.mean()),
+                    float(means.std() / np.sqrt(len(means))),
+                    float(det.get("tes_bias", np.nan)))
+
+        norm_avs, norm_errs, ibias_norms = zip(
+            *[_point(f) for f in normal_files])
+        trans_av, trans_err, ibias_trans = _point(trans_file)
+
+        params = ivbias.biasparams_from_normal_iv(
+            list(norm_avs), list(norm_errs), trans_av, trans_err,
+            list(ibias_norms), ibias_trans, rl=rl, rsh=rsh)
+        self._ivbor[channel] = params
+        # feed the ssp path (the reference's stated purpose)
+        self._bias_params[channel].update(
+            {k: params[k] for k in ("i0", "r0", "p0", "i0_err", "r0_err",
+                                    "p0_err", "ioffset", "rn", "ibias")})
+        if self._verbose:
+            print(f"INFO: {channel} bor-IV bias point: "
+                  f"r0 = {params['r0']*1e3:.2f} mOhms, "
+                  f"i0 = {params['i0']*1e6:.3f} muA, "
+                  f"p0 = {params['p0']*1e15:.3f} fW")
+        return params
+
+    def compare_with_ivsweep(self, channel: str, poles: int = 3):
+        """Side-by-side R0/I0/P0 comparison dataframe: dIdV-fit bias
+        params (and their infinite-loop-gain variants) vs the IV-sweep
+        values (core/didv.py:1143-1310)."""
+        import pandas as pd
+
+        result = self.get_fit_results(channel, poles, verbose=False)
+        bias = result.get("biasparams")
+        if bias is None:
+            raise ValueError(f"no bias parameters for channel {channel}")
+        ilg = result.get("biasparams_infinite_lgain", {})
+        rows, labels = [], []
+        for param, norm, label in (("r0", 1e3, "R0 [mOhms]"),
+                                   ("i0", 1e6, "I0 [muAmps]"),
+                                   ("p0", 1e15, "P0 [fWatts]")):
+            row = {}
+            if param in bias:
+                row["IV sweep"] = "{:.3g} +/- {:.4g}".format(
+                    bias[param] * norm,
+                    bias.get(f"{param}_err", np.nan) * norm)
+            if param in ilg:
+                row["dIdV infinite loop gain"] = "{:.3g} +/- {:.4g}".format(
+                    ilg[param] * norm, ilg.get(f"{param}_err", 0.0) * norm)
+            rows.append(row)
+            labels.append(label)
+        return pd.DataFrame(rows, index=labels)
+
+    def print_fit_result(self, channels=None, poles: int = 3):
+        """Human-readable fit summary (core/didv.py:1085-1141)."""
+        if channels is None:
+            channels = list(self._fits.keys())
+        elif isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            result = self.get_fit_results(chan, poles, verbose=False)
+            if not result:
+                print(f"{chan}: no {poles}-poles fit")
+                continue
+            print(f"{chan} {poles}-poles fit: cost = "
+                  f"{result['cost']:.4g}")
+            print(f"  params = {np.array2string(result['params'], precision=4)}")
+            ssp = result.get("smallsignalparams")
+            if ssp:
+                for key in ("l", "beta", "tau0", "L"):
+                    if key in ssp:
+                        err = ssp.get(f"{key}_err", np.nan)
+                        print(f"  {key} = {ssp[key]:.4g} +/- {err:.4g}")
+
+    def plot_fit_result(self, channels=None, poles: int = 2,
+                        save_path: Optional[str] = None):
+        """Measured dIdV(f) vs the fitted model, real/imaginary parts
+        (core/didv.py:1015-1083)."""
+        import matplotlib.pyplot as plt
+
+        if channels is None:
+            channels = list(self._fits.keys())
+        elif isinstance(channels, str):
+            channels = [channels]
+        figs = []
+        for chan in channels:
+            data = self._didv_data[chan]
+            fit = self._fits[chan][poles]
+            model = didv_models.didv_model(fit.params, data.freqs, poles)
+            fig, axes = plt.subplots(2, 1, sharex=True, figsize=(6, 5))
+            for ax, part, name in ((axes[0], np.real, "Re"),
+                                   (axes[1], np.imag, "Im")):
+                ax.semilogx(data.freqs, part(data.didv), ".", ms=3,
+                            label="measured")
+                ax.semilogx(data.freqs, part(model), "-", label="fit")
+                ax.set_ylabel(f"{name} dIdV [1/Ohms]")
+                ax.grid(alpha=0.3)
+            axes[0].legend()
+            axes[0].set_title(f"{chan} {poles}-poles dIdV fit")
+            axes[1].set_xlabel("frequency [Hz]")
+            fig.tight_layout()
+            if save_path:
+                fig.savefig(os.path.join(
+                    save_path, f"didv_fit_{chan}_{poles}poles.png"),
+                    dpi=120)
+            figs.append(fig)
+        return figs
+
+    def save_didv_data(self, channels=None,
+                       file_path_name: Optional[str] = None,
+                       save_hdf5: bool = False):
+        """Persist fit results for each fitted pole count into the
+        filter-data store, optionally writing the HDF5 file
+        (core/didv.py:1320-1408)."""
+        if channels is None:
+            channels = list(self._didv_data.keys())
+        elif isinstance(channels, str):
+            channels = [channels]
+        for chan in channels:
+            if chan not in self._didv_data:
+                raise ValueError(f"ERROR: No data found for channel "
+                                 f"{chan}!")
+            data = self._didv_data[chan]
+            metadata = {"channel": chan, "sgfreq": data.sgfreq,
+                        "sgamp": data.sgamp, "rsh": data.rsh}
+            for p in sorted(self._fits.get(chan, {})):
+                results = self.get_fit_results(chan, p, verbose=False)
+                if results:
+                    self.set_didv_results(chan, results, p,
+                                          metadata=metadata)
+        if save_hdf5:
+            if file_path_name is None:
+                raise ValueError("file_path_name required with save_hdf5")
+            self.save_hdf5(file_path_name, overwrite=True)
+        return self

@@ -211,6 +211,20 @@ class FilterDataProcessing:
                 "'didv', 'noise', or 'template'")
 
     # ------------------------------------------------------------------
+    def proces_didv(self, channels=None, **kwargs):
+        """dIdV-only processing — the reference's (sic) alias
+        (process/filterprocess.py:298-317)."""
+        return self.process(channels=channels, enable_noise=False,
+                            enable_template=False, enable_didv=True,
+                            **kwargs)
+
+    def proces_noise(self, channels=None, **kwargs):
+        """Noise-only processing — the reference's (sic) alias
+        (process/filterprocess.py:320-339)."""
+        return self.process(channels=channels, enable_noise=True,
+                            enable_template=False, enable_didv=False,
+                            **kwargs)
+
     def process(self,
                 channels: Optional[Sequence[str]] = None,
                 enable_noise: bool = True,

@@ -37,6 +37,45 @@ class Randoms:
         self._verbose = verbose
         self._facility = facility
         self._processing_id = processing_id
+        self._output_group_path: Optional[str] = None
+
+    # -- reference-parity accessors (process/randoms.py:149-172) --------
+    @property
+    def verbose(self) -> bool:
+        return self._verbose
+
+    @verbose.setter
+    def verbose(self, value: bool):
+        self._verbose = bool(value)
+
+    def get_series_dict(self) -> dict:
+        """{series_name: [files]} over the input continuous data
+        (randoms.py:158-159)."""
+        from detprocess_tpu.io.rawdata import extract_series_name
+
+        out: dict = {}
+        for fname in self._reader.files:
+            try:
+                out.setdefault(extract_series_name(fname), []).append(fname)
+            except ValueError:
+                continue
+        return out
+
+    def get_base_path(self) -> str:
+        """Parent of the raw group directory (randoms.py:161-162)."""
+        group_dir = os.path.dirname(os.path.abspath(self._reader.files[0]))
+        return os.path.dirname(group_dir)
+
+    def get_group_name(self) -> str:
+        """Raw group = the directory holding the input files
+        (randoms.py:164-165)."""
+        return os.path.basename(
+            os.path.dirname(os.path.abspath(self._reader.files[0])))
+
+    def get_output_path(self) -> Optional[str]:
+        """Output group path of the last saved process() run
+        (randoms.py:167-171)."""
+        return self._output_group_path
 
     def process(self,
                 random_rate: Optional[float] = None,
@@ -149,6 +188,7 @@ class Randoms:
             if output_path is None:
                 raise ValueError("output_path required with lgc_save")
             os.makedirs(output_path, exist_ok=True)
+            self._output_group_path = output_path
             out_series = series_name or create_series_name(self._facility)
             path = tables.output_file_name(
                 output_path, "rand", group_name, out_series, 1,

@@ -92,10 +92,117 @@ class Salting:
         self._df: Optional[pd.DataFrame] = None
         self._templates: Dict[str, np.ndarray] = {}
         self._pretriggers: Dict[str, int] = {}
+        self._rawdata = None
+        self._fs: Optional[float] = None
+        self._dm_energies = np.array([])
+        self._channel_energies: Optional[list] = None
 
     @property
     def dataframe(self) -> Optional[pd.DataFrame]:
         return self._df
+
+    # -- reference-parity accessors (core/salting.py:106-290, :470-478) --
+    def get_dataframe(self) -> Optional[pd.DataFrame]:
+        """Salting metadata dataframe (salting.py:470)."""
+        return self._df
+
+    def clear_dataframe(self):
+        """Drop the salting dataframe (salting.py:473)."""
+        self._df = None
+        self._df_by_event = None
+
+    def get_injectiontimes(self) -> Optional[pd.DataFrame]:
+        """Injection-time dataframe — same rows as the salting dataframe
+        (salting.py:476, :145)."""
+        return self._df
+
+    def get_sample_rate(self) -> Optional[float]:
+        """Sample rate of the raw data set via set_raw_data
+        (salting.py:106)."""
+        return self._fs
+
+    def set_raw_data(self, raw_data, series=None, restricted: bool = False):
+        """Attach the continuous raw data salts are injected into
+        (salting.py:148-189): a group directory path or a RawData
+        object; records the sample rate and lets generate_salt omit
+        ``raw_files``."""
+        from detprocess_tpu.io.rawdata import RawData
+
+        if isinstance(raw_data, str):
+            raw_data = RawData(raw_data, data_type="continuous",
+                               series=series, restricted=restricted)
+        elif not isinstance(raw_data, RawData):
+            raise ValueError("ERROR: raw data argument should be either "
+                             "a directory or RawData object")
+        elif raw_data.restricted != restricted:
+            raise ValueError(
+                f"ERROR: Unable to use RawData object. It needs "
+                f"requirement restricted = {restricted}!")
+        self._rawdata = raw_data
+        self._fs = float(raw_data.get_sample_rate())
+        if self._verbose:
+            print("INFO: Data used for salting generation:")
+            raw_data.describe()
+        return self
+
+    def _raw_files_from_store(self):
+        if self._rawdata is None:
+            raise ValueError(
+                "no raw data — pass raw_files or call set_raw_data first")
+        files = []
+        for flist in self._rawdata.get_data_files().values():
+            files.extend(flist)
+        return sorted(files)
+
+    def sample_DMpdf(self, function, xrange, nsamples: int = 1000,
+                     npoints: int = 10000, normalize_cdf: bool = True,
+                     seed: Optional[int] = None):
+        """Inverse-transform sampling of an arbitrary dark-matter recoil
+        PDF defined in keV (salting.py:192-252). Returns the sampled
+        keV values and accumulates them (×1e3 → eV, the reference's
+        convention) for later generate_salt calls."""
+        del normalize_cdf  # CDF always normalized over xrange here
+        rng = np.random.default_rng(seed)
+        sampled = sample_pdf_function(function, xrange, nsamples, rng,
+                                      npoints=npoints)
+        self._dm_energies = np.append(self._dm_energies, sampled * 1e3)
+        return sampled
+
+    def get_DMenergies(self) -> np.ndarray:
+        """Accumulated DM energies in eV (salting.py:254)."""
+        return self._dm_energies
+
+    def clear_DMenergies(self):
+        self._dm_energies = np.array([])
+
+    def channel_energy_split(self, mean: float = 0.5,
+                             std_dev: float = 0.2, npairs: int = 10,
+                             seed: Optional[int] = None) -> list:
+        """Random per-channel energy-sharing pairs: Gaussian draws
+        clipped to [0, 1] and normalized to sum to 1
+        (salting.py:260-277)."""
+        rng = np.random.default_rng(seed)
+        splits = []
+        for _ in range(npairs):
+            pair = np.clip(rng.normal(loc=mean, scale=std_dev, size=2),
+                           0.0, 1.0)
+            if pair.sum() > 0:
+                pair = pair / pair.sum()
+            splits.append(pair)
+        self._channel_energies = splits
+        return splits
+
+    def get_energy_perchannel(self):
+        """Last channel_energy_split result (salting.py:279)."""
+        return self._channel_energies
+
+    @staticmethod
+    def set_energy_splits_to1(energysplits: list) -> list:
+        """Force every split fraction to 1 — full energy in every
+        channel (salting.py:282-286)."""
+        for sublist in energysplits:
+            sublist[:] = [1] * len(sublist)
+        return energysplits
 
     def set_dataframe(self, df: pd.DataFrame):
         """Load an existing salting dataframe (salting.py:447); templates
@@ -130,8 +237,8 @@ class Salting:
 
     # ------------------------------------------------------------------
     def generate_salt(self,
-                      raw_files,
-                      channels: Sequence[str],
+                      raw_files=None,
+                      channels: Sequence[str] = (),
                       energies=None,
                       dm_pdf: Optional[tuple] = None,
                       pdf_file: Optional[str] = None,
@@ -163,6 +270,10 @@ class Salting:
         """
         from detprocess_tpu.pipelines.randoms import Randoms
 
+        if raw_files is None:
+            raw_files = self._raw_files_from_store()
+        if not channels:
+            raise ValueError("channels required")
         rng = np.random.default_rng(seed)
         for chan in channels:
             self._load_template(chan, template_tag)
@@ -188,6 +299,9 @@ class Salting:
         elif energies is not None:
             energies = np.atleast_1d(energies)
             salt_energies = np.repeat(energies, nsalt)
+        elif len(self._dm_energies):
+            # accumulated sample_DMpdf draws (already eV)
+            salt_energies = np.asarray(self._dm_energies)
         else:
             raise ValueError('"energies", "dm_pdf" or "pdf_file" required')
         ntot = len(salt_energies)

@@ -153,8 +153,118 @@ class Template(FilterData):
             residual, jnp.asarray([20e-6, 200e-6, 1.0]),
             args=(jnp.asarray(t), jnp.asarray(tmpl)), max_iter=100)
         tau_r, tau_f, amp = np.abs(np.asarray(res.params))
-        return {"tau_r": float(tau_r), "tau_f": float(tau_f),
-                "amplitude": float(amp), "cost": float(res.cost)}
+        fit = {"tau_r": float(tau_r), "tau_f": float(tau_f),
+               "amplitude": float(amp), "cost": float(res.cost)}
+        # stored so get_template_in_current(use_fit=True) can rebuild the
+        # smooth fitted pulse (core/template.py:255-298)
+        self._set(channel, f"template_fit_{tag}", dict(fit), None)
+        return fit
+
+    # -- reference-parity surface (core/template.py:27-31, :299-323) ----
+    def clear(self, channels=None, clear_filter_data: bool = False,
+              tag: Optional[str] = None):
+        """Drop stored templates (core/template.py:27-31). The
+        reference's in-memory qetpy TemplateManager maps to the
+        ``template_*`` entries of the filter-data store here;
+        ``clear_filter_data`` additionally drops every other stored
+        parameter (via clear_data)."""
+        if clear_filter_data:
+            self.clear_data(channels=channels, tag=tag)
+            return
+        chans = (list(self._filter_data) if channels is None
+                 else [channels] if isinstance(channels, str)
+                 else list(channels))
+        for chan in chans:
+            d = self._filter_data.get(chan)
+            if not d:
+                continue
+            for key in list(d):
+                if (key.startswith("template")
+                        and (tag is None or tag in key)):
+                    d.pop(key)
+
+    def get_template_in_current(self, channels, use_fit: bool = True,
+                                domain: str = "time",
+                                return_metadata: bool = False,
+                                tag: str = "default"):
+        """Template(s) in TES-current units (core/template.py:299-306).
+        ``use_fit`` rebuilds the smooth two-pole from a stored
+        fit_templates result when available; ``domain='freq'`` returns
+        the two-sided FFT."""
+        chans = [channels] if isinstance(channels, str) else list(channels)
+        out, mds = [], []
+        for chan in chans:
+            tmpl, _, md = self.get_template(chan, tag=tag,
+                                            return_metadata=True)
+            tmpl = np.asarray(tmpl)
+            md = dict(md or {})
+            if use_fit:
+                try:
+                    fit = self._get(chan, f"template_fit_{tag}")
+                except (KeyError, ValueError):
+                    fit = None
+                if fit:
+                    fs = float(md.get("sample_rate"))
+                    p = int(md.get("nb_pretrigger_samples",
+                                   len(tmpl) // 2))
+                    t = np.arange(len(tmpl)) / fs - p / fs
+                    tmpl = np.where(
+                        t >= 0,
+                        fit["amplitude"] * (np.exp(-t / fit["tau_f"])
+                                            - np.exp(-t / fit["tau_r"])),
+                        0.0)
+                    md["from_fit"] = True
+            if domain in ("freq", "fourier"):
+                tmpl = np.fft.fft(tmpl)
+            elif domain != "time":
+                raise ValueError('domain should be "time" or "freq"')
+            out.append(tmpl)
+            mds.append(md)
+        if isinstance(channels, str):
+            out, mds = out[0], mds[0]
+        if return_metadata:
+            return out, mds
+        return out
+
+    def get_template_in_power(self, channels, dpdi=None, dpdi_freqs=None,
+                              use_fit: bool = True, domain: str = "time",
+                              return_metadata: bool = False,
+                              tag: str = "default", dpdi_poles: int = 2,
+                              dpdi_tag: str = "default"):
+        """Template(s) converted to power via dPdI
+        (core/template.py:308-319): pass ``dpdi`` explicitly or rely on
+        the dPdI stored in the filter file."""
+        chans = [channels] if isinstance(channels, str) else list(channels)
+        out, mds = [], []
+        for chan in chans:
+            cur, md = self.get_template_in_current(
+                chan, use_fit=use_fit, domain="time",
+                return_metadata=True, tag=tag)
+            fs = float(md.get("sample_rate"))
+            chan_dpdi = dpdi
+            if chan_dpdi is None:
+                chan_dpdi, _ = self.get_dpdi(chan, dpdi_poles,
+                                             tag=dpdi_tag)
+            power = didv_models.convert_template_to_power(
+                cur, np.asarray(chan_dpdi), fs)
+            if domain in ("freq", "fourier"):
+                power = np.fft.fft(power)
+            elif domain != "time":
+                raise ValueError('domain should be "time" or "freq"')
+            out.append(power)
+            mds.append(md)
+        if isinstance(channels, str):
+            out, mds = out[0], mds[0]
+        if return_metadata:
+            return out, mds
+        return out
+
+    @property
+    def qp_template(self):
+        """The template manager (core/template.py:321-323). There is no
+        separate qetpy object in this package — the Template instance IS
+        the manager; returned for drop-in attribute access."""
+        return self
 
 
 class FilterBuilder:
@@ -173,6 +283,19 @@ class FilterBuilder:
         self.template._filter_data = shared
         self.didv._filter_data = shared
         self._filter_data = shared
+
+    def clear(self, channels=None, tag=None, clear_noise_state: bool = True,
+              clear_template_state: bool = False,
+              clear_didv_state: bool = True):
+        """Clear the shared filter-data store and optionally the
+        processors' transient state (core/filterbuilder.py:52-70)."""
+        self.noise.clear_data(channels=channels, tag=tag)
+        if clear_noise_state:
+            self.noise.clear_randoms()
+        if clear_template_state:
+            self.template.clear(channels=channels, tag=tag)
+        if clear_didv_state:
+            self.didv.clear(channels=channels)
 
     def save_hdf5(self, path: str, overwrite: bool = True):
         self.noise.save_hdf5(path, overwrite=overwrite)

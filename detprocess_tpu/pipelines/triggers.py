@@ -84,9 +84,62 @@ class EventBuilder:
         self._current_trigger_id = 0
         self._current_event_time = -np.inf
         self._current_nb_samples = None
+        self._trigger_objects: Dict[str, object] = {}
+        self._trigger_names: List[str] = []
 
     def clear_event(self):
         self._event_df = None
+        self._trigger_names = []
+
+    # -- reference-parity surface (core/eventbuilder.py:40-160) ---------
+    def get_event_df(self) -> Optional[pd.DataFrame]:
+        """Current event dataframe (eventbuilder.py:47-53)."""
+        return self._event_df
+
+    def add_trigger_object(self, trigger_name: str, trigger_object):
+        """Register a per-channel trigger engine under a name
+        (eventbuilder.py:56-79). Any object with a
+        ``find_triggers(trace, thresh, **kwargs)`` method or a callable
+        returning a trigger dataframe works."""
+        if trigger_name in self._trigger_objects:
+            raise ValueError(f'ERROR: Trigger object "{trigger_name}" '
+                             "already stored!")
+        self._trigger_objects[trigger_name] = trigger_object
+
+    def get_trigger_object(self, trigger_name: str):
+        """Look up a registered trigger engine (eventbuilder.py:80-92)."""
+        if trigger_name not in self._trigger_objects:
+            raise ValueError(f'ERROR: Trigger object "{trigger_name}" '
+                             "does not exist!")
+        return self._trigger_objects[trigger_name]
+
+    def add_trigger_data(self, trigger_name: str,
+                         trigger_data: pd.DataFrame):
+        """Add one channel's trigger dataframe to the current event,
+        enforcing one submission per channel (eventbuilder.py:94-125)."""
+        if trigger_name in self._trigger_names:
+            raise ValueError(f"ERROR: Trigger data for channel "
+                             f"{trigger_name} already added!")
+        self._trigger_names.append(trigger_name)
+        self.add_triggers(trigger_data)
+
+    def acquire_triggers(self, trigger_name: str, trace, thresh,
+                         **kwargs):
+        """Run a registered trigger engine on a trace and file its
+        triggers into the current event (eventbuilder.py:126-160).
+        The engine is either a callable ``fn(trace, thresh, **kwargs)``
+        or exposes ``find_triggers(trace, thresh, **kwargs)``; it must
+        return a trigger dataframe."""
+        obj = self.get_trigger_object(trigger_name)
+        runner = getattr(obj, "find_triggers", None) or obj
+        if not callable(runner):
+            raise ValueError(
+                f'ERROR: Trigger object "{trigger_name}" is not '
+                "runnable — expected a callable or a find_triggers method")
+        df = runner(trace, thresh, **kwargs)
+        self._current_nb_samples = np.asarray(trace).shape[-1]
+        self.add_trigger_data(trigger_name, df)
+        return df
 
     def add_triggers(self, trigger_df: pd.DataFrame):
         if trigger_df is None or len(trigger_df) == 0:
@@ -297,6 +350,12 @@ class TriggerProcessing:
         self._channels: List[_TriggerChannel] = []
         self._build_channels()
         self._salt_injector = None  # set via set_salting
+        self._output_group_path: Optional[str] = None
+
+    def get_output_path(self) -> Optional[str]:
+        """Output group path of the last saved process() run
+        (process/triggers.py:221-226)."""
+        return self._output_group_path
 
     # ------------------------------------------------------------------
     def set_salting(self, injector):
@@ -536,6 +595,7 @@ class TriggerProcessing:
             if output_path is None:
                 raise ValueError("output_path required with lgc_save")
             os.makedirs(output_path, exist_ok=True)
+            self._output_group_path = output_path
 
         self._reader.rewind()
         total = 0

@@ -270,3 +270,226 @@ class TestNoiseModelSetters:
             "beta"] == pytest.approx(2.0)
         assert nm2._noise_data["chan1"]["biasparams"]["rn"] == \
             pytest.approx(0.3)
+
+
+class TestEventBuilderSurface:
+    """Reference EventBuilder surface (core/eventbuilder.py:40-160)."""
+
+    def _mk_df(self, chan, indices):
+        import pandas as pd
+        return pd.DataFrame({
+            "trigger_index": indices,
+            "trigger_time": [i / FS for i in indices],
+            "trigger_delta_chi2": [10.0] * len(indices),
+            "trigger_channel": [chan] * len(indices),
+        })
+
+    def test_trigger_object_registry(self):
+        from detprocess_tpu.pipelines.triggers import EventBuilder
+        eb = EventBuilder()
+        obj = object()
+        eb.add_trigger_object("chan1", obj)
+        assert eb.get_trigger_object("chan1") is obj
+        with pytest.raises(ValueError, match="already stored"):
+            eb.add_trigger_object("chan1", obj)
+        with pytest.raises(ValueError, match="does not exist"):
+            eb.get_trigger_object("nope")
+
+    def test_add_trigger_data_unique_per_channel(self):
+        from detprocess_tpu.pipelines.triggers import EventBuilder
+        eb = EventBuilder()
+        eb.add_trigger_data("chan1", self._mk_df("chan1", [100, 5000]))
+        eb.add_trigger_data("chan2", self._mk_df("chan2", [900]))
+        with pytest.raises(ValueError, match="already added"):
+            eb.add_trigger_data("chan1", self._mk_df("chan1", [42]))
+        df = eb.get_event_df()
+        assert list(df["trigger_index"]) == [100, 900, 5000]
+        eb.clear_event()
+        assert eb.get_event_df() is None
+        # after clear_event a channel can submit again
+        eb.add_trigger_data("chan1", self._mk_df("chan1", [7]))
+
+    def test_acquire_triggers_with_callable_engine(self):
+        from detprocess_tpu.pipelines.triggers import EventBuilder
+        eb = EventBuilder()
+        seen = {}
+
+        def engine(trace, thresh, positive_pulses=True):
+            seen["thresh"] = thresh
+            return self._mk_df("chan1", [int(np.argmax(trace))])
+
+        eb.add_trigger_object("chan1", engine)
+        trace = np.zeros(4096)
+        trace[1234] = 5.0
+        out = eb.acquire_triggers("chan1", trace, 4.0,
+                                  positive_pulses=True)
+        assert seen["thresh"] == 4.0
+        assert list(out["trigger_index"]) == [1234]
+        assert eb._current_nb_samples == 4096
+        assert list(eb.get_event_df()["trigger_index"]) == [1234]
+
+
+class TestRandomsAccessors:
+    def test_paths_and_series_dict(self, rawgroup):
+        from detprocess_tpu.pipelines.randoms import Randoms
+        import glob, os
+        files = sorted(glob.glob(os.path.join(rawgroup["root"], "*.hdf5")))
+        r = Randoms(files, verbose=False)
+        assert r.verbose is False
+        r.verbose = True
+        assert r.verbose is True
+        sd = r.get_series_dict()
+        assert set(sd) == set(rawgroup["series"])
+        assert all(len(v) == 1 for v in sd.values())
+        assert r.get_group_name() == "run12_group1"
+        assert r.get_base_path() == os.path.dirname(rawgroup["root"])
+        assert r.get_output_path() is None
+
+    def test_output_path_recorded(self, rawgroup, tmp_path):
+        from detprocess_tpu.pipelines.randoms import Randoms
+        import glob, os
+        files = sorted(glob.glob(os.path.join(rawgroup["root"], "*.hdf5")))
+        r = Randoms(files, verbose=False)
+        out = str(tmp_path / "randout")
+        r.process(nrandoms=5, min_separation_msec=0.1,
+                  edge_exclusion_msec=0.1, seed=3, lgc_save=True,
+                  output_path=out)
+        assert r.get_output_path() == out
+
+
+class TestFilterDataSurface:
+    def test_verbose_property(self):
+        from detprocess_tpu.io.filterfile import FilterData
+        fd = FilterData(verbose=False)
+        assert fd.verbose is False
+        fd.verbose = True
+        assert fd.verbose is True
+
+    def test_set_ivsweep_data_from_dict(self):
+        import pandas as pd
+        from detprocess_tpu.io.filterfile import FilterData
+        fd = FilterData(verbose=False)
+        df1 = pd.DataFrame({"tes_bias": [1e-6, 2e-6]})
+        fd.set_ivsweep_data_from_dict({"chan1": df1, "chan2": df1},
+                                      tag="t0")
+        got = fd.get_ivsweep_data("chan1", tag="t0")
+        assert list(got["tes_bias"]) == [1e-6, 2e-6]
+
+
+class TestTemplateSurface:
+    def _template(self):
+        from detprocess_tpu.pipelines.template import Template
+        t = Template(verbose=False)
+        t.create_template("chan1", FS, trace_length_samples=1024,
+                          pretrigger_length_samples=512, A=1.0,
+                          tau_r=20e-6, tau_f1=200e-6)
+        return t
+
+    def test_get_template_in_current_raw_and_freq(self):
+        t = self._template()
+        cur = t.get_template_in_current("chan1", use_fit=False)
+        assert cur.shape == (1024,)
+        fr, md = t.get_template_in_current("chan1", use_fit=False,
+                                           domain="freq",
+                                           return_metadata=True)
+        assert np.iscomplexobj(fr) and md["sample_rate"] == FS
+        with pytest.raises(ValueError, match="domain"):
+            t.get_template_in_current("chan1", domain="banana")
+
+    def test_get_template_in_current_from_fit(self):
+        t = self._template()
+        fit = t.fit_templates("chan1")
+        assert fit["tau_r"] == pytest.approx(20e-6, rel=0.1)
+        smooth = t.get_template_in_current("chan1", use_fit=True)
+        raw = t.get_template_in_current("chan1", use_fit=False)
+        # fitted pulse tracks the analytic one closely
+        assert np.corrcoef(smooth, raw)[0, 1] > 0.999
+
+    def test_get_template_in_power(self):
+        t = self._template()
+        n = 1024
+        freqs = np.fft.fftfreq(n, d=1.0 / FS)
+        dpdi = np.full(n, 2.0 + 0j)
+        p = t.get_template_in_power("chan1", dpdi=dpdi, use_fit=False)
+        assert p.shape == (n,)
+        assert np.isfinite(p).all()
+
+    def test_clear_templates_only(self):
+        t = self._template()
+        t.set_psd("chan1", np.ones(1024), FS)
+        t.clear("chan1")
+        with pytest.raises((KeyError, ValueError)):
+            t.get_template("chan1")
+        assert t.get_psd("chan1") is not None
+        t.clear(clear_filter_data=True)
+        with pytest.raises((KeyError, ValueError)):
+            t.get_psd("chan1")
+
+    def test_qp_template_is_self(self):
+        t = self._template()
+        assert t.qp_template is t
+
+
+class TestSaltingAccessors:
+    def test_dm_sampling_and_splits(self):
+        from detprocess_tpu.pipelines.salting import Salting
+        from detprocess_tpu.io.filterfile import FilterData
+        s = Salting(FilterData(verbose=False), verbose=False)
+        assert s.get_dataframe() is None
+        assert s.get_injectiontimes() is None
+        assert s.get_sample_rate() is None
+        assert len(s.get_DMenergies()) == 0
+
+        sampled = s.sample_DMpdf(lambda x: np.exp(-x), (0.01, 1.0),
+                                 nsamples=500, seed=11)
+        assert sampled.shape == (500,)
+        assert (sampled >= 0.01).all() and (sampled <= 1.0).all()
+        # accumulated in eV (keV input × 1e3)
+        acc = s.get_DMenergies()
+        np.testing.assert_allclose(np.sort(acc), np.sort(sampled * 1e3))
+        s.sample_DMpdf(lambda x: np.exp(-x), (0.01, 1.0), nsamples=100,
+                       seed=12)
+        assert len(s.get_DMenergies()) == 600
+        s.clear_DMenergies()
+        assert len(s.get_DMenergies()) == 0
+
+        splits = s.channel_energy_split(npairs=50, seed=4)
+        assert len(splits) == 50
+        for pair in splits:
+            assert pair.sum() == pytest.approx(1.0)
+            assert (pair >= 0).all()
+        assert s.get_energy_perchannel() is splits
+        ones = Salting.set_energy_splits_to1(
+            [list(p) for p in splits])
+        assert all(all(v == 1 for v in p) for p in ones)
+
+    def test_set_raw_data(self, rawgroup):
+        from detprocess_tpu.pipelines.salting import Salting
+        from detprocess_tpu.io.filterfile import FilterData
+        from detprocess_tpu.io.rawdata import RawData
+        s = Salting(FilterData(verbose=False), verbose=False)
+        s.set_raw_data(rawgroup["root"])
+        assert s.get_sample_rate() == FS
+        assert len(s._raw_files_from_store()) == 2
+        with pytest.raises(ValueError, match="directory or RawData"):
+            s.set_raw_data(12345)
+        rd = RawData(rawgroup["root"])
+        s2 = Salting(FilterData(verbose=False), verbose=False)
+        s2.set_raw_data(rd)
+        assert s2.get_sample_rate() == FS
+
+
+class TestFiltergenAliases:
+    def test_proces_aliases_dispatch(self, monkeypatch):
+        from detprocess_tpu.pipelines.filtergen import FilterDataProcessing
+        calls = []
+
+        def fake_process(self, channels=None, enable_noise=True,
+                         enable_template=True, enable_didv=True, **kw):
+            calls.append((enable_noise, enable_template, enable_didv))
+
+        monkeypatch.setattr(FilterDataProcessing, "process", fake_process)
+        proc = FilterDataProcessing.__new__(FilterDataProcessing)
+        proc.proces_didv()
+        proc.proces_noise()
+        assert calls == [(False, False, True), (True, False, False)]

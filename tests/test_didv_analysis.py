@@ -146,3 +146,107 @@ def test_filterbuilder_shared_store(tmp_path):
     back = FilterData(verbose=False).load_hdf5(path)
     arr2, _ = back.get_template("chan1")
     np.testing.assert_allclose(arr2, arr)
+
+
+def test_didv_reference_surface(didv_raw, tmp_path, capsys):
+    """Reference-parity getters/printers on DIDVAnalysis
+    (core/didv.py:57-160, :996-1320)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    ana = DIDVAnalysis(verbose=False)
+    ana.process_raw_data("chan1", didv_raw["files"], SGFREQ, SGAMP, RSH)
+    # empty results before any fit
+    assert ana.get_fit_results("chan1", 2, verbose=False) == {}
+    ana.dofit("chan1", poles=2)
+    ana.set_ivsweep_results("chan1", {
+        "r0": R0, "rp": RP, "rshunt": RSH, "i0": didv_raw["i0"],
+        "i0_err": 1e-9, "r0_err": 1e-3, "p0": didv_raw["i0"]**2 * R0,
+        "p0_err": 1e-16, "ibias": didv_raw["ibias"]})
+    ana.calc_smallsignal_params("chan1", poles=2)
+    ana.calc_bias_params_infinite_loop_gain("chan1", poles=2)
+
+    # assembled fit results
+    res = ana.get_fit_results("chan1", 2)
+    assert {"params", "cov", "cost", "smallsignalparams",
+            "biasparams", "biasparams_infinite_lgain"} <= set(res)
+    assert abs(res["smallsignalparams"]["beta"] - BETA) < 0.5
+
+    # bias params getters
+    bias = ana.get_bias_params("chan1", poles=2)
+    assert bias["r0"] == R0
+    ilg = ana.get_bias_params_infinite_loop_gain("chan1", poles=2)
+    assert np.isfinite(ilg["r0"])
+    with pytest.raises(ValueError):
+        ana.get_bias_params_infinite_loop_gain("chan1", poles=3)
+
+    # qetpy-object getter returns the native data bundle
+    data = ana.get_qetpy_object("chan1")
+    assert data is ana.get_didv_data("chan1")
+    with pytest.raises(ValueError):
+        ana.get_qetpy_object("nope")
+
+    # comparison table + printer + plot
+    cmp_df = ana.compare_with_ivsweep("chan1", poles=2)
+    assert "R0 [mOhms]" in cmp_df.index
+    assert "IV sweep" in cmp_df.columns
+    ana.print_fit_result("chan1", poles=2)
+    out = capsys.readouterr().out
+    assert "2-poles fit" in out and "beta" in out
+    figs = ana.plot_fit_result("chan1", poles=2, save_path=str(tmp_path))
+    assert len(figs) == 1
+    assert (tmp_path / "didv_fit_chan1_2poles.png").exists()
+
+    # save_didv_data persists and reloads
+    path = str(tmp_path / "didv.h5")
+    ana.save_didv_data("chan1", file_path_name=path, save_hdf5=True)
+    fd = FilterData(verbose=False).load_hdf5(path)
+    stored = fd.get_didv_results("chan1", poles=2)
+    np.testing.assert_allclose(stored["params"], res["params"])
+
+    # clear drops everything
+    ana.clear("chan1")
+    assert ana.get_fit_results("chan1", 2, verbose=False) == {}
+    with pytest.raises(KeyError):
+        ana.get_didv_data("chan1")
+
+
+def test_set_iv_bor_data(tmp_path):
+    """Beginning-of-run IV (core/didv.py:385-485): normal-point line fit
+    plus one transition point recover i0/r0/p0."""
+    rng = np.random.default_rng(9)
+    rl = RSH + RP
+    rn = 0.3
+    ioffset = 1.0e-6
+    n = 4096
+    root = tmp_path / "bor"
+    r0_true = 0.1
+
+    def write(fname_prefix, dump, ibias, imeas):
+        w = RawWriter(str(root), "I1_D20260816_T200000", FS, ["chan1"],
+                      prefix=fname_prefix,
+                      data_type="continuous",
+                      detector_config={"chan1": {"tes_bias": ibias,
+                                                 "close_loop_norm": 1.0}})
+        traces = (imeas
+                  + rng.standard_normal((6, 1, n)) * 1e-10)
+        w.write_dump(traces, dump_num=dump)
+
+    ibias_norms = [200e-6, 180e-6, 160e-6]
+    for k, ib in enumerate(ibias_norms):
+        write(f"iv_bor_n{k}", k + 1, ib, ioffset + ib * RSH / (rn + rl))
+    ib_t = 50e-6
+    i0_true = ib_t * RSH / (r0_true + rl)
+    write("iv_bor_trans", 9, ib_t, ioffset + i0_true)
+
+    ana = DIDVAnalysis(verbose=False)
+    ana._didv_data["chan1"] = object()  # bias-params-only path
+    with pytest.raises(ValueError, match="rp"):
+        ana.set_iv_bor_data(str(root), 0, "chan1")
+    ana._bias_params["chan1"] = {"rp": RP, "rshunt": RSH}
+    params = ana.set_iv_bor_data(str(root), 0, "chan1")
+    np.testing.assert_allclose(params["i0"], i0_true, rtol=1e-3)
+    np.testing.assert_allclose(params["r0"], r0_true, rtol=1e-2)
+    np.testing.assert_allclose(params["rn"], rn, rtol=1e-2)
+    np.testing.assert_allclose(params["ioffset"], ioffset, rtol=1e-3)
+    # fed into the ssp path
+    assert ana._bias_params["chan1"]["r0"] == params["r0"]

@@ -76,9 +76,11 @@ def test_trigger_pipeline_finds_injected_pulses(dataset, tmp_path):
     proc = TriggerProcessing(dataset["raw_files"], dataset["config_path"],
                              filter_data=dataset["filter_path"],
                              verbose=False)
+    assert proc.get_output_path() is None
     df = proc.process(capacity=256, lgc_save=True,
                       output_path=str(tmp_path / "out"))
     assert len(df) == 3  # coincidence merged into one + 2 isolated
+    assert proc.get_output_path() == str(tmp_path / "out")
 
     idx = np.sort(df["trigger_index"].to_numpy())
     # merged coincidence keeps the primary (max Δχ² → chan1 at 20000)
