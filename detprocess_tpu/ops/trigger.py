@@ -1026,6 +1026,10 @@ def combine_trigger_sets(first: TriggerSet,
                       count_total=np.int32(total), n_above=n_above)
 
 
+
+#: Drop-in alias using the reference's name (core/oftrigger.py:262).
+combine_trigger_data = combine_trigger_sets
+
 def residual_subtract(dchi2: jnp.ndarray, triggers: TriggerSet,
                       kernel: TriggerKernel,
                       saturated: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -529,3 +529,9 @@ def test_dynamic_kernel_candidate_overflow_reported():
     assert int(ts2.n_above) == 5000 <= 8192
     assert int(np.asarray(ts2.indices)[0]) == 4700
     assert float(np.asarray(ts2.dchi2)[0]) == 100.0
+
+
+def test_combine_trigger_data_alias():
+    """The reference-named alias (core/oftrigger.py:262) is the same
+    function."""
+    assert trigger.combine_trigger_data is trigger.combine_trigger_sets
