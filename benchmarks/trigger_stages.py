@@ -108,7 +108,6 @@ def main():
         ("full_tiled_scan", jax.jit(full_tiled)),
         ("full_tiled_fused", jax.jit(full_tiled_fused)),
     ]
-    ms_per_10ms_prev = None
     for name, fn in stages:
         dt = timeit(fn, (x,))
         msamples = e * l / 1e6
@@ -119,7 +118,6 @@ def main():
             "ms_per_10Msamples": round(ms_per_10ms, 2),
             "Msamples_per_sec": round(rate, 1),
         }))
-        ms_per_10ms_prev = ms_per_10ms
 
 
 if __name__ == "__main__":

@@ -430,9 +430,17 @@ def find_triggers_tiled(dchi2: jnp.ndarray, amps: jnp.ndarray,
     m = amps.shape[0]
     l = r0 * b0
     g = _tile_size(pileup_window)
-    nt = l // g
-    d = dchi2.reshape(nt, g)
-    a = amps.reshape(m, nt, g)
+    # pad (statically) to a tile multiple with below-threshold samples —
+    # they can never go above threshold, so they never trigger or merge
+    pad = (-l) % g
+    d_flat = dchi2.reshape(-1)
+    a_flat = amps.reshape(m, -1)
+    if pad:
+        d_flat = jnp.pad(d_flat, (0, pad), constant_values=-jnp.inf)
+        a_flat = jnp.pad(a_flat, ((0, 0), (0, pad)))
+    nt = (l + pad) // g
+    d = d_flat.reshape(nt, g)
+    a = a_flat.reshape(m, nt, g)
 
     # --- one fused pass: per-tile summaries -------------------------------
     col = jnp.arange(g, dtype=jnp.int32)[None, :]
@@ -501,8 +509,7 @@ def find_triggers_blocks(dchi2: jnp.ndarray, amps: jnp.ndarray,
     across 256-sample rows with cross-row carries).
     """
     g = _tile_size(pileup_window)
-    if (winners_per_row is None and g >= 8
-            and (dchi2.shape[0] * dchi2.shape[1]) % g == 0):
+    if winners_per_row is None and g >= 8:
         return find_triggers_tiled(dchi2, amps, threshold, pileup_window,
                                    capacity)
     dchi2, amps = _retile_rows(dchi2, amps)
@@ -1015,7 +1022,11 @@ def combine_trigger_sets(first: TriggerSet,
     amps[:, :n1] = np.asarray(first.amplitudes)[:, :n1]
     amps[:, n1:n1 + n_new] = np.asarray(second.amplitudes)[:, :n2][:, new_pos]
 
-    total = int(first.count_total) + n_new
+    # groups the second pass found but couldn't keep (its own capacity
+    # truncation) are unknown-index and can't be deduped — count them as
+    # new so the truncation stays visible in count_total
+    trunc2 = int(second.count_total) - n2
+    total = int(first.count_total) + n_new + max(trunc2, 0)
     n_above = None
     if first.n_above is not None or second.n_above is not None:
         n_above = np.int32(

@@ -124,6 +124,11 @@ class NoiseModel(FilterData):
         which files the two-sided PSD under the channel's normal/sc/
         transition slot for the noise fits."""
         if state is None:
+            # store form: the 3rd positional is the parent's sample_rate;
+            # when the caller passed sample_rate as a KEYWORD instead,
+            # psd_freqs stays None and must not be forwarded positionally
+            if psd_freqs is None:
+                return super().set_psd(channel, psd, **kwargs)
             return super().set_psd(channel, psd, psd_freqs, **kwargs)
         if state not in ("normal", "sc", "transition"):
             raise ValueError('ERROR: "state" argument should be "normal", '
@@ -222,9 +227,6 @@ class NoiseModel(FilterData):
         if ivsweep_results is not None:
             self.set_ivsweep_results(channel, ivsweep_results, "noise")
             bias = data.setdefault("biasparams", {})
-            for key in ("rn", "rp", "rshunt"):
-                if key in ivsweep_results and key not in bias:
-                    bias[key] = ivsweep_results[key]
             bias.update({k: v for k, v in ivsweep_results.items()
                          if k not in bias})
             for state, key in (("normal", "normal_didv_fit_L"),

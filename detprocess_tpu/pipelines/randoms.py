@@ -61,16 +61,30 @@ class Randoms:
                 continue
         return out
 
+    def _group_dir(self) -> str:
+        """Directory of the raw GROUP. Handles both supported layouts:
+        flat ``{group}/*.hdf5`` and nested ``{group}/{series}/*.hdf5``
+        (the holding directory is named after the file's series → the
+        group is one level up, matching RawData._build_file_map)."""
+        from detprocess_tpu.io.rawdata import extract_series_name
+
+        d = os.path.dirname(os.path.abspath(self._reader.files[0]))
+        try:
+            if os.path.basename(d) == extract_series_name(
+                    self._reader.files[0]):
+                d = os.path.dirname(d)
+        except ValueError:
+            pass
+        return d
+
     def get_base_path(self) -> str:
         """Parent of the raw group directory (randoms.py:161-162)."""
-        group_dir = os.path.dirname(os.path.abspath(self._reader.files[0]))
-        return os.path.dirname(group_dir)
+        return os.path.dirname(self._group_dir())
 
     def get_group_name(self) -> str:
         """Raw group = the directory holding the input files
         (randoms.py:164-165)."""
-        return os.path.basename(
-            os.path.dirname(os.path.abspath(self._reader.files[0])))
+        return os.path.basename(self._group_dir())
 
     def get_output_path(self) -> Optional[str]:
         """Output group path of the last saved process() run

@@ -578,8 +578,11 @@ class TriggerProcessing:
                    tc.pileup_window, tc.run_residual,
                    tuple(tc.sat_amps) if tc.sat_amps is not None else None,
                    tc.positive_pulses,
-                   (id(tc.dynamic_threshold_function)
-                    if tc.dynamic_threshold_function is not None else None),
+                   # the function OBJECT (identity-hashed), not id():
+                   # holding it in the key keeps it alive, so a freed
+                   # address can never alias a new function into a stale
+                   # compiled entry
+                   tc.dynamic_threshold_function,
                    tc.dynamic_candidate_capacity)
             if key not in cache:
                 cache[key] = self._make_channel_fn(tc, capacity)

@@ -218,6 +218,10 @@ class TestNoiseModelSetters:
         # state=None falls through to the FilterData tagged store
         nm.set_psd("chan1", psd, FS, tag="default")
         assert nm.get_psd("chan1") is not None
+        # the parent's documented keyword form must keep working through
+        # the override (regression: sample_rate passed twice)
+        nm.set_psd("chan1", psd, sample_rate=FS, tag="kw")
+        assert nm.get_psd("chan1", tag="kw") is not None
 
     def test_fit_results_setters(self):
         from detprocess_tpu.pipelines.noisemodel import NoiseModel
@@ -344,6 +348,22 @@ class TestRandomsAccessors:
         assert r.get_group_name() == "run12_group1"
         assert r.get_base_path() == os.path.dirname(rawgroup["root"])
         assert r.get_output_path() is None
+
+    def test_paths_nested_series_layout(self, rawgroup, tmp_path):
+        """{group}/{series}/*.hdf5 layout (the RawData._build_file_map
+        fallback): the group is one level above the series directory
+        (regression: the series dir was reported as the group)."""
+        from detprocess_tpu.pipelines.randoms import Randoms
+        import glob, os, shutil
+        group = tmp_path / "run13_group2"
+        ser = rawgroup["series"][0]
+        (group / ser).mkdir(parents=True)
+        src = sorted(glob.glob(os.path.join(rawgroup["root"],
+                                            f"*{ser}*.hdf5")))
+        files = [shutil.copy(f, group / ser) for f in src]
+        r = Randoms(files, verbose=False)
+        assert r.get_group_name() == "run13_group2"
+        assert r.get_base_path() == str(tmp_path)
 
     def test_output_path_recorded(self, rawgroup, tmp_path):
         from detprocess_tpu.pipelines.randoms import Randoms

@@ -288,6 +288,73 @@ def test_combine_trigger_sets_dedup():
     assert int(m2.count_total) == 7 + 4
 
 
+def test_combine_second_pass_truncation_reported():
+    """A capacity-truncated SECOND pass must keep its unseen groups in
+    the merged count_total (regression: they were silently dropped, so
+    the pipeline's truncation warning could never fire for the residual
+    pass)."""
+    def make(indices, cap, total):
+        k = len(indices)
+        idx = np.full(cap, -1, dtype=np.int32)
+        idx[:k] = indices
+        d = np.zeros(cap)
+        d[:k] = 10.0
+        a = np.zeros((1, cap))
+        return trigger.TriggerSet(
+            indices=idx, dchi2=d, amplitudes=a,
+            count=np.int32(k), count_total=np.int32(total))
+
+    first = make([100, 500], cap=4, total=2)
+    # second pass found 6 groups but kept only 2 (one duplicates 500)
+    second = make([500, 700], cap=2, total=6)
+    merged = trigger.combine_trigger_sets(first, second)
+    assert int(merged.count) == 3            # 100, 500, 700
+    # 2 (first total) + 1 (new unique) + 4 (second's truncated groups)
+    assert int(merged.count_total) == 7
+    assert int(merged.count_total) > int(merged.count)  # warning fires
+
+
+def test_find_triggers_tiled_nondivisible_length():
+    """Trace lengths that are NOT a multiple of the tile size must pad
+    internally instead of crashing the reshape (regression: the pipeline
+    fast path dispatched such shapes straight to the tiled kernel)."""
+    rng = np.random.default_rng(7)
+    for window, shape in ((511, (4, 750)), (100, (3, 1001)),
+                          (2047, (1, 3000))):
+        l = shape[0] * shape[1]
+        d = rng.exponential(1.0, l)
+        spikes = rng.random(l) < 0.01
+        d[spikes] += rng.exponential(40, spikes.sum())
+        amps = d[None, :] * 0.5
+        thr = 8.0
+
+        above = np.where(d > thr)[0]
+        exp_idx = []
+        if len(above):
+            splits = np.where(np.diff(above) > window)[0] + 1
+            for group in np.split(above, splits):
+                exp_idx.append(group[np.argmax(d[group])])
+
+        g = trigger._tile_size(window)
+        assert l % g != 0  # the case under test
+        ts = trigger.find_triggers_tiled(
+            jnp.asarray(d).reshape(shape),
+            jnp.asarray(amps).reshape((1,) + shape),
+            thr, window, capacity=256)
+        count = int(ts.count)
+        assert count == len(exp_idx), (window, count, len(exp_idx))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ts.indices)[:count]), np.sort(exp_idx))
+        # the blocks dispatcher must route these shapes to the same path
+        ts2 = trigger.find_triggers_blocks(
+            jnp.asarray(d).reshape(shape),
+            jnp.asarray(amps).reshape((1,) + shape),
+            thr, window, capacity=256)
+        np.testing.assert_array_equal(
+            np.asarray(ts2.indices)[:int(ts2.count)],
+            np.asarray(ts.indices)[:count])
+
+
 def test_saturation_mask():
     lpf = jnp.zeros((1, 1000)).at[0, 500].set(1.0)
     mask = trigger.saturation_mask(lpf, [0.5], window=10)

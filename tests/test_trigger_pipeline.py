@@ -298,6 +298,13 @@ def test_dynamic_threshold_pipeline(tmp_path):
                   & (df_dyn["trigger_index"] < 65_000)]
     assert len(near) == 1
 
+    # the compiled-fn cache must key on the function OBJECT (holding a
+    # strong reference), not id(): a replacement fn allocated at a
+    # garbage-collected predecessor's address would otherwise silently
+    # reuse the stale compiled trigger logic
+    fn2 = proc2._channels[0].dynamic_threshold_function
+    assert any(fn2 in key for key in proc2._fn_cache)
+
 
 def test_job_summary_written(tmp_path):
     import glob
