@@ -210,6 +210,13 @@ def _twiddle_real(n1: int, n2: int, n: int, rdtype):
 _MATMUL_PRECISION = [jax.lax.Precision.HIGHEST]
 
 
+def current_matmul_precision():
+    """The DFT-matmul precision active in this trace context — for
+    kernels outside this module (e.g. the windowed direct delay
+    evaluation in ops/of1x1.py) that should honor the same override."""
+    return _MATMUL_PRECISION[-1]
+
+
 @contextmanager
 def matmul_precision(prec):
     """Override the DFT-matmul precision within this trace context.

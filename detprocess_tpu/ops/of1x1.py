@@ -288,6 +288,110 @@ def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     return OF1x1Result(amp, t0, chi2, lowchi2, c0)
 
 
+def prepare_delay_window(window_mask: np.ndarray, pretrigger: int,
+                         n: int, bin_w: np.ndarray):
+    """Host-side precompute for :func:`of1x1_windowed_direct_half`.
+
+    ``window_mask`` is the static boolean [N] over absolute trace indices
+    (as passed to ``of1x1_withdelay_half``). Returns
+    ``(eval_idx [W], valid [W], cos_mat [F, W], sin_mat [F, W])`` where
+    each contiguous run of allowed indices is extended by one guard
+    sample on each side (modulo N, matching the irfft path's
+    ``(imin±1) % n`` interpolation neighbors); ``valid`` marks the
+    interior (allowed) positions. Evaluation matrices carry the half-
+    spectrum bin weights: q_abs[eval_idx] = Re(prod)@cos − Im(prod)@sin
+    with prod = phi_h·ṽ_h.
+    """
+    window_mask = np.asarray(window_mask, bool)
+    if window_mask.shape[-1] != n:
+        raise ValueError("window_mask length != n")
+    idx = np.flatnonzero(window_mask)
+    if idx.size == 0:
+        raise ValueError("empty delay window")
+    # contiguous runs → [guard, run..., guard]
+    splits = np.flatnonzero(np.diff(idx) > 1) + 1
+    eval_idx, valid = [], []
+    for run in np.split(idx, splits):
+        eval_idx.extend([(run[0] - 1) % n, *run, (run[-1] + 1) % n])
+        valid.extend([False, *([True] * len(run)), False])
+    eval_idx = np.asarray(eval_idx, np.int32)
+    valid = np.asarray(valid, bool)
+    nh = len(bin_w)
+    k = np.arange(nh, dtype=np.float64)[:, None]
+    d = ((eval_idx.astype(np.int64) - pretrigger) % n)[None, :]
+    theta = 2.0 * np.pi * k * d / n
+    w = np.asarray(bin_w, np.float64)[:, None]
+    return (eval_idx, valid,
+            (np.cos(theta) * w), (np.sin(theta) * w))
+
+
+def of1x1_windowed_direct_half(vr, phi_h, norm, denom_inv_h, s_fft_h,
+                               bin_w, pretrigger: int, fs: float,
+                               eval_idx, valid, cos_mat, sin_mat,
+                               low_mask_h=None,
+                               interpolate_t0: bool = False,
+                               n: Optional[int] = None) -> OF1x1Result:
+    """Constrained delay-scan OF via a direct windowed DFT matmul.
+
+    Numerically equal to ``of1x1_withdelay_half(window_mask=...)`` but
+    for a narrow window of W allowed delays it skips the full [N]-point
+    inverse FFT chain (4 matmul/transpose passes over [B, N] complex
+    intermediates) and evaluates
+    q(d) = Σ_k w_k Re(phi_k ṽ_k e^{2πikd/N}) only at the W window
+    samples: two dense real [B, F]×[F, W] MXU matmuls, no intermediate
+    relayouts (round-3 perf item; reference constrained fit at
+    core/algorithms.py:355-460 scans the full ifft output too).
+
+    Inputs from :func:`prepare_delay_window`; W is static. Win is ~5×
+    at the end-to-end feature shapes (measured in BASELINE.md).
+    """
+    nh = vr.shape[-1]
+    n = n if n is not None else 2 * (nh - 1)
+    prec = dfft.current_matmul_precision()
+    prod = phi_h * vr
+    cos_mat = jnp.asarray(cos_mat, vr.real.dtype)
+    sin_mat = jnp.asarray(sin_mat, vr.real.dtype)
+    qw = (jnp.matmul(prod.real, cos_mat, precision=prec)
+          - jnp.matmul(prod.imag, sin_mat, precision=prec))   # [..., W]
+    c0 = chi2_base_half(vr, denom_inv_h, bin_w)
+    dchi2 = qw * qw / norm[..., None]
+    masked = jnp.where(jnp.asarray(valid), dchi2, -jnp.inf)
+    p = jnp.argmax(masked, axis=-1)                           # [...]
+    q_best = jnp.take_along_axis(qw, p[..., None], axis=-1)[..., 0]
+    amp = q_best / norm
+    chi2 = c0 - q_best * q_best / norm
+    imin = jnp.take(jnp.asarray(eval_idx), p)                 # absolute
+    t0_idx = imin.astype(qw.dtype) - pretrigger
+    shift = t0_idx
+
+    if interpolate_t0:
+        # guard extension guarantees positions p±1 exist and hold the
+        # absolute neighbors imin±1 (mod n) for every valid winner
+        pm1 = p - 1
+        pp1 = p + 1
+        ym1 = -jnp.take_along_axis(dchi2, pm1[..., None], axis=-1)[..., 0]
+        y0 = -jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
+        yp1 = -jnp.take_along_axis(dchi2, pp1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
+        am1 = jnp.take_along_axis(qw, pm1[..., None], axis=-1)[..., 0] / norm
+        ap1 = jnp.take_along_axis(qw, pp1[..., None], axis=-1)[..., 0] / norm
+        a_denom = am1 - 2.0 * amp + ap1
+        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
+        shift = t0_idx + delta
+
+    t0 = shift / fs
+    if low_mask_h is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        lowchi2 = _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h,
+                                      bin_w, low_mask_h, n)
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
 def energy_resolution(norm: jnp.ndarray) -> jnp.ndarray:
     """σ_amp = 1/sqrt(norm) — OF amplitude resolution
     (qetpy OF1x1.get_energy_resolution equivalent)."""

@@ -50,6 +50,11 @@ SENTINEL = -999999.0
 
 OF_1X1_ALGORITHMS = ("of1x1_nodelay", "of1x1_unconstrained",
                      "of1x1_constrained")
+
+#: constrained-OF windows at or below this many allowed delays use the
+#: direct windowed DFT-matmul kernel instead of the full inverse-FFT
+#: chain (measured break-even on v5e is well above this; BASELINE.md)
+DIRECT_WINDOW_MAX = 1024
 OF_NXM_ALGORITHMS = ("ofnxm", "ofnxmx2")
 PSD_ALGORITHMS = ("psd_amp", "psd_peaks", "phase")
 TRACE_ALGORITHMS = ("baseline", "integral", "maximum", "minimum",
@@ -466,7 +471,7 @@ class FeatureProcessing:
             mask[lo:hi + 1] = True
             if spec.kwargs.get("lgc_outside_window", False):
                 mask = ~mask
-            return jnp.asarray(mask)
+            return mask
 
         # channels needing only the half spectrum (1x1 OF fast path) vs
         # those needing the full spectrum (psd features, of1x2x2)
@@ -522,12 +527,33 @@ class FeatureProcessing:
                     else:
                         wmask = (window_mask_for(spec)
                                  if spec.base == "of1x1_constrained" else None)
-                        r = of1x1.of1x1_withdelay_half(
-                            vr, phi, norm, dinv, s_fft, binw, of_pretrig, fs,
-                            window_mask=wmask, low_mask_h=lmask,
-                            interpolate_t0=bool(kwargs.get("interpolate",
-                                                           False)),
-                            n=n)
+                        if (wmask is not None
+                                and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                            # narrow window → direct windowed DFT matmul
+                            # (skips the full [N] inverse-FFT chain;
+                            # ops/of1x1.py::of1x1_windowed_direct_half)
+                            binw_host = np.full(n // 2 + 1, 2.0)
+                            binw_host[0] = 1.0
+                            if n % 2 == 0:
+                                binw_host[-1] = 1.0
+                            eidx, valid, cmat, smat = (
+                                of1x1.prepare_delay_window(
+                                    wmask, of_pretrig, n, binw_host))
+                            r = of1x1.of1x1_windowed_direct_half(
+                                vr, phi, norm, dinv, s_fft, binw,
+                                of_pretrig, fs, eidx, valid, cmat, smat,
+                                low_mask_h=lmask,
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate", False)),
+                                n=n)
+                        else:
+                            r = of1x1.of1x1_withdelay_half(
+                                vr, phi, norm, dinv, s_fft, binw,
+                                of_pretrig, fs,
+                                window_mask=wmask, low_mask_h=lmask,
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate", False)),
+                                n=n)
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
                         out[f"t0_{name}_{fc}"] = r.t0[:, 0]
                         out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]

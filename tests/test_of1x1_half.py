@@ -80,6 +80,54 @@ def test_withdelay_half_equals_full(setup):
                                    np.asarray(full.chi2), rtol=1e-9)
 
 
+def test_windowed_direct_equals_masked_irfft(setup):
+    """The direct windowed DFT-matmul kernel (round-3 perf path for
+    narrow constrained windows) must match the masked irfft scan
+    exactly: contiguous windows, outside-window (two runs, wrapping
+    guards), low-frequency chi2, and parabolic interpolation."""
+    traces, bank, dev = setup
+    bh = filterbank.device_bank_1x1_half(dev)
+    vr = of1x1.signal_rfft(jnp.asarray(traces)[:, None, :])
+    lm_half = jnp.asarray(of1x1.lowfreq_mask_half(N, FS, 10000.0))
+    binw_host = np.asarray(bh.bin_w, np.float64)
+
+    masks = []
+    wmask = np.zeros(N, dtype=bool)
+    wmask[PRETRIG - 200:PRETRIG + 200] = True
+    masks.append(wmask)
+    # window touching the trace start (guard wraps modulo N)
+    m2 = np.zeros(N, dtype=bool)
+    m2[0:64] = True
+    masks.append(m2)
+    # two disjoint runs (lgc_outside_window shape)
+    m3 = np.zeros(N, dtype=bool)
+    m3[100:150] = True
+    m3[5000:5030] = True
+    masks.append(m3)
+
+    for mask in masks:
+        for interp in (False, True):
+            ref = of1x1.of1x1_withdelay_half(
+                vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+                PRETRIG, FS, window_mask=jnp.asarray(mask),
+                low_mask_h=lm_half, interpolate_t0=interp, n=N)
+            eidx, valid, cmat, smat = of1x1.prepare_delay_window(
+                mask, PRETRIG, N, binw_host)
+            got = of1x1.of1x1_windowed_direct_half(
+                vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+                PRETRIG, FS, eidx, valid, cmat, smat,
+                low_mask_h=lm_half, interpolate_t0=interp, n=N)
+            np.testing.assert_allclose(np.asarray(got.amp),
+                                       np.asarray(ref.amp), rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(got.t0),
+                                       np.asarray(ref.t0), rtol=0,
+                                       atol=1e-9 / FS)
+            np.testing.assert_allclose(np.asarray(got.chi2),
+                                       np.asarray(ref.chi2), rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(got.lowchi2),
+                                       np.asarray(ref.lowchi2), rtol=1e-9)
+
+
 def test_constrained_window_randomized():
     """Window-constrained delay fits exact vs the loop oracle across
     random geometries and windows."""
