@@ -289,18 +289,21 @@ def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
 
 
 def prepare_delay_window(window_mask: np.ndarray, pretrigger: int,
-                         n: int, bin_w: np.ndarray):
-    """Host-side precompute for :func:`of1x1_windowed_direct_half`.
+                         n: int, bin_w: Optional[np.ndarray] = None):
+    """Host-side precompute for the direct windowed delay kernels
+    (:func:`of1x1_windowed_direct_half`, ofnxm's direct variant).
 
     ``window_mask`` is the static boolean [N] over absolute trace indices
     (as passed to ``of1x1_withdelay_half``). Returns
-    ``(eval_idx [W], valid [W], cos_mat [F, W], sin_mat [F, W])`` where
+    ``(eval_idx [W], valid [W], cos_mat [K, W], sin_mat [K, W])`` where
     each contiguous run of allowed indices is extended by one guard
     sample on each side (modulo N, matching the irfft path's
     ``(imin±1) % n`` interpolation neighbors); ``valid`` marks the
-    interior (allowed) positions. Evaluation matrices carry the half-
-    spectrum bin weights: q_abs[eval_idx] = Re(prod)@cos − Im(prod)@sin
-    with prod = phi_h·ṽ_h.
+    interior (allowed) positions. With ``bin_w`` (half spectrum,
+    K = N//2+1) the matrices carry the per-bin weights:
+    q_abs[eval_idx] = Re(prod)@cos − Im(prod)@sin with prod = phi_h·ṽ_h.
+    Without it they span the full spectrum (K = N, unit weights) for
+    full-fft products (NxM path).
     """
     window_mask = np.asarray(window_mask, bool)
     if window_mask.shape[-1] != n:
@@ -316,11 +319,12 @@ def prepare_delay_window(window_mask: np.ndarray, pretrigger: int,
         valid.extend([False, *([True] * len(run)), False])
     eval_idx = np.asarray(eval_idx, np.int32)
     valid = np.asarray(valid, bool)
-    nh = len(bin_w)
-    k = np.arange(nh, dtype=np.float64)[:, None]
+    nk = n if bin_w is None else len(bin_w)
+    k = np.arange(nk, dtype=np.float64)[:, None]
     d = ((eval_idx.astype(np.int64) - pretrigger) % n)[None, :]
     theta = 2.0 * np.pi * k * d / n
-    w = np.asarray(bin_w, np.float64)[:, None]
+    w = (np.ones((1, 1)) if bin_w is None
+         else np.asarray(bin_w, np.float64)[:, None])
     return (eval_idx, valid,
             (np.cos(theta) * w), (np.sin(theta) * w))
 

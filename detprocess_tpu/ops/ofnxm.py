@@ -120,6 +120,64 @@ def ofnxm_withdelay(
     return OFNxMResult(amps, t0, chi2)
 
 
+def ofnxm_withdelay_direct(
+    vfft: jnp.ndarray,
+    phi: jnp.ndarray,
+    w_matrix: jnp.ndarray,
+    iw_matrix: jnp.ndarray,
+    icsd: jnp.ndarray,
+    pretrigger: int,
+    fs: float,
+    eval_idx, valid, cos_mat, sin_mat,
+    interpolate_t0: bool = False,
+) -> OFNxMResult:
+    """Constrained NxM delay scan via direct windowed DFT matmuls.
+
+    Numerically equal to ``ofnxm_withdelay(window_mask=...)`` but for a
+    narrow window of W allowed delays it skips the M full inverse FFTs
+    (``_q_timeseries``) and evaluates
+    q_m(d) = Σ_k (φᵀṽ)_{m,k} e^{2πikd/N} only at the W window samples:
+    two dense real [..M, N]×[N, W] MXU matmuls (same round-3 perf
+    pattern as ``of1x1_windowed_direct_half``; see
+    ``of1x1.prepare_delay_window`` with ``bin_w=None``).
+    """
+    from detprocess_tpu.ops import fft as _dfft
+
+    prec = _dfft.current_matmul_precision()
+    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    cos_mat = jnp.asarray(cos_mat, vfft.real.dtype)
+    sin_mat = jnp.asarray(sin_mat, vfft.real.dtype)
+    qw = (jnp.matmul(integrand.real, cos_mat, precision=prec)
+          - jnp.matmul(integrand.imag, sin_mat, precision=prec))
+    # [..., M, W]
+    dchi2 = jnp.einsum("...iw,ij,...jw->...w", qw, iw_matrix, qw)
+    masked = jnp.where(jnp.asarray(valid), dchi2, -jnp.inf)
+    p = jnp.argmax(masked, axis=-1)
+    q_best = jnp.take_along_axis(
+        qw, p[..., None, None], axis=-1)[..., 0]             # [..., M]
+    amps = jnp.einsum("ij,...j->...i", iw_matrix, q_best)
+    chi2_0 = chi2_base_nxm(vfft, icsd, fs)
+    dchi2_best = jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
+    chi2 = chi2_0 - dchi2_best
+    imax = jnp.take(jnp.asarray(eval_idx), p)
+    shift = imax.astype(chi2.dtype) - pretrigger
+    if interpolate_t0:
+        # guard extension guarantees positions p±1 hold imax±1 (mod N)
+        ym1 = -jnp.take_along_axis(dchi2, (p - 1)[..., None],
+                                   axis=-1)[..., 0]
+        y0 = -dchi2_best
+        yp1 = -jnp.take_along_axis(dchi2, (p + 1)[..., None],
+                                   axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
+        shift = shift + delta
+    t0 = shift / fs
+    return OFNxMResult(amps, t0, chi2)
+
+
 # ---------------------------------------------------------------------------
 # NxMx2: two template groups with independent time shifts
 # ---------------------------------------------------------------------------

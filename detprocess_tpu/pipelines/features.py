@@ -610,11 +610,25 @@ class FeatureProcessing:
                     r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi, nb.iw_matrix,
                                                nb.icsd, fs)
                     wmask = window_mask_for(spec)
-                    r_wd = ofnxm.ofnxm_withdelay(
-                        vfft, nb.phi, nb.w_matrix, nb.iw_matrix, nb.icsd,
-                        of_pretrig, fs, window_mask=wmask,
-                        interpolate_t0=bool(kwargs.get("interpolate_t0",
-                                                       False)))
+                    if (wmask is not None
+                            and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                        # narrow window → direct windowed DFT matmuls
+                        # instead of M full inverse FFTs
+                        eidx, valid, cmat, smat = (
+                            of1x1.prepare_delay_window(
+                                wmask, of_pretrig, n))
+                        r_wd = ofnxm.ofnxm_withdelay_direct(
+                            vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
+                            nb.icsd, of_pretrig, fs, eidx, valid, cmat,
+                            smat,
+                            interpolate_t0=bool(
+                                kwargs.get("interpolate_t0", False)))
+                    else:
+                        r_wd = ofnxm.ofnxm_withdelay(
+                            vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
+                            nb.icsd, of_pretrig, fs, window_mask=wmask,
+                            interpolate_t0=bool(
+                                kwargs.get("interpolate_t0", False)))
                     m = r_nd.amps.shape[-1]
                     amp_names = kwargs.get("amplitude_names") or [
                         f"amp{i + 1}" for i in range(m)]

@@ -103,6 +103,12 @@ def dataset(tmp_path_factory):
         },
         "chan1|chan2": {
             "ofnxm": {"run": True, "template_tag": "default"},
+            # narrow window → exercises the direct windowed DFT-matmul
+            # dispatch (ofnxm_withdelay_direct)
+            "ofnxm_win": {"run": True, "base_algorithm": "ofnxm",
+                          "template_tag": "default",
+                          "window_min_from_trig_usec": -40.0,
+                          "window_max_from_trig_usec": 40.0},
         },
     }
     config_path = str(root / "process.yaml")
@@ -227,6 +233,14 @@ def test_amplitude_recovery(dataset, result):
     a2 = df["amp2_ofnxm_nodelay_chan1|chan2"].to_numpy()
     assert np.all(np.abs(a1 - amps[:, 0]) < 1e-7)
     assert np.all(np.abs(a2 - amps[:, 1]) < 1e-7)
+    # windowed NxM (direct DFT-matmul dispatch): pulses are at the
+    # pretrigger, inside the ±40 µs window → same recovery, t0 in window
+    w1 = df["amp1_ofnxm_win_constrained_chan1|chan2"].to_numpy()
+    w2 = df["amp2_ofnxm_win_constrained_chan1|chan2"].to_numpy()
+    assert np.all(np.abs(w1 - amps[:, 0]) < 1e-7)
+    assert np.all(np.abs(w2 - amps[:, 1]) < 1e-7)
+    t0w = df["t0_ofnxm_win_constrained_chan1|chan2"].to_numpy()
+    assert np.all(np.abs(t0w) <= 40e-6 + 1e-12)
 
 
 def test_table_output_roundtrip(dataset, result, tmp_path):

@@ -80,6 +80,44 @@ def test_withdelay_matches_reference(setup):
         np.testing.assert_allclose(float(res.chi2[i]), chi2, rtol=1e-8)
 
 
+def test_withdelay_direct_equals_masked(setup):
+    """The direct windowed DFT-matmul NxM kernel must match the masked
+    full-scan path exactly: contiguous and disjoint windows, with and
+    without parabolic interpolation."""
+    _, _, traces, _, _, bank, _ = setup
+    n = traces.shape[-1]
+    vfft = of1x1.signal_fft(jnp.asarray(traces))
+    masks = []
+    m1 = np.zeros(n, bool)
+    m1[PRETRIG - 60:PRETRIG + 60] = True
+    masks.append(m1)
+    m2 = np.zeros(n, bool)
+    m2[0:40] = True
+    m2[PRETRIG:PRETRIG + 30] = True
+    masks.append(m2)
+    for mask in masks:
+        for interp in (False, True):
+            ref = ofnxm.ofnxm_withdelay(
+                vfft, jnp.asarray(bank.phi), jnp.asarray(bank.w_matrix),
+                jnp.asarray(bank.iw_matrix), jnp.asarray(bank.icsd),
+                PRETRIG, FS, window_mask=jnp.asarray(mask),
+                interpolate_t0=interp)
+            eidx, valid, cmat, smat = of1x1.prepare_delay_window(
+                mask, PRETRIG, n)
+            got = ofnxm.ofnxm_withdelay_direct(
+                vfft, jnp.asarray(bank.phi), jnp.asarray(bank.w_matrix),
+                jnp.asarray(bank.iw_matrix), jnp.asarray(bank.icsd),
+                PRETRIG, FS, eidx, valid, cmat, smat,
+                interpolate_t0=interp)
+            np.testing.assert_allclose(np.asarray(got.amps),
+                                       np.asarray(ref.amps), rtol=1e-8)
+            np.testing.assert_allclose(np.asarray(got.t0),
+                                       np.asarray(ref.t0), rtol=0,
+                                       atol=1e-9 / FS)
+            np.testing.assert_allclose(np.asarray(got.chi2),
+                                       np.asarray(ref.chi2), rtol=1e-8)
+
+
 def test_withdelay_recovers_injection(setup):
     _, _, traces, amps_true, offsets, bank, _ = setup
     vfft = of1x1.signal_fft(jnp.asarray(traces))
