@@ -774,7 +774,9 @@ class FeatureProcessing:
             df = df.iloc[:nevents]
         batch_traces, admins = [], []
         dropped = 0
-        for _, row in df.iterrows():
+        # plain dicts: pandas iterrows costs ~0.5 ms/row in Series scalar
+        # lookups (measured ~25% of warm wall time at 1k rows)
+        for row in df.to_dict("records"):
             fname = self._file_for_row(row)
             if fname is None:
                 dropped += 1
@@ -917,9 +919,17 @@ class FeatureProcessing:
         inflight: List[tuple] = []
 
         def emit(entry):
-            dev_feats, admins, nb = entry
-            feats = {k: np.asarray(v, np.float64)
-                     for k, v in dev_feats.items()}
+            keys, packed, extras, admins, nb = entry
+            # ONE device→host transfer for all packed columns: per-column
+            # np.asarray costs a full device round trip each (measured
+            # ~30 ms/column on the dev tunnel — 11 columns made the
+            # transfer, not the compute, the warm bottleneck)
+            feats = {}
+            if keys:
+                arr = np.asarray(packed, np.float64)
+                feats.update({k: arr[i] for i, k in enumerate(keys)})
+            feats.update({k: np.asarray(v, np.float64)
+                          for k, v in extras.items()})
             state["total"] += nb
             self._emit_frame(feats, admins, nb, frames, state, lgc_save,
                              output_path, output_format, out_series,
@@ -930,7 +940,18 @@ class FeatureProcessing:
             dev_feats: Dict[str, jnp.ndarray] = {}
             for group_fn, bank in zip(self._group_fns, banks):
                 dev_feats.update(group_fn(raw, bank))
-            inflight.append((dev_feats, admins, raw_np.shape[0]))
+            nb = raw_np.shape[0]
+            # pack homogeneous [B] float columns into one [ncol, B] array
+            pack = {k: v for k, v in dev_feats.items()
+                    if getattr(v, "ndim", None) == 1 and v.shape[0] == nb
+                    and jnp.issubdtype(v.dtype, jnp.floating)}
+            extras = {k: v for k, v in dev_feats.items() if k not in pack}
+            keys = list(pack)
+            packed = None
+            if keys:
+                ct = jnp.result_type(*(pack[k].dtype for k in keys))
+                packed = jnp.stack([pack[k].astype(ct) for k in keys])
+            inflight.append((keys, packed, extras, admins, nb))
             if len(inflight) > max(pipeline_depth, 0):
                 emit(inflight.pop(0))
         for entry in inflight:
