@@ -53,8 +53,11 @@ OF_1X1_ALGORITHMS = ("of1x1_nodelay", "of1x1_unconstrained",
 
 #: constrained-OF windows at or below this many allowed delays use the
 #: direct windowed DFT-matmul kernel instead of the full inverse-FFT
-#: chain (measured break-even on v5e is well above this; BASELINE.md)
-DIRECT_WINDOW_MAX = 1024
+#: chain. Measured on v5e at 32k traces: direct wins 1.65× at W≈100 and
+#: loses ~9% at W≈1000 (matmul cost grows linearly in W) — break-even
+#: is a few hundred samples; 512 keeps dispatch on the winning side
+#: (BASELINE.md "Constrained OF").
+DIRECT_WINDOW_MAX = 512
 OF_NXM_ALGORITHMS = ("ofnxm", "ofnxmx2")
 PSD_ALGORITHMS = ("psd_amp", "psd_peaks", "phase")
 TRACE_ALGORITHMS = ("baseline", "integral", "maximum", "minimum",
