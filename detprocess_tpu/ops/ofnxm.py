@@ -182,6 +182,14 @@ def ofnxm_withdelay_direct(
 # NxMx2: two template groups with independent time shifts
 # ---------------------------------------------------------------------------
 
+# Union-window width at or below which ofnxmx2 evaluates q via direct
+# windowed DFT matmuls instead of M full inverse FFTs (same break-even
+# family as of1x1.DIRECT_WINDOW_MAX; the union scan reads q at every
+# window sample each pair, so the direct evaluation also shrinks the
+# gather source from N to |union|).
+DIRECT_UNION_MAX = 512
+
+
 class OFNxMx2Result(NamedTuple):
     amps: jnp.ndarray      # [..., M]
     deltat: jnp.ndarray    # [...] — t(group2) − t(group1), seconds
@@ -217,10 +225,34 @@ def ofnxmx2(
     m = s_fft.shape[1]
     g = np.asarray(group_ids)
 
-    # per-template q time series (absolute indices); phi = conj(J⁻¹s̃)
+    # per-template q values; phi = conj(J⁻¹s̃)
     # (NOT J⁻¹·conj(s̃) — see ops/filterbank.py make_ofnxm_bank)
     phi = jnp.conj(jnp.einsum("kab,bmk->amk", icsd, s_fft)) / (n * fs)
-    q_abs = _q_timeseries(vfft, phi, pretrigger)             # [..., M, N]
+
+    idx1 = np.where(np.asarray(window1))[0]
+    idx2 = np.where(np.asarray(window2))[0]
+    # q is only ever read at the fit-window shifts, so evaluate it ONLY
+    # there: for short windows a direct windowed DFT matmul over the
+    # union of windows replaces M full inverse FFTs (the same round-3
+    # perf pattern as of1x1_windowed_direct_half); wide windows keep the
+    # ifft time series and gather from it
+    idx_u = np.union1d(idx1, idx2)
+    pos1 = jnp.asarray(np.searchsorted(idx_u, idx1))
+    pos2 = jnp.asarray(np.searchsorted(idx_u, idx2))
+    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)    # [..., M, N]
+    if len(idx_u) <= DIRECT_UNION_MAX:
+        prec = dfft.current_matmul_precision()
+        kk = np.arange(n, dtype=np.float64)[:, None]
+        dd = ((idx_u.astype(np.int64) - pretrigger) % n)[None, :]
+        th = 2.0 * np.pi * kk * dd / n
+        cos_m = jnp.asarray(np.cos(th), vfft.real.dtype)
+        sin_m = jnp.asarray(np.sin(th), vfft.real.dtype)
+        q_win = (jnp.matmul(integrand.real, cos_m, precision=prec)
+                 - jnp.matmul(integrand.imag, sin_m, precision=prec))
+    else:
+        q_t = dfft.ifft(integrand, axis=-1).real * n
+        q_abs = jnp.roll(q_t, pretrigger, axis=-1)           # [..., M, N]
+        q_win = q_abs[..., jnp.asarray(idx_u)]               # [..., M, WU]
 
     # pairwise template overlap vs relative shift Δ (cross-group terms only):
     # R_ij(Δ) = Re Σ_k s̃_i† J⁻¹ s̃_j e^{2πikΔ/N} / (N·fs)  — via one ifft
@@ -229,17 +261,16 @@ def ofnxmx2(
     cross_k = jnp.einsum("kci,kcj->ijk", jnp.conj(s_f), js)  # [M, M, N]
     r_delta = dfft.ifft(cross_k, axis=-1).real * n / (n * fs)  # [M, M, NΔ]
 
-    idx1 = np.where(np.asarray(window1))[0]
-    idx2 = np.where(np.asarray(window2))[0]
     w1 = jnp.asarray(idx1)
     w2 = jnp.asarray(idx2)
 
     same_group = (g[:, None] == g[None, :])
     base_w = r_delta[..., 0]                                 # Δ=0 overlaps
 
-    def solve_pair(d1, d2):
+    def solve_pair(i1, i2):
         # weight matrix for this (d1, d2): same-group entries at Δ=0,
         # cross-group at Δ = ±(d2−d1)
+        d1, d2 = w1[i1], w2[i2]
         delta = (d2 - d1) % n
         # P_ij needs e^{−iω(d_gj − d_gi)}; r_delta(Δ) carries e^{+iωΔ}, so
         # entry (i,j) with g_i=0, g_j=1 (relative shift +Δ) uses r_delta(−Δ)
@@ -250,25 +281,27 @@ def ofnxmx2(
         p = jnp.where(jnp.asarray(same_group), base_w,
                       jnp.where(gi < gj, r_m, r_p))
         ip = jnp.linalg.inv(p)
-        # q vector: template i evaluated at its group's shift
-        d_for = jnp.where(jnp.asarray(g) == 0, d1, d2)       # [M]
-        idx = jnp.broadcast_to(d_for[:, None], q_abs.shape[:-1] + (1,))
-        q = jnp.take_along_axis(q_abs, idx, axis=-1)[..., 0]
+        # q vector: template i evaluated at its group's shift (positions
+        # into the union-window evaluation)
+        pos_for = jnp.where(jnp.asarray(g) == 0, pos1[i1], pos2[i2])
+        idx = jnp.broadcast_to(pos_for[:, None], q_win.shape[:-1] + (1,))
+        q = jnp.take_along_axis(q_win, idx, axis=-1)[..., 0]
         amps = jnp.einsum("ij,...j->...i", ip, q)
         dchi2 = jnp.einsum("...i,ij,...j->...", q, ip, q)
         return amps, dchi2
 
-    def scan_d2(d1):
-        def body(d2):
-            return solve_pair(d1, d2)
-        amps, dchi2 = jax.vmap(body)(w2)
+    def scan_d2(i1):
+        def body(i2):
+            return solve_pair(i1, i2)
+        amps, dchi2 = jax.vmap(body)(jnp.arange(len(idx2)))
         best = jnp.argmax(dchi2, axis=0)
         return (jnp.take_along_axis(
                     amps, best[None, ..., None], axis=0)[0],
                 jnp.take_along_axis(dchi2, best[None, ...], axis=0)[0],
                 w2[best])
 
-    amps_all, dchi2_all, d2_all = jax.vmap(scan_d2)(w1)      # [W1, ...]
+    amps_all, dchi2_all, d2_all = jax.vmap(scan_d2)(
+        jnp.arange(len(idx1)))                               # [W1, ...]
     best1 = jnp.argmax(dchi2_all, axis=0)
     amps = jnp.take_along_axis(amps_all, best1[None, ..., None], axis=0)[0]
     dchi2 = jnp.take_along_axis(dchi2_all, best1[None, ...], axis=0)[0]

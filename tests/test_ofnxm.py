@@ -269,6 +269,44 @@ def test_ofnxmx2_matches_brute_force_grid():
     np.testing.assert_allclose(np.asarray(res.amps[0]), a_bf, rtol=1e-8)
 
 
+def test_ofnxmx2_direct_and_ifft_branches_agree(monkeypatch):
+    """The windowed-direct DFT q-evaluation (union <= DIRECT_UNION_MAX)
+    and the full-ifft gather must produce identical fits on the same
+    input — forced by toggling the dispatch threshold."""
+    rng = np.random.default_rng(33)
+    nn, pre = 1024, 256
+    t1 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=10e-6, tau_f1=60e-6)
+    t2 = pulse.make_template(FS, nn, pre, A=1.0, tau_r=25e-6,
+                             tau_f1=200e-6)
+    templates = np.stack([t1, t2])[None, :, :]
+    csd = np.full((1, 1, nn), 3e-20, dtype=complex)
+    bank = filterbank.make_ofnxm_bank(templates, csd, FS, pre)
+
+    trace = (rng.standard_normal((3, nn)) * 2e-8
+             + 3e-6 * np.roll(t1, -7) + 2e-6 * np.roll(t2, 14))
+    w1 = np.zeros(nn, bool)
+    w1[pre - 20: pre + 21] = True
+    w2 = np.zeros(nn, bool)
+    w2[pre: pre + 30] = True
+    vfft = of1x1.signal_fft(jnp.asarray(trace)[:, None, :])
+
+    outs = {}
+    for label, thresh in (("direct", 512), ("ifft", 0)):
+        monkeypatch.setattr(ofnxm, "DIRECT_UNION_MAX", thresh)
+        (res, (d1, d2)) = ofnxm.ofnxmx2(
+            vfft, jnp.asarray(bank.s_fft), jnp.asarray(bank.icsd),
+            np.array([0, 1]), w1, w2, pre, FS)
+        outs[label] = (np.asarray(res.amps), np.asarray(res.chi2),
+                       np.asarray(d1), np.asarray(d2))
+
+    np.testing.assert_array_equal(outs["direct"][2], outs["ifft"][2])
+    np.testing.assert_array_equal(outs["direct"][3], outs["ifft"][3])
+    np.testing.assert_allclose(outs["direct"][0], outs["ifft"][0],
+                               rtol=1e-9)
+    np.testing.assert_allclose(outs["direct"][1], outs["ifft"][1],
+                               rtol=1e-9)
+
+
 def test_exact_recovery_phase_correlated_csd():
     """phi must be conj(J⁻¹s̃): with a PHYSICAL CSD whose cross-channel
     terms carry frequency-dependent phase (estimated from time-shifted
