@@ -238,8 +238,10 @@ def matmul_precision(prec):
         _MATMUL_PRECISION.pop()
 
 
-def _matmul_fft_last(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
-    """Four-step FFT with both stages as DFT matmuls (MXU path).
+def _matmul_fft_stages(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """Four-step FFT stages as DFT matmuls (MXU path), WITHOUT the final
+    transpose: output is blocked storage ``h[k1, k2]`` holding spectral
+    bin ``k1 + n1·k2`` (see :func:`perm_indices`).
 
     Complex arithmetic is explicit re/im so every contraction is a REAL
     matmul — XLA's complex dot lowers poorly on TPU. Precision comes from
@@ -272,9 +274,186 @@ def _matmul_fft_last(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
 
     o_re = mm2(c2, h_re) - mm2(s2, h_im)
     o_im = mm2(s2, h_re) + mm2(c2, h_im)
-    out = jax.lax.complex(o_re, o_im)
-    out = jnp.swapaxes(out, -1, -2)
-    return jnp.reshape(out, x.shape[:-1] + (n,))
+    return jax.lax.complex(o_re, o_im)                 # [..., n1, n2]
+
+
+def _matmul_fft_last(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """Four-step matmul FFT in natural output order (blocked stages + one
+    final transpose pass)."""
+    out = jnp.swapaxes(_matmul_fft_stages(x, n1, n2), -1, -2)
+    return jnp.reshape(out, x.shape[:-1] + (n1 * n2,))
+
+
+# ---------------------------------------------------------------------------
+# permuted-layout (transpose-free) transforms
+#
+# The four-step FFT's only non-matmul HBM passes are the final transpose and
+# (for real input) the untangle's reversed-index read. But every optimal-
+# filter consumer is either order-agnostic (weighted reductions over k) or
+# ends in an inverse transform — so the spectrum never NEEDS to be in
+# natural order. These variants keep the forward output in its blocked
+# [k1, k2] storage order and derive the inverse decomposition that CONSUMES
+# exactly that order while emitting natural-order output:
+#
+#     x[m2 + n2·m1] = Σ_{k1} e^{+2πik1(m2+n2·m1)/M} ·
+#                      (Σ_{k2} h[k1,k2] e^{+2πik2·m2/n2}) / M
+#
+# i.e. stage A = n2-point IDFT along the LAST storage axis, twiddle, stage
+# C = n1-point IDFT along the PENULTIMATE axis — both leave the storage
+# layout untouched and the [m1, m2] result flattens row-major into natural
+# time order. Zero transposes in either direction; k-space weights are
+# pre-permuted on the host (perm_indices/half_perm_indices). Measured
+# round-3: the feature OF chain is bound by exactly these intermediate
+# passes (BASELINE.md roofline), not by matmul FLOPs.
+# ---------------------------------------------------------------------------
+
+def perm_split(n: int):
+    """(n1, n2) when the blocked matmul four-step path applies to an
+    n-point complex transform; None otherwise (native FFT sizes run in
+    natural order already)."""
+    if n <= MAX_NATIVE_FFT:
+        return None
+    return _balanced_split(n)
+
+
+def perm_indices(n: int):
+    """Storage→spectral map of the blocked forward transform: entry j is
+    the spectral bin held at storage position j (j = k1·n2 + k2 holds
+    k1 + n1·k2). None when the transform runs in natural order."""
+    sp = perm_split(n)
+    if sp is None:
+        return None
+    n1, n2 = sp
+    k1 = np.arange(n1)[:, None]
+    k2 = np.arange(n2)[None, :]
+    return np.reshape(k1 + n1 * k2, -1)
+
+
+def half_perm_indices(n: int):
+    """Storage→spectral map for :func:`rfft_perm` of even length n:
+    length M+1 (M = n//2); positions [0, M) follow perm_indices(M),
+    position M holds the Nyquist bin. None when rfft_perm does not apply
+    (odd n, or M small enough for the native path)."""
+    if n % 2 != 0:
+        return None
+    pm = perm_indices(n // 2)
+    if pm is None:
+        return None
+    return np.concatenate([pm, [n // 2]])
+
+
+def _blocked_rev(x2: jnp.ndarray) -> jnp.ndarray:
+    """Negate the spectral index in blocked storage: returns y with
+    y[storage j] = x[storage of spectral (M − k_j) mod M].
+
+    In blocked coords (k1, k2) ↔ k = k1 + n1·k2 the map is
+    k1 → (n1−k1)%n1 with k2 → n2−1−k2 for k1>0, and k2 → (n2−k2)%n2 on
+    the k1=0 row — i.e. a double flip, a roll, and a one-row fix: all
+    structured relayouts (lax.rev/concat), no general gather.
+    """
+    t = jnp.flip(x2, axis=(-2, -1))
+    t = jnp.roll(t, 1, axis=-2)
+    row0 = jnp.roll(t[..., :1, :], 1, axis=-1)
+    return jnp.concatenate([row0, t[..., 1:, :]], axis=-2)
+
+
+def fft_perm(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward FFT along the last axis in permuted (blocked) storage
+    order — spectral bin perm_indices(n)[j] at position j. Caller must
+    have checked ``perm_split(n) is not None``."""
+    n1, n2 = perm_split(x.shape[-1])
+    out = _matmul_fft_stages(x, n1, n2)
+    return jnp.reshape(out, x.shape[:-1] + (n1 * n2,))
+
+
+def ifft_fromperm(xp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse FFT consuming permuted (blocked) storage order and
+    emitting NATURAL time order — with zero transpose passes (see module
+    comment for the derivation). Includes the 1/M normalization."""
+    m = xp.shape[-1]
+    n1, n2 = perm_split(m)
+    cdtype = _complex_dtype(xp.dtype)
+    rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
+    hi = _MATMUL_PRECISION[-1]
+
+    h_re = jnp.reshape(xp.real.astype(rdtype), xp.shape[:-1] + (n1, n2))
+    h_im = jnp.reshape(xp.imag.astype(rdtype), xp.shape[:-1] + (n1, n2))
+
+    # stage A: G[k1, m2] = Σ_{k2} h[k1,k2]·e^{+2πik2·m2/n2}
+    c2, s2 = _dft_mats_real(n2, rdtype)    # cos(θ), sin(−θ)=−sin for e^{−}
+
+    def mmA(w, a):
+        return jnp.einsum("...ik,km->...im", a, w, precision=hi)
+
+    g_re = mmA(c2, h_re) + mmA(s2, h_im)   # e^{+} = conj(e^{−}) = (c, −s)
+    g_im = mmA(c2, h_im) - mmA(s2, h_re)
+
+    # twiddle e^{+2πik1·m2/M}
+    twc, tws = _twiddle_real(n1, n2, m, rdtype)
+    t_re = g_re * twc + g_im * tws
+    t_im = g_im * twc - g_re * tws
+
+    # stage C: x[m1, m2] = Σ_{k1} T[k1,m2]·e^{+2πik1·m1/n1} / M
+    c1, s1 = _dft_mats_real(n1, rdtype)
+    c1 = c1 / m
+    s1 = s1 / m
+
+    def mmC(w, a):
+        return jnp.einsum("...km,kl->...lm", a, w, precision=hi)
+
+    o_re = mmC(c1, t_re) + mmC(s1, t_im)
+    o_im = mmC(c1, t_im) - mmC(s1, t_re)
+    out = jax.lax.complex(o_re, o_im)      # [..., m1, m2] → natural flatten
+    return jnp.reshape(out, xp.shape[:-1] + (m,))
+
+
+def rfft_perm(x: jnp.ndarray) -> jnp.ndarray:
+    """Half-spectrum FFT of real traces in permuted storage order.
+
+    Returns [..., M+1] (M = n//2): position j < M holds spectral bin
+    half_perm_indices(n)[j]; position M holds the Nyquist bin. Numerics
+    identical to :func:`rfft` up to the (static) permutation. Caller must
+    have checked ``half_perm_indices(n) is not None``.
+    """
+    n = x.shape[-1]
+    m = n // 2
+    n1, n2 = perm_split(m)
+    cdtype = _complex_dtype(x.dtype)
+    z = jax.lax.complex(x[..., 0::2], x[..., 1::2]).astype(cdtype)
+    zf2 = _matmul_fft_stages(z, n1, n2)                  # [..., n1, n2]
+    zrev = jnp.reshape(_blocked_rev(zf2), z.shape)
+    zf = jnp.reshape(zf2, z.shape)
+    # untangle with coefficients pre-permuted to storage order
+    pm = perm_indices(m)
+    w = np.exp(-2j * np.pi * pm / n)
+    a = const_complex(0.5 * (1.0 - 1j * w), cdtype)
+    b = const_complex(0.5 * (1.0 + 1j * w), cdtype)
+    half = a * zf + b * jnp.conj(zrev)
+    nyq = (zf[..., :1].real - zf[..., :1].imag)          # storage 0 = DC
+    return jnp.concatenate([half, nyq.astype(cdtype)], axis=-1)
+
+
+def irfft_fromperm(xp: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse of :func:`rfft_perm`: permuted half spectrum [..., M+1] →
+    length-n real series in NATURAL order, zero transpose passes."""
+    m = n // 2
+    n1, n2 = perm_split(m)
+    cdtype = _complex_dtype(xp.dtype)
+    xk = xp[..., :m]
+    rev = jnp.reshape(
+        _blocked_rev(jnp.reshape(xk, xp.shape[:-1] + (n1, n2))),
+        xk.shape)
+    # storage 0 asks for spectral M−0 → the Nyquist bin, which lives at
+    # position M, not in the blocked rev (which wraps to DC)
+    rev = jnp.concatenate([xp[..., m:m + 1], rev[..., 1:]], axis=-1)
+    pm = perm_indices(m)
+    w_inv = np.exp(2j * np.pi * pm / n)
+    c = const_complex(0.5 * (1.0 + 1j * w_inv), cdtype)
+    d = const_complex(0.5 * (1.0 - 1j * w_inv), cdtype)
+    z = c * xk + d * jnp.conj(rev)
+    zt = ifft_fromperm(z)                                # natural order
+    out = jnp.stack([zt.real, zt.imag], axis=-1)
+    return jnp.reshape(out, xp.shape[:-1] + (n,)).astype(zt.real.dtype)
 
 
 def _fft_last(x: jnp.ndarray) -> jnp.ndarray:

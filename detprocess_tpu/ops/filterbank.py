@@ -341,6 +341,23 @@ def device_bank_1x1_half(dev: dict) -> DeviceBank1x1Half:
     )
 
 
+def permute_half_bank(dev: dict, half_perm: np.ndarray) -> dict:
+    """Reorder a to_device()-packed bank's half-spectrum arrays into the
+    permuted (blocked four-step) storage layout of ops/fft.rfft_perm.
+
+    ``half_perm`` = ops/fft.half_perm_indices(nbins). Host-side numpy
+    reindexing — done once at plan-compile time, so the device kernels
+    pay nothing for the layout change. Full-spectrum arrays are left
+    untouched (they feed natural-order kernels).
+    """
+    out = dict(dev)
+    for key in ("phi_h", "s_fft_h"):
+        out[key] = dev[key][:, half_perm]       # [S, nh, 2]
+    out["denom_inv_h"] = dev["denom_inv_h"][:, half_perm]
+    out["bin_w"] = dev["bin_w"][half_perm]
+    return out
+
+
 def _reshape_template_3d(template: np.ndarray) -> np.ndarray:
     """Accept [N], [1,N], [N,1], or [C,M,N] and return [C,M,N]
     (shape rules mirror core/oftrigger.py:410-427)."""

@@ -190,15 +190,27 @@ def signal_rfft(traces: jnp.ndarray) -> jnp.ndarray:
     return dfft.rfft(traces, axis=-1)
 
 
+def signal_rfft_perm(traces: jnp.ndarray) -> jnp.ndarray:
+    """Half-spectrum FFT in permuted (blocked four-step) storage order —
+    skips the forward transform's final transpose pass. Use with bank
+    arrays permuted by ops/filterbank.permute_half_bank and the ``_perm``
+    OF kernels; only valid when
+    ``ops.fft.half_perm_indices(n) is not None``."""
+    return dfft.rfft_perm(traces)
+
+
 def chi2_base_half(vr, denom_inv_h, bin_w):
     p2 = vr.real**2 + vr.imag**2
     return jnp.sum(p2 * denom_inv_h * bin_w, axis=-1)
 
 
 def _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h, bin_w, mask_h,
-                        n):
+                        n, spec_k=None):
+    """``spec_k``: spectral bin index per storage position — pass the
+    half_perm_indices array when the inputs are in permuted (blocked
+    four-step) storage order; defaults to natural order."""
     nh = vr.shape[-1]
-    k = jnp.arange(nh)
+    k = jnp.arange(nh) if spec_k is None else jnp.asarray(spec_k)
     phase = jnp.exp(-2j * jnp.pi * k * shift[..., None] / n)
     resid = vr - amp[..., None] * s_fft_h * phase
     p2 = resid.real**2 + resid.imag**2
@@ -214,8 +226,13 @@ def lowfreq_mask_half(n: int, fs: float, fcutoff: float) -> np.ndarray:
 
 
 def of1x1_nodelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
-                       low_mask_h=None, n=None) -> OF1x1Result:
-    """Half-spectrum no-delay OF fit; numerically equal to of1x1_nodelay."""
+                       low_mask_h=None, n=None, spec_k=None) -> OF1x1Result:
+    """Half-spectrum no-delay OF fit; numerically equal to of1x1_nodelay.
+
+    All sums are order-agnostic, so the same kernel serves the permuted
+    (blocked four-step) storage layout: pass all spectrum-shaped inputs
+    permuted (ops/filterbank.permute_half_bank) plus ``spec_k``.
+    """
     n = n if n is not None else 2 * (vr.shape[-1] - 1)
     q = jnp.sum((phi_h * vr).real * bin_w, axis=-1)
     amp = q / norm
@@ -226,7 +243,7 @@ def of1x1_nodelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     else:
         zero = jnp.zeros_like(amp)
         lowchi2 = _residual_chi2_half(vr, amp, zero, s_fft_h, denom_inv_h,
-                                      bin_w, low_mask_h, n)
+                                      bin_w, low_mask_h, n, spec_k)
     return OF1x1Result(amp, jnp.zeros_like(amp), chi2, lowchi2, c0)
 
 
@@ -288,6 +305,74 @@ def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     return OF1x1Result(amp, t0, chi2, lowchi2, c0)
 
 
+def of1x1_withdelay_half_perm(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
+                              pretrigger: int, fs: float, n: int,
+                              spec_k,
+                              window_mask=None, low_mask_h=None,
+                              interpolate_t0: bool = False) -> OF1x1Result:
+    """Delay-scan OF on the permuted (blocked four-step) storage layout;
+    numerically equal to :func:`of1x1_withdelay_half`.
+
+    All spectrum-shaped inputs (vr from :func:`signal_rfft_perm`, phi_h /
+    denom_inv_h / s_fft_h / bin_w / low_mask_h via
+    ops/filterbank.permute_half_bank) are in permuted storage order with
+    ``spec_k`` the per-position spectral bin. The inverse transform
+    (ops/fft.irfft_fromperm) consumes that order directly and emits the
+    NATURAL-order delay series — the forward transpose, inverse
+    transpose, and the explicit pretrigger roll (folded into static mask
+    pre-roll + index arithmetic here) all disappear; these intermediate
+    passes, not matmul FLOPs, bound the feature chain (BASELINE.md
+    roofline).
+
+    ``window_mask`` is the usual static bool [N] over ABSOLUTE trace
+    indices (same convention as of1x1_withdelay_half).
+    """
+    prod = phi_h * vr
+    qt = dfft.irfft_fromperm(prod, n) * n                # [..., S, N] (delay order)
+    c0 = chi2_base_half(vr, denom_inv_h, bin_w)
+    dchi2 = qt * qt / norm[..., None]
+
+    if window_mask is None:
+        masked = dchi2
+    else:
+        # q_abs[i] = qt[(i − pretrigger) % n]  ⇒  pre-roll the static mask
+        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
+        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
+    d_best = jnp.argmax(masked, axis=-1)                 # delay index
+    q_best = jnp.take_along_axis(qt, d_best[..., None], axis=-1)[..., 0]
+    amp = q_best / norm
+    chi2 = c0 - q_best * q_best / norm
+    # absolute index i = (d + pretrigger) % n; t0_idx = i − pretrigger
+    d_f = d_best.astype(qt.dtype)
+    t0_idx = jnp.where(d_best < n - pretrigger, d_f, d_f - n)
+    shift = t0_idx
+
+    if interpolate_t0:
+        dm1 = (d_best - 1) % n
+        dp1 = (d_best + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, dm1[..., None], axis=-1)[..., 0]
+        y0 = -jnp.take_along_axis(dchi2, d_best[..., None], axis=-1)[..., 0]
+        yp1 = -jnp.take_along_axis(dchi2, dp1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
+        am1 = jnp.take_along_axis(qt, dm1[..., None], axis=-1)[..., 0] / norm
+        ap1 = jnp.take_along_axis(qt, dp1[..., None], axis=-1)[..., 0] / norm
+        a_denom = am1 - 2.0 * amp + ap1
+        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
+        shift = t0_idx + delta
+
+    t0 = shift / fs
+    if low_mask_h is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        lowchi2 = _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h,
+                                      bin_w, low_mask_h, n, spec_k)
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
 def prepare_delay_window(window_mask: np.ndarray, pretrigger: int,
                          n: int, bin_w: Optional[np.ndarray] = None):
     """Host-side precompute for the direct windowed delay kernels
@@ -334,7 +419,8 @@ def of1x1_windowed_direct_half(vr, phi_h, norm, denom_inv_h, s_fft_h,
                                eval_idx, valid, cos_mat, sin_mat,
                                low_mask_h=None,
                                interpolate_t0: bool = False,
-                               n: Optional[int] = None) -> OF1x1Result:
+                               n: Optional[int] = None,
+                               spec_k=None) -> OF1x1Result:
     """Constrained delay-scan OF via a direct windowed DFT matmul.
 
     Numerically equal to ``of1x1_withdelay_half(window_mask=...)`` but
@@ -392,7 +478,7 @@ def of1x1_windowed_direct_half(vr, phi_h, norm, denom_inv_h, s_fft_h,
         lowchi2 = jnp.full_like(chi2, -999999.0)
     else:
         lowchi2 = _residual_chi2_half(vr, amp, shift, s_fft_h, denom_inv_h,
-                                      bin_w, low_mask_h, n)
+                                      bin_w, low_mask_h, n, spec_k)
     return OF1x1Result(amp, t0, chi2, lowchi2, c0)
 
 

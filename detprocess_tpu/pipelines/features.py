@@ -41,6 +41,7 @@ from detprocess_tpu.io.filterfile import FilterData
 from detprocess_tpu.io.rawdata import RawReader
 from detprocess_tpu.ops import (filterbank, of1x1, ofnxm, psdfeatures,
                                 pulsefit, tracestats)
+from detprocess_tpu.ops import fft as dfft
 from detprocess_tpu.utils import channels as chutils
 from detprocess_tpu.utils import freq as frequtils
 from detprocess_tpu.utils import windows as winutils
@@ -482,6 +483,11 @@ class FeatureProcessing:
                              if s.base in OF_1X1_ALGORITHMS})
         needs_full = sorted({s.chan_idx for s in specs
                              if s.base in ("of1x2x2",) + PSD_ALGORITHMS})
+        # permuted (blocked four-step) storage layout: skips the forward
+        # and inverse transpose passes of the matmul FFT (ops/fft.py);
+        # device_banks permutes the bank arrays to match
+        hperm = dfft.half_perm_indices(n)
+        spec_k = None if hperm is None else jnp.asarray(hperm)
 
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
@@ -502,7 +508,8 @@ class FeatureProcessing:
             vhalf = {}
             if needs_half:
                 sel = traces[:, jnp.asarray(needs_half), :]
-                vh = of1x1.signal_rfft(sel)
+                vh = (of1x1.signal_rfft_perm(sel) if hperm is not None
+                      else of1x1.signal_rfft(sel))
                 for j, ci in enumerate(needs_half):
                     vhalf[ci] = vh[:, j, :]
 
@@ -518,12 +525,15 @@ class FeatureProcessing:
                     dinv = bank_h.denom_inv[spec.slot:spec.slot + 1]
                     norm = bank_h.norm[spec.slot:spec.slot + 1]
                     binw = bank_h.bin_w
-                    lmask = jnp.asarray(of1x1.lowfreq_mask_half(
-                        n, fs, spec.kwargs.get("lowchi2_fcutoff", 10000)))
+                    lmask_host = of1x1.lowfreq_mask_half(
+                        n, fs, spec.kwargs.get("lowchi2_fcutoff", 10000))
+                    if hperm is not None:
+                        lmask_host = lmask_host[hperm]
+                    lmask = jnp.asarray(lmask_host)
                     if spec.base == "of1x1_nodelay":
                         r = of1x1.of1x1_nodelay_half(vr, phi, norm, dinv,
                                                      s_fft, binw, lmask,
-                                                     n=n)
+                                                     n=n, spec_k=spec_k)
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
                         out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
                         out[f"lowchi2_{name}_{fc}"] = r.lowchi2[:, 0]
@@ -542,13 +552,25 @@ class FeatureProcessing:
                             eidx, valid, cmat, smat = (
                                 of1x1.prepare_delay_window(
                                     wmask, of_pretrig, n, binw_host))
+                            if hperm is not None:
+                                # rows follow the permuted storage order
+                                # of prod = phi_h·ṽ_h
+                                cmat = cmat[hperm]
+                                smat = smat[hperm]
                             r = of1x1.of1x1_windowed_direct_half(
                                 vr, phi, norm, dinv, s_fft, binw,
                                 of_pretrig, fs, eidx, valid, cmat, smat,
                                 low_mask_h=lmask,
                                 interpolate_t0=bool(
                                     kwargs.get("interpolate", False)),
-                                n=n)
+                                n=n, spec_k=spec_k)
+                        elif hperm is not None:
+                            r = of1x1.of1x1_withdelay_half_perm(
+                                vr, phi, norm, dinv, s_fft, binw,
+                                of_pretrig, fs, n, spec_k,
+                                window_mask=wmask, low_mask_h=lmask,
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate", False)))
                         else:
                             r = of1x1.of1x1_withdelay_half(
                                 vr, phi, norm, dinv, s_fft, binw,
@@ -849,8 +871,14 @@ class FeatureProcessing:
         for group in self._groups:
             d = {}
             if group.bank_1x1 is not None:
-                d["b1x1"] = jax.tree.map(
-                    jnp.asarray, group.bank_1x1.to_device(real_dtype))
+                dev = group.bank_1x1.to_device(real_dtype)
+                hperm = dfft.half_perm_indices(group.nb_samples)
+                if hperm is not None:
+                    # permuted (blocked four-step) storage layout for the
+                    # transpose-free half-spectrum kernels — must match
+                    # the dispatch in _make_group_fn
+                    dev = filterbank.permute_half_bank(dev, hperm)
+                d["b1x1"] = jax.tree.map(jnp.asarray, dev)
             for key, bank in group.nxm_banks.items():
                 d[key] = jax.tree.map(jnp.asarray, bank.to_device(real_dtype))
             packed.append(d)

@@ -1,0 +1,101 @@
+"""Feature pipeline equality with the permuted-FFT path on vs off.
+
+At trace lengths where the four-step matmul FFT engages (n//2 >
+MAX_NATIVE_FFT) the plan compiler switches the of1x1 half-spectrum chain
+to the transpose-free permuted storage layout (ops/fft.rfft_perm +
+of1x1_withdelay_half_perm). The output tables must be identical to the
+natural-order path bit-for-bit-close; this drives the FULL pipeline both
+ways and diffs every column.
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawWriter
+from detprocess_tpu.models import pulse
+from detprocess_tpu.ops import fft as dfft
+from detprocess_tpu.pipelines.features import FeatureProcessing
+
+from reference_impl import generate_noise
+
+FS = 1.25e6
+N = 16384               # n//2 = 8192 > MAX_NATIVE_FFT → perm path engages
+PRETRIG = 4096
+NB_EVENTS = 8
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("perm_e2e")
+    rng = np.random.default_rng(321)
+    tmpl = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    f = np.abs(np.fft.fftfreq(N, 1 / FS))
+    f[0] = f[1]
+    psd = 1e-20 * (1 + 50 / f)
+    amps = rng.uniform(1e-6, 4e-6, (NB_EVENTS, 1))
+    traces = (generate_noise(psd, FS, NB_EVENTS, rng)
+              + amps * tmpl)[:, None, :]
+
+    raw_dir = root / "raw"
+    writer = RawWriter(str(raw_dir), "I1_D20260817_T010000", FS, ["chan1"],
+                       detector_config={"chan1": {"tes_bias": 1e-7}})
+    writer.write_dump(traces, dump_num=1)
+
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_psd("chan1", psd, FS)
+    filter_path = str(root / "filter.h5")
+    fd.save_hdf5(filter_path)
+
+    config = {
+        "filter_file": filter_path,
+        "chan1": {
+            "of1x1_nodelay": {"run": True, "template_tag": "default"},
+            "of1x1_unconstrained": {"run": True, "template_tag": "default",
+                                    "interpolate": True},
+            "of1x1_constrained": {"run": True, "template_tag": "default",
+                                  "window_min_from_trig_usec": -80.0,
+                                  "window_max_from_trig_usec": 80.0},
+            # wide window → masked full-scan path, not the direct kernel
+            "of1x1_wide": {"run": True, "base_algorithm":
+                           "of1x1_constrained", "template_tag": "default",
+                           "window_min_from_trig_usec": -2000.0,
+                           "window_max_from_trig_usec": 2000.0},
+            "baseline": {"run": True,
+                         "window_min_from_start_usec": 0.0,
+                         "window_max_from_trig_usec": -400.0},
+        },
+    }
+    config_path = str(root / "process.yaml")
+    with open(config_path, "w") as fh:
+        yaml.safe_dump(config, fh)
+    raw_files = sorted(str(p) for p in raw_dir.glob("*.hdf5"))
+    return dict(raw_files=raw_files, config_path=config_path,
+                filter_path=filter_path)
+
+
+def _run(dataset):
+    proc = FeatureProcessing(dataset["raw_files"], dataset["config_path"],
+                             filter_data=dataset["filter_path"],
+                             verbose=False)
+    return proc.process(batch_size=4, dtype=np.float64)
+
+
+def test_pipeline_equal_perm_on_off(dataset, monkeypatch):
+    assert dfft.half_perm_indices(N) is not None   # perm engages at this N
+    df_perm = _run(dataset)
+    monkeypatch.setattr(dfft, "half_perm_indices", lambda n: None)
+    df_nat = _run(dataset)
+    assert sorted(df_perm.columns) == sorted(df_nat.columns)
+    for col in df_nat.columns:
+        a = df_nat[col].to_numpy()
+        b = df_perm[col].to_numpy()
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(
+                b, a, rtol=1e-9, atol=1e-12 * max(1.0, np.abs(a).max()),
+                err_msg=f"column {col}")
+        else:
+            assert np.array_equal(a, b), f"column {col}"
