@@ -106,6 +106,15 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # half-spectrum: segments are real, so the FIR runs rfft→multiply→irfft
     # (half the FFT work and HBM traffic of the full complex path)
     g_fft = np.fft.rfft(g_pad, axis=-1)
+    # when F takes the four-step matmul FFT, pre-permute the filter
+    # spectra into its blocked storage order so the FIR runs transpose-
+    # free (rfft_perm → multiply → irfft_fromperm; see ops/fft.py) — the
+    # multiply is elementwise in k, so only this host-side reindex and
+    # the transform pair change. of_fir_blocks re-derives the same
+    # condition from fft_size.
+    hp = dfft.half_perm_indices(f_size)
+    if hp is not None:
+        g_fft = g_fft[..., hp]
 
     # Δχ² subtraction responses: filter i applied to a unit pulse of
     # template j, as a function of lag d around the pulse position:
@@ -173,9 +182,16 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
     # Segments are real → half-spectrum rfft/irfft (2x less FFT work/HBM
     # than the full complex path; same win as ops/of1x1.py's half path)
     with dfft.matmul_precision("high"):
-        seg_fft = dfft.rfft(segments, axis=-1)                # [C, nb, F/2+1]
-        prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
-        y_seg = dfft.irfft(prod, f, axis=-1)                  # [M, nb, F]
+        if dfft.half_perm_indices(f) is not None:
+            # transpose-free permuted-layout pair; g_fft was pre-permuted
+            # to the matching storage order in make_trigger_kernel
+            seg_fft = dfft.rfft_perm(segments)                # [C, nb, F/2+1]
+            prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
+            y_seg = dfft.irfft_fromperm(prod, f)              # [M, nb, F]
+        else:
+            seg_fft = dfft.rfft(segments, axis=-1)            # [C, nb, F/2+1]
+            prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
+            y_seg = dfft.irfft(prod, f, axis=-1)              # [M, nb, F]
     # valid outputs of segment i: y_global[i·B − pad_left + nt−1 + j]
     #                            = q[i·B + j − pad_left + nt−1 − (nt−1−p)]
     # with pad_left = p this is exactly q[i·B + j] for j ∈ [0, B)

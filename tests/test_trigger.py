@@ -602,3 +602,32 @@ def test_combine_trigger_data_alias():
     """The reference-named alias (core/oftrigger.py:262) is the same
     function."""
     assert trigger.combine_trigger_data is trigger.combine_trigger_sets
+
+
+def test_fir_perm_path_equals_natural(monkeypatch):
+    """At FFT sizes where the four-step matmul FFT engages (F//2 >
+    MAX_NATIVE_FFT) the FIR switches to the transpose-free permuted
+    layout (rfft_perm → multiply → irfft_fromperm, with g_fft
+    pre-permuted at kernel build). Must equal the natural-order path."""
+    from detprocess_tpu.ops import fft as dfft
+
+    rng = np.random.default_rng(7)
+    template = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                                   tau_f1=200e-6)
+    psd = np.full(NT, 1e-20)
+    bank = filterbank.make_ofnxm_bank(template, psd.astype(complex), FS,
+                                      PRETRIG)
+    kernel = trigger.make_trigger_kernel(bank, block=16384,
+                                         real_dtype=np.float64)
+    assert dfft.half_perm_indices(kernel.fft_size) is not None
+    trace = _make_continuous(rng, template, 1e-9, [2e-6, 1e-6],
+                             [9000, 30000])
+    q_perm = np.asarray(trigger.of_fir(jnp.asarray(trace)[None, :], kernel))
+
+    monkeypatch.setattr(dfft, "half_perm_indices", lambda n: None)
+    kernel_nat = trigger.make_trigger_kernel(bank, block=16384,
+                                             real_dtype=np.float64)
+    q_nat = np.asarray(trigger.of_fir(jnp.asarray(trace)[None, :],
+                                      kernel_nat))
+    scale = np.max(np.abs(q_nat))
+    np.testing.assert_allclose(q_perm, q_nat, rtol=0, atol=1e-9 * scale)
