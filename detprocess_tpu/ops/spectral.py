@@ -21,8 +21,31 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from detprocess_tpu.ops import fft as dfft
+
+
+def _unperm_pos(n: int):
+    """Inverse of ops/fft.perm_indices: ``pos[k]`` = storage position of
+    spectral bin k in the blocked four-step layout, or None when the
+    transform runs in natural order. Host-side; used to restore natural
+    frequency order with ONE small gather after the (order-agnostic)
+    spectral reductions — the forward transpose pass this replaces runs
+    over the full [B, N] complex intermediates."""
+    pm = dfft.perm_indices(n)
+    return None if pm is None else np.argsort(pm)
+
+
+def periodogram_perm(traces: jnp.ndarray, fs: float) -> jnp.ndarray:
+    """Two-sided periodogram in the permuted (blocked four-step) storage
+    order of ops/fft.fft_perm — spectral bin ``perm_indices(n)[j]`` at
+    position j. |·|² is order-agnostic, so skipping the forward FFT's
+    final transpose pass is free; callers restore natural order after
+    their trace-axis reduction (see :func:`welch_psd`). Caller must have
+    checked ``dfft.perm_split(n) is not None``."""
+    n = traces.shape[-1]
+    return (jnp.abs(dfft.fft_perm(traces)) ** 2) / (n * fs)
 
 
 def fold_spectrum(psd: jnp.ndarray, n: int | None = None):
@@ -83,8 +106,15 @@ def welch_psd(traces: jnp.ndarray, fs: float, window: str | None = None):
         scale = 1.0
     else:
         raise ValueError(f"unknown window: {window}")
-    pxx = periodogram(traces, fs) * scale
-    return jnp.mean(pxx, axis=-2)
+    pos = _unperm_pos(n)
+    if pos is None:
+        pxx = periodogram(traces, fs) * scale
+        return jnp.mean(pxx, axis=-2)
+    # transpose-free: permuted periodogram, reduce the trace axis, then
+    # restore natural frequency order with one [.., N] gather (the
+    # reduced array is ntraces× smaller than the FFT intermediates)
+    pxx = periodogram_perm(traces, fs) * scale
+    return jnp.take(jnp.mean(pxx, axis=-2), jnp.asarray(pos), axis=-1)
 
 
 def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
@@ -110,9 +140,18 @@ def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
         raise ValueError(f"unknown window: {window}")
     # full complex transform on purpose — see the periodogram note (the
     # rfft untangle's relayout costs beat its FLOP savings here)
-    vfft = dfft.fft(traces, axis=-1)  # [B, C, N]
-    csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft)) / traces.shape[0]
-    return csd * (scale / (n * fs))
+    pos = _unperm_pos(n)
+    if pos is None:
+        vfft = dfft.fft(traces, axis=-1)  # [B, C, N]
+        csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
+    else:
+        # transpose-free permuted layout; the cross-spectral average is
+        # per-frequency, so natural order is restored on the reduced
+        # [C, C, N] result instead of the [B, C, N] FFT intermediates
+        vfft = dfft.fft_perm(traces)
+        csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
+        csd = jnp.take(csd, jnp.asarray(pos), axis=-1)
+    return csd * (scale / (n * fs * traces.shape[0]))
 
 
 @partial(jax.jit, static_argnames=("order",))
@@ -128,7 +167,18 @@ def lowpass_filter(traces: jnp.ndarray, cut_off_freq: float, fs: float,
     trace edges (excluded from triggering anyway).
     """
     n = traces.shape[-1]
-    f = jnp.fft.fftfreq(n, d=1.0 / fs)
-    gain = 1.0 / (1.0 + (jnp.abs(f) / cut_off_freq) ** (2 * order))
-    vfft = dfft.fft(traces, axis=-1)
-    return jnp.real(dfft.ifft(vfft * gain, axis=-1)).astype(traces.dtype)
+    pm = dfft.perm_indices(n)
+    # |k/n| is fs-free so the frequency grid stays static (fs and the
+    # cutoff may be traced); |f|/fc = |k|/n · fs/fc
+    kabs = np.abs(np.fft.fftfreq(n))                       # |k|/n, host
+    if pm is not None:
+        # gain is diagonal in frequency → permute it instead of the data
+        # and run the transpose-free blocked-layout transform pair
+        kabs = kabs[pm]
+    gain = 1.0 / (1.0 + (jnp.asarray(kabs) * fs / cut_off_freq)
+                  ** (2 * order))
+    if pm is None:
+        out = dfft.ifft(dfft.fft(traces, axis=-1) * gain, axis=-1)
+    else:
+        out = dfft.ifft_fromperm(dfft.fft_perm(traces) * gain)
+    return jnp.real(out).astype(traces.dtype)

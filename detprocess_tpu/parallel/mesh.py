@@ -77,11 +77,19 @@ def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
              out_specs=P())
     def _psd(local_traces):
-        local_sum = jnp.sum(spectral.periodogram(local_traces, fs), axis=-2)
+        # transpose-free permuted layout when the four-step FFT engages;
+        # the psum rides the permuted order and natural frequency order
+        # is restored on the reduced [N] result (see ops/spectral.py)
+        pos = spectral._unperm_pos(local_traces.shape[-1])
+        pxx = (spectral.periodogram(local_traces, fs) if pos is None
+               else spectral.periodogram_perm(local_traces, fs))
+        local_sum = jnp.sum(pxx, axis=-2)
         total = jax.lax.psum(local_sum, axis_name)
         count = jax.lax.psum(
             jnp.asarray(local_traces.shape[-2], local_sum.dtype), axis_name)
-        return total / count
+        mean = total / count
+        return mean if pos is None else jnp.take(mean, jnp.asarray(pos),
+                                                 axis=-1)
 
     return jax.jit(_psd)
 
@@ -97,13 +105,18 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
              out_specs=P())
     def _csd(local_traces):
+        from detprocess_tpu.ops import spectral
         n = local_traces.shape[-1]
-        vfft = dfft.fft(local_traces, axis=-1)
+        pos = spectral._unperm_pos(n)
+        vfft = (dfft.fft(local_traces, axis=-1) if pos is None
+                else dfft.fft_perm(local_traces))
         local = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
         total = jax.lax.psum(local, axis_name)
         count = jax.lax.psum(
             jnp.asarray(local_traces.shape[0], jnp.float32), axis_name)
         csd = total / count.astype(total.dtype) / (n * fs)
+        if pos is not None:
+            csd = jnp.take(csd, jnp.asarray(pos), axis=-1)
         return jnp.stack([csd.real, csd.imag], axis=-1)
 
     return jax.jit(_csd)

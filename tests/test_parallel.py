@@ -166,3 +166,21 @@ def test_multihost_series_split_properties():
     nums = {multihost.output_series_num_for_host(7_000, h)
             for h in range(5)}
     assert len(nums) == 5
+
+
+def test_sharded_psd_perm_longtrace():
+    """Sharded PSD at an FFT size where the permuted four-step layout
+    engages inside shard_map — psum rides the permuted order, output is
+    natural order."""
+    from detprocess_tpu.ops import fft as dfft
+    from detprocess_tpu.ops import spectral
+
+    n = 16384
+    assert dfft.perm_split(n) is not None
+    mesh = pmesh.make_mesh()
+    rng = np.random.default_rng(9)
+    traces = rng.standard_normal((16, n)).astype(np.float32)
+    psd_fn = pmesh.sharded_psd(mesh, FS)
+    got = np.asarray(psd_fn(jnp.asarray(traces)))
+    ref = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)

@@ -114,3 +114,37 @@ def test_default_windows_match_reference_semantics():
     np.testing.assert_allclose(
         np.asarray(tracestats.baseline(jt)),
         np.mean(traces[:, 0:N - 1], axis=-1), rtol=1e-12)
+
+
+def test_spectral_perm_path_matches_natural():
+    """At n where the four-step matmul FFT engages, the spectral kernels
+    run the transpose-free permuted layout and must equal the natural
+    path (and scipy conventions) exactly."""
+    import scipy.signal
+
+    from detprocess_tpu.ops import fft as dfft
+
+    n = 16384
+    assert dfft.perm_split(n) is not None
+    rng = np.random.default_rng(44)
+    traces = rng.standard_normal((6, n))
+    psd = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
+    f, ref = scipy.signal.periodogram(traces, FS, window="boxcar",
+                                      nfft=n, detrend=False,
+                                      return_onesided=False)
+    np.testing.assert_allclose(psd, ref.mean(axis=0), rtol=1e-9)
+
+    tr3 = rng.standard_normal((5, 2, n))
+    csd = np.asarray(spectral.welch_csd(jnp.asarray(tr3), FS))
+    vf = np.fft.fft(tr3, axis=-1)
+    ref_csd = np.einsum("bik,bjk->ijk", vf, np.conj(vf)) / (5 * n * FS)
+    np.testing.assert_allclose(csd, ref_csd, rtol=0,
+                               atol=1e-9 * np.max(np.abs(ref_csd)))
+
+    lp = np.asarray(spectral.lowpass_filter(jnp.asarray(traces), 50e3, FS,
+                                            order=2))
+    fr = np.fft.fftfreq(n, 1 / FS)
+    gain = 1.0 / (1.0 + (np.abs(fr) / 50e3) ** 4)
+    ref_lp = np.real(np.fft.ifft(np.fft.fft(traces, axis=-1) * gain,
+                                 axis=-1))
+    np.testing.assert_allclose(lp, ref_lp, atol=1e-9 * np.max(np.abs(ref_lp)))
