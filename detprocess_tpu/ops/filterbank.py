@@ -358,6 +358,20 @@ def permute_half_bank(dev: dict, half_perm: np.ndarray) -> dict:
     return out
 
 
+def permute_nxm_bank(dev: dict, perm: np.ndarray) -> dict:
+    """Reorder a to_device()-packed NxM bank's spectral arrays into the
+    permuted (blocked four-step) storage layout of ops/fft.fft_perm.
+
+    ``perm`` = ops/fft.perm_indices(nbins). Host-side numpy reindexing at
+    plan-compile time; use with of1x1.signal_fft_perm and the
+    ``spec_perm`` NxM kernels. w/iw matrices are frequency-free."""
+    out = dict(dev)
+    out["phi"] = dev["phi"][:, :, perm]         # [C, M, N, 2]
+    out["s_fft"] = dev["s_fft"][:, :, perm]
+    out["icsd"] = dev["icsd"][perm]             # [N, C, C, 2]
+    return out
+
+
 def _reshape_template_3d(template: np.ndarray) -> np.ndarray:
     """Accept [N], [1,N], [N,1], or [C,M,N] and return [C,M,N]
     (shape rules mirror core/oftrigger.py:410-427)."""

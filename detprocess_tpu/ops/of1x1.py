@@ -190,6 +190,14 @@ def signal_rfft(traces: jnp.ndarray) -> jnp.ndarray:
     return dfft.rfft(traces, axis=-1)
 
 
+def signal_fft_perm(traces: jnp.ndarray) -> jnp.ndarray:
+    """Full-spectrum FFT in permuted (blocked four-step) storage order —
+    skips the final transpose pass. Pair with banks permuted by
+    ops/filterbank.permute_nxm_bank and the ``spec_perm`` NxM kernels;
+    only valid when ``ops.fft.perm_split(n) is not None``."""
+    return dfft.fft_perm(traces)
+
+
 def signal_rfft_perm(traces: jnp.ndarray) -> jnp.ndarray:
     """Half-spectrum FFT in permuted (blocked four-step) storage order —
     skips the forward transform's final transpose pass. Use with bank

@@ -72,6 +72,18 @@ def _q_timeseries(vfft: jnp.ndarray, phi: jnp.ndarray,
     return jnp.roll(q_t, pretrigger, axis=-1)
 
 
+def _q_timeseries_delayorder(vfft: jnp.ndarray,
+                             phi: jnp.ndarray) -> jnp.ndarray:
+    """q_m(d) in DELAY order (q at absolute index i is q_d[(i −
+    pretrigger) mod n]) from permuted-layout inputs — the transpose-free
+    sibling of :func:`_q_timeseries`: ifft_fromperm consumes the blocked
+    storage order directly and the pretrigger roll is folded into the
+    callers' mask pre-roll + index arithmetic."""
+    n = vfft.shape[-1]
+    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    return dfft.ifft_fromperm(integrand).real * n
+
+
 def ofnxm_withdelay(
     vfft: jnp.ndarray,
     phi: jnp.ndarray,
@@ -82,29 +94,49 @@ def ofnxm_withdelay(
     fs: float,
     window_mask: Optional[jnp.ndarray] = None,
     interpolate_t0: bool = False,
+    spec_perm=None,
 ) -> OFNxMResult:
     """Delay-scan NxM fit, all M amplitudes sharing one shift d.
 
     Equivalent of OFnxm.get_fit_withdelay (core/algorithms.py:254-261).
     window_mask: static bool [N] over absolute trace indices.
+
+    ``spec_perm``: pass ops/fft.perm_indices(n) when vfft/phi/icsd are in
+    the permuted (blocked four-step) storage layout (signal_fft_perm +
+    permute_nxm_bank) — the inverse transform then runs transpose-free
+    with the pretrigger roll folded into mask pre-roll + index
+    arithmetic. Numerically equal to the natural-order path.
     """
-    q_abs = _q_timeseries(vfft, phi, pretrigger)            # [..., M, N]
-    dchi2 = jnp.einsum("...it,ij,...jt->...t", q_abs, iw_matrix, q_abs)
+    n = vfft.shape[-1]
+    if spec_perm is None:
+        q_scan = _q_timeseries(vfft, phi, pretrigger)        # abs order
+    else:
+        q_scan = _q_timeseries_delayorder(vfft, phi)
+    dchi2 = jnp.einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
     if window_mask is not None:
-        masked = jnp.where(window_mask, dchi2, -jnp.inf)
+        mask = (window_mask if spec_perm is None
+                else jnp.roll(jnp.asarray(window_mask), -pretrigger))
+        masked = jnp.where(mask, dchi2, -jnp.inf)
     else:
         masked = dchi2
     imax = jnp.argmax(masked, axis=-1)                       # [...]
     q_best = jnp.take_along_axis(
-        q_abs, imax[..., None, None], axis=-1)[..., 0]       # [..., M]
+        q_scan, imax[..., None, None], axis=-1)[..., 0]      # [..., M]
     amps = jnp.einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
     dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
     chi2 = chi2_0 - dchi2_best
 
-    shift = imax.astype(chi2.dtype) - pretrigger
+    if spec_perm is None:
+        shift = imax.astype(chi2.dtype) - pretrigger
+    else:
+        # delay index d → t0 index: i = (d + pretrigger) mod n, shift =
+        # i − pretrigger = d or d − n
+        d_f = imax.astype(chi2.dtype)
+        shift = jnp.where(imax < n - pretrigger, d_f, d_f - n)
     if interpolate_t0:
-        n = q_abs.shape[-1]
+        # same neighbors in either ordering: delay index d±1 corresponds
+        # to absolute index i±1 (both mod n)
         im1 = (imax - 1) % n
         ip1 = (imax + 1) % n
         ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
@@ -205,9 +237,15 @@ def ofnxmx2(
     window2: np.ndarray,         # static bool [N] allowed shifts for group 1
     pretrigger: int,
     fs: float,
+    spec_perm=None,
 ):
     """NxMx2 optimal filter: template group 0 shifts by d1, group 1 by d2,
     amplitudes solved jointly at each (d1, d2) in the fit windows.
+
+    ``spec_perm``: ops/fft.perm_indices(n) when vfft/s_fft/icsd are in
+    the permuted (blocked four-step) storage layout — the direct
+    DFT-matmul rows then use the permuted k grid and the wide-window /
+    r_delta inverse transforms run transpose-free (ifft_fromperm).
 
     Equivalent of qetpy.OFnxmx2 with set_time_constraints/calc_p_matrix
     (reference usage: processing_data.py:385-418, algorithms.py:24-138).
@@ -242,24 +280,38 @@ def ofnxmx2(
     integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)    # [..., M, N]
     if len(idx_u) <= DIRECT_UNION_MAX:
         prec = dfft.current_matmul_precision()
-        kk = np.arange(n, dtype=np.float64)[:, None]
+        # k grid follows the storage order of the (possibly permuted)
+        # spectra — rows of the DFT matmul must match integrand's layout
+        kk = (np.arange(n, dtype=np.float64) if spec_perm is None
+              else np.asarray(spec_perm, np.float64))[:, None]
         dd = ((idx_u.astype(np.int64) - pretrigger) % n)[None, :]
         th = 2.0 * np.pi * kk * dd / n
         cos_m = jnp.asarray(np.cos(th), vfft.real.dtype)
         sin_m = jnp.asarray(np.sin(th), vfft.real.dtype)
         q_win = (jnp.matmul(integrand.real, cos_m, precision=prec)
                  - jnp.matmul(integrand.imag, sin_m, precision=prec))
-    else:
+    elif spec_perm is None:
         q_t = dfft.ifft(integrand, axis=-1).real * n
         q_abs = jnp.roll(q_t, pretrigger, axis=-1)           # [..., M, N]
         q_win = q_abs[..., jnp.asarray(idx_u)]               # [..., M, WU]
+    else:
+        # transpose-free: delay-order series; the roll folds into the
+        # union-window gather indices (q_abs[i] = q_d[(i − p) mod n])
+        q_d = dfft.ifft_fromperm(integrand).real * n         # [..., M, N]
+        gidx = (idx_u.astype(np.int64) - pretrigger) % n
+        q_win = q_d[..., jnp.asarray(gidx)]                  # [..., M, WU]
 
     # pairwise template overlap vs relative shift Δ (cross-group terms only):
     # R_ij(Δ) = Re Σ_k s̃_i† J⁻¹ s̃_j e^{2πikΔ/N} / (N·fs)  — via one ifft
     s_f = jnp.moveaxis(s_fft, -1, 0)                         # [N, C, M]
     js = jnp.einsum("kab,kbm->kam", icsd, s_f)               # [N, C, M]
     cross_k = jnp.einsum("kci,kcj->ijk", jnp.conj(s_f), js)  # [M, M, N]
-    r_delta = dfft.ifft(cross_k, axis=-1).real * n / (n * fs)  # [M, M, NΔ]
+    if spec_perm is None:
+        r_delta = dfft.ifft(cross_k, axis=-1).real * n / (n * fs)
+    else:
+        # cross_k inherits the permuted k layout from s_fft/icsd;
+        # ifft_fromperm emits the natural Δ axis directly
+        r_delta = dfft.ifft_fromperm(cross_k).real * n / (n * fs)
 
     w1 = jnp.asarray(idx1)
     w2 = jnp.asarray(idx2)

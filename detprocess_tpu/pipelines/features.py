@@ -488,6 +488,10 @@ class FeatureProcessing:
         # device_banks permutes the bank arrays to match
         hperm = dfft.half_perm_indices(n)
         spec_k = None if hperm is None else jnp.asarray(hperm)
+        # full-spectrum analog for the NxM chain (banks permuted to match
+        # in device_banks); the shared per-channel vffts stay natural
+        # order — their consumers (psd_amp, phase, of1x2) index bins
+        fperm = dfft.perm_indices(n)
 
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
@@ -631,7 +635,8 @@ class FeatureProcessing:
                 elif spec.base == "ofnxm":
                     nb = filterbank.device_bank_nxm(banks[spec.nxm_key])
                     sel = traces[:, jnp.asarray(list(spec.nxm_chan_idx)), :]
-                    vfft = of1x1.signal_fft(sel)
+                    vfft = (of1x1.signal_fft_perm(sel) if fperm is not None
+                            else of1x1.signal_fft(sel))
                     r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi, nb.iw_matrix,
                                                nb.icsd, fs)
                     wmask = window_mask_for(spec)
@@ -642,6 +647,10 @@ class FeatureProcessing:
                         eidx, valid, cmat, smat = (
                             of1x1.prepare_delay_window(
                                 wmask, of_pretrig, n))
+                        if fperm is not None:
+                            # rows follow the permuted storage order
+                            cmat = cmat[fperm]
+                            smat = smat[fperm]
                         r_wd = ofnxm.ofnxm_withdelay_direct(
                             vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
                             nb.icsd, of_pretrig, fs, eidx, valid, cmat,
@@ -653,7 +662,8 @@ class FeatureProcessing:
                             vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
                             nb.icsd, of_pretrig, fs, window_mask=wmask,
                             interpolate_t0=bool(
-                                kwargs.get("interpolate_t0", False)))
+                                kwargs.get("interpolate_t0", False)),
+                            spec_perm=fperm)
                     m = r_nd.amps.shape[-1]
                     amp_names = kwargs.get("amplitude_names") or [
                         f"amp{i + 1}" for i in range(m)]
@@ -667,7 +677,8 @@ class FeatureProcessing:
                     nb_bank = group.nxm_banks[spec.nxm_key]
                     dev = filterbank.device_bank_nxm(banks[spec.nxm_key])
                     sel = traces[:, jnp.asarray(list(spec.nxm_chan_idx)), :]
-                    vfft = of1x1.signal_fft(sel)
+                    vfft = (of1x1.signal_fft_perm(sel) if fperm is not None
+                            else of1x1.signal_fft(sel))
                     gids = np.asarray(kwargs["template_group_ids"])
                     fit_window = np.asarray(kwargs["fit_window"])
                     w1 = np.zeros(n, bool)
@@ -675,7 +686,8 @@ class FeatureProcessing:
                     w2 = np.zeros(n, bool)
                     w2[fit_window[1][0]:fit_window[1][1] + 1] = True
                     (r, _) = ofnxm.ofnxmx2(vfft, dev.s_fft, dev.icsd, gids,
-                                           w1, w2, of_pretrig, fs)
+                                           w1, w2, of_pretrig, fs,
+                                           spec_perm=fperm)
                     m = nb_bank.ntmps
                     amp_names = kwargs.get("amplitude_names") or [
                         f"amp{i + 1}" for i in range(m)]
@@ -880,7 +892,13 @@ class FeatureProcessing:
                     dev = filterbank.permute_half_bank(dev, hperm)
                 d["b1x1"] = jax.tree.map(jnp.asarray, dev)
             for key, bank in group.nxm_banks.items():
-                d[key] = jax.tree.map(jnp.asarray, bank.to_device(real_dtype))
+                devn = bank.to_device(real_dtype)
+                fperm = dfft.perm_indices(group.nb_samples)
+                if fperm is not None:
+                    # permuted full-spectrum layout to match the NxM
+                    # dispatch in _make_group_fn (signal_fft_perm)
+                    devn = filterbank.permute_nxm_bank(devn, fperm)
+                d[key] = jax.tree.map(jnp.asarray, devn)
             packed.append(d)
         return packed
 

@@ -2,10 +2,11 @@
 
 At trace lengths where the four-step matmul FFT engages (n//2 >
 MAX_NATIVE_FFT) the plan compiler switches the of1x1 half-spectrum chain
-to the transpose-free permuted storage layout (ops/fft.rfft_perm +
-of1x1_withdelay_half_perm). The output tables must be identical to the
-natural-order path bit-for-bit-close; this drives the FULL pipeline both
-ways and diffs every column.
+AND the NxM full-spectrum chain to the transpose-free permuted storage
+layout (ops/fft.rfft_perm / fft_perm + the spec_perm kernels). The
+output tables must be identical to the natural-order path
+bit-for-bit-close; this drives the FULL pipeline both ways and diffs
+every column.
 """
 
 import numpy as np
@@ -30,23 +31,41 @@ NB_EVENTS = 8
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("perm_e2e")
     rng = np.random.default_rng(321)
-    tmpl = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
-                               tau_f1=200e-6)
+    tmpl1 = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=20e-6,
+                                tau_f1=200e-6)
+    tmpl2 = pulse.make_template(FS, N, PRETRIG, A=1.0, tau_r=15e-6,
+                                tau_f1=120e-6)
     f = np.abs(np.fft.fftfreq(N, 1 / FS))
     f[0] = f[1]
-    psd = 1e-20 * (1 + 50 / f)
-    amps = rng.uniform(1e-6, 4e-6, (NB_EVENTS, 1))
-    traces = (generate_noise(psd, FS, NB_EVENTS, rng)
-              + amps * tmpl)[:, None, :]
+    psd1 = 1e-20 * (1 + 50 / f)
+    psd2 = 2e-20 * np.ones(N)
+    amps = rng.uniform(1e-6, 4e-6, (NB_EVENTS, 2))
+    traces = np.stack([generate_noise(psd1, FS, NB_EVENTS, rng)
+                       + amps[:, :1] * tmpl1,
+                       generate_noise(psd2, FS, NB_EVENTS, rng)
+                       + amps[:, 1:] * tmpl2], axis=1)
 
     raw_dir = root / "raw"
-    writer = RawWriter(str(raw_dir), "I1_D20260817_T010000", FS, ["chan1"],
-                       detector_config={"chan1": {"tes_bias": 1e-7}})
+    writer = RawWriter(str(raw_dir), "I1_D20260817_T010000", FS,
+                       ["chan1", "chan2"],
+                       detector_config={"chan1": {"tes_bias": 1e-7},
+                                        "chan2": {"tes_bias": 2e-7}})
     writer.write_dump(traces, dump_num=1)
 
     fd = FilterData(verbose=False)
-    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
-    fd.set_psd("chan1", psd, FS)
+    fd.set_template("chan1", tmpl1, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_template("chan2", tmpl2, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_psd("chan1", psd1, FS)
+    fd.set_psd("chan2", psd2, FS)
+    csd = np.zeros((2, 2, N), dtype=complex)
+    csd[0, 0] = psd1
+    csd[1, 1] = psd2
+    fd.set_csd("chan1|chan2", csd, FS)
+    tmpl_nxm = np.zeros((2, 2, N))
+    tmpl_nxm[0, 0] = tmpl1
+    tmpl_nxm[1, 1] = tmpl2
+    fd.set_template("chan1|chan2", tmpl_nxm, FS,
+                    pretrigger_length_samples=PRETRIG)
     filter_path = str(root / "filter.h5")
     fd.save_hdf5(filter_path)
 
@@ -68,6 +87,20 @@ def dataset(tmp_path_factory):
                          "window_min_from_start_usec": 0.0,
                          "window_max_from_trig_usec": -400.0},
         },
+        "chan1|chan2": {
+            # unconstrained → permuted full ifft scan
+            "ofnxm": {"run": True, "template_tag": "default"},
+            # narrow window → direct DFT matmul with permuted rows
+            "ofnxm_win": {"run": True, "base_algorithm": "ofnxm",
+                          "template_tag": "default",
+                          "window_min_from_trig_usec": -40.0,
+                          "window_max_from_trig_usec": 40.0},
+            # two-group joint fit (direct union branch)
+            "ofnxmx2": {"run": True, "template_tag": "default",
+                        "template_group_ids": [0, 1],
+                        "fit_window": [[PRETRIG - 30, PRETRIG + 30],
+                                       [PRETRIG - 40, PRETRIG + 40]]},
+        },
     }
     config_path = str(root / "process.yaml")
     with open(config_path, "w") as fh:
@@ -88,6 +121,7 @@ def test_pipeline_equal_perm_on_off(dataset, monkeypatch):
     assert dfft.half_perm_indices(N) is not None   # perm engages at this N
     df_perm = _run(dataset)
     monkeypatch.setattr(dfft, "half_perm_indices", lambda n: None)
+    monkeypatch.setattr(dfft, "perm_indices", lambda n: None)
     df_nat = _run(dataset)
     assert sorted(df_perm.columns) == sorted(df_nat.columns)
     for col in df_nat.columns:

@@ -216,3 +216,96 @@ def test_windowed_direct_perm_equals_natural(setup):
         spec_k=jnp.asarray(hp))
     for a, b in zip(nat, prm):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9)
+
+
+def test_ofnxm_perm_equals_natural():
+    """NxM delay-scan kernels on the permuted full-spectrum layout
+    (signal_fft_perm + permute_nxm_bank) equal the natural path: wide
+    masked scan, narrow direct DFT matmul, nodelay, and ofnxmx2 (both
+    the direct union branch and the wide ifft branch)."""
+    from detprocess_tpu.ops import ofnxm
+
+    n, pretrig = 16384, 4096
+    rng = np.random.default_rng(12)
+    t1 = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
+                             tau_f1=200e-6)
+    t2 = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=15e-6,
+                             tau_f1=120e-6)
+    tmpl = np.zeros((2, 2, n))
+    tmpl[0, 0] = t1
+    tmpl[1, 1] = t2
+    f = np.abs(np.fft.fftfreq(n, 1 / FS))
+    f[0] = f[1]
+    csd = np.zeros((2, 2, n), complex)
+    csd[0, 0] = 1e-20 * (1 + 50 / f)
+    csd[1, 1] = 2e-20
+    csd[0, 1] = csd[1, 0] = 2e-21
+    bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
+    devn = bank.to_device(np.float64)
+    pm = dfft.perm_indices(n)
+    devp = filterbank.permute_nxm_bank(devn, pm)
+    nb = filterbank.device_bank_nxm(jax.tree.map(jnp.asarray, devn))
+    pb = filterbank.device_bank_nxm(jax.tree.map(jnp.asarray, devp))
+
+    traces = rng.standard_normal((4, 2, n)) * 1e-8
+    traces[:, 0] += 2e-6 * t1
+    traces[:, 1] += 1e-6 * t2
+    vf = of1x1.signal_fft(jnp.asarray(traces))
+    vp = of1x1.signal_fft_perm(jnp.asarray(traces))
+
+    wmask = np.zeros(n, bool)
+    wmask[pretrig - 200:pretrig + 200] = True
+
+    nat = ofnxm.ofnxm_withdelay(vf, nb.phi, nb.w_matrix, nb.iw_matrix,
+                                nb.icsd, pretrig, FS,
+                                window_mask=jnp.asarray(wmask),
+                                interpolate_t0=True)
+    prm = ofnxm.ofnxm_withdelay(vp, pb.phi, pb.w_matrix, pb.iw_matrix,
+                                pb.icsd, pretrig, FS, window_mask=wmask,
+                                interpolate_t0=True, spec_perm=pm)
+    for a, b in zip(nat, prm):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+    # unconstrained scan too (no mask)
+    nat_u = ofnxm.ofnxm_withdelay(vf, nb.phi, nb.w_matrix, nb.iw_matrix,
+                                  nb.icsd, pretrig, FS)
+    prm_u = ofnxm.ofnxm_withdelay(vp, pb.phi, pb.w_matrix, pb.iw_matrix,
+                                  pb.icsd, pretrig, FS, spec_perm=pm)
+    for a, b in zip(nat_u, prm_u):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+    # direct windowed DFT matmul with permuted rows
+    eidx, valid, cmat, smat = of1x1.prepare_delay_window(wmask, pretrig, n)
+    nat_d = ofnxm.ofnxm_withdelay_direct(
+        vf, nb.phi, nb.w_matrix, nb.iw_matrix, nb.icsd, pretrig, FS,
+        eidx, valid, cmat, smat, interpolate_t0=True)
+    prm_d = ofnxm.ofnxm_withdelay_direct(
+        vp, pb.phi, pb.w_matrix, pb.iw_matrix, pb.icsd, pretrig, FS,
+        eidx, valid, cmat[pm], smat[pm], interpolate_t0=True)
+    for a, b in zip(nat_d, prm_d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+    # nodelay is order-agnostic with consistently permuted inputs
+    nat_n = ofnxm.ofnxm_nodelay(vf, nb.phi, nb.iw_matrix, nb.icsd, FS)
+    prm_n = ofnxm.ofnxm_nodelay(vp, pb.phi, pb.iw_matrix, pb.icsd, FS)
+    for a, b in zip(nat_n, prm_n):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+    # ofnxmx2: narrow windows (direct union branch) and a wide window2
+    # (ifft branch; union > DIRECT_UNION_MAX)
+    gids = np.array([0, 1])
+    w1 = np.zeros(n, bool)
+    w1[pretrig - 30:pretrig + 30] = True
+    for w2_width in (40, 400):
+        w2 = np.zeros(n, bool)
+        w2[pretrig - w2_width:pretrig + w2_width] = True
+        union = np.union1d(np.where(w1)[0], np.where(w2)[0])
+        if w2_width == 400:
+            assert len(union) > ofnxm.DIRECT_UNION_MAX
+        (nat2, _) = ofnxm.ofnxmx2(vf, nb.s_fft, nb.icsd, gids, w1, w2,
+                                  pretrig, FS)
+        (prm2, _) = ofnxm.ofnxmx2(vp, pb.s_fft, pb.icsd, gids, w1, w2,
+                                  pretrig, FS, spec_perm=pm)
+        for a, b in zip(nat2, prm2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-8)
