@@ -17,9 +17,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(script, tmp_path, timeout=900):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    # examples must run on the CPU lane too
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # Pin the subprocess to CPU deterministically: drop any preinstalled
+    # TPU-plugin site dir from PYTHONPATH (its sitecustomize registers a
+    # remote backend and a dead tunnel then hangs the example) and force
+    # the platform rather than setdefault-ing it (the session env may
+    # already point JAX at the TPU).
+    extra = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + extra)
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script),
          str(tmp_path)],
