@@ -52,9 +52,18 @@ def build_bank():
 def bench_tpu(bank, template):
     import jax
     import jax.numpy as jnp
+    from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
 
-    dev_bank = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    # transpose-free permuted-FFT layout, same dispatch as the feature
+    # plan (pipelines/features.py): bank pre-permuted on the host,
+    # rfft_perm + *_perm kernels on device
+    hperm = dfft.half_perm_indices(N)
+    host_bank = bank.to_device(np.float32)
+    if hperm is not None:
+        host_bank = filterbank.permute_half_bank(host_bank, hperm)
+    dev_bank = jax.tree.map(jnp.asarray, host_bank)
+    spec_k = None if hperm is None else jnp.asarray(hperm)
     tmpl_dev = jnp.asarray(template, jnp.float32)
 
     @jax.jit
@@ -69,11 +78,19 @@ def bench_tpu(bank, template):
     @jax.jit
     def feature_step(traces, dev):
         bh = filterbank.device_bank_1x1_half(dev)
-        vr = of1x1.signal_rfft(traces[:, None, :])
+        if hperm is not None:
+            vr = of1x1.signal_rfft_perm(traces[:, None, :])
+            wd = of1x1.of1x1_withdelay_half_perm(
+                vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+                PRETRIG, FS, N, spec_k)
+        else:
+            vr = of1x1.signal_rfft(traces[:, None, :])
+            wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm,
+                                            bh.denom_inv, bh.s_fft,
+                                            bh.bin_w, PRETRIG, FS)
         nod = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                       bh.s_fft, bh.bin_w, n=N)
-        wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                        bh.s_fft, bh.bin_w, PRETRIG, FS)
+                                       bh.s_fft, bh.bin_w, n=N,
+                                       spec_k=spec_k)
         return (nod.amp[:, 0], nod.chi2[:, 0], wd.amp[:, 0], wd.t0[:, 0],
                 wd.chi2[:, 0], tracestats.baseline(traces),
                 tracestats.integral(traces, FS))
