@@ -510,6 +510,22 @@ def time_resolution(amp: jnp.ndarray, s_fft: jnp.ndarray,
     return 1.0 / jnp.sqrt(amp * amp * curv)
 
 
+def time_resolution_half(amp: jnp.ndarray, s_fft_h: jnp.ndarray,
+                         denom_inv_h: jnp.ndarray, bin_w, n: int, fs: float,
+                         spec_k=None) -> jnp.ndarray:
+    """Half-spectrum :func:`time_resolution`: the curvature sum is
+    per-frequency with |mirror| = |bin|, so the N//2+1 bins with bin_w
+    weights reproduce the full sum. ``spec_k``: spectral bin index per
+    storage position for the permuted (blocked four-step) layout."""
+    nh = s_fft_h.shape[-1]
+    k = (np.arange(nh) if spec_k is None else np.asarray(spec_k))
+    f = np.where(k <= n // 2, k, k - n) / n * fs
+    omega2 = jnp.asarray((2.0 * np.pi * f) ** 2, denom_inv_h.dtype)
+    curv = jnp.sum(omega2 * (s_fft_h.real**2 + s_fft_h.imag**2)
+                   * denom_inv_h * bin_w, axis=-1)
+    return 1.0 / jnp.sqrt(amp * amp * curv)
+
+
 # ---------------------------------------------------------------------------
 # OF 1x2: one channel, two templates with independent time shifts
 # ---------------------------------------------------------------------------
@@ -561,7 +577,6 @@ def of1x2(
     the first"); default scans all N circular shifts.
     """
     n = vfft.shape[-1]
-    rdt = vfft.real.dtype
     norm1 = jnp.asarray(norm1)
     norm2 = jnp.asarray(norm2)
 
@@ -578,6 +593,65 @@ def of1x2(
     # c(Δ) = Re Σ_k φ1 s̃2 e^{+2πikΔ/N} / √(norm1·norm2) ∈ [−1, 1]
     c_all = (dfft.ifft(phi1 * s_fft2, axis=-1).real * n
              / (sq1 * sq2)[..., None])
+    c0 = chi2_base(vfft, denom_inv)
+    return _of1x2_core(u1, u2, c_all, sq1, sq2, c0, n, pretrigger, fs,
+                       delta_window, delta_chunk, delay_order=False)
+
+
+def of1x2_half(
+    vr: jnp.ndarray,
+    phi1_h: jnp.ndarray, norm1: jnp.ndarray,
+    phi2_h: jnp.ndarray, norm2: jnp.ndarray,
+    s_fft2_h: jnp.ndarray,
+    denom_inv_h: jnp.ndarray,
+    bin_w: jnp.ndarray,
+    pretrigger: int,
+    fs: float,
+    n: int,
+    delta_window: Optional[np.ndarray] = None,
+    delta_chunk: int = 8,
+) -> OF1x2Result:
+    """Half-spectrum joint two-template OF fit; equal to :func:`of1x2`.
+
+    Every spectral product here (φ_i·ṽ, φ₁·s̃₂) is Hermitian (real
+    template, real trace, real noise PSD), so the q and overlap series
+    come from packed irffts of the N//2+1 bins — half the transform work
+    of :func:`of1x2`. Accepts either layout: natural half-spectrum
+    inputs, or the permuted (blocked four-step) storage order
+    (signal_rfft_perm + permute_half_bank) — the kernel never needs the
+    bin indices because the inverse transform (dfft.irfft/irfft_fromperm
+    dispatched by layout via ops/fft.half_perm_indices(n)) emits the
+    delay-ordered series either way and the χ² base is order-agnostic.
+    The pretrigger roll of :func:`of1x2` is folded into the final index
+    conversion (delay_order=True core).
+    """
+    rdt = vr.real.dtype
+    norm1 = jnp.asarray(norm1)
+    norm2 = jnp.asarray(norm2)
+    sq1 = jnp.sqrt(norm1)
+    sq2 = jnp.sqrt(norm2)
+
+    perm = dfft.half_perm_indices(n) is not None
+
+    def inv(x):
+        return (dfft.irfft_fromperm(x, n) if perm
+                else dfft.irfft(x, n, axis=-1)).astype(rdt)
+
+    u1 = inv(phi1_h * vr) * n / sq1[..., None]           # delay order
+    u2 = inv(phi2_h * vr) * n / sq2[..., None]
+    c_all = inv(phi1_h * s_fft2_h) * n / (sq1 * sq2)[..., None]
+    c0 = chi2_base_half(vr, denom_inv_h, bin_w)
+    return _of1x2_core(u1, u2, c_all, sq1, sq2, c0, n, pretrigger, fs,
+                       delta_window, delta_chunk, delay_order=True)
+
+
+def _of1x2_core(u1, u2, c_all, sq1, sq2, c0, n, pretrigger, fs,
+                delta_window, delta_chunk, delay_order: bool):
+    """Joint (d1, Δ) scan shared by :func:`of1x2` (absolute-index u
+    series) and :func:`of1x2_half` (delay-ordered u series; the argmax
+    index is converted to a t0 at the end). c_all is on the natural Δ
+    axis in both cases."""
+    rdt = u1.dtype
 
     # Δ values: ``signed`` carries the caller's branch (reported in
     # time_diff); ``deltas`` is the circular index used for rolling. For
@@ -651,10 +725,15 @@ def of1x2(
     amp1 = (u1b - c * u2b) / (sq1 * det)
     amp2 = (u2b - c * u1b) / (sq2 * det)
 
-    c0 = chi2_base(vfft, denom_inv)
     chi2 = c0 - best_val
 
-    shift1 = d1.astype(rdt) - pretrigger
+    if delay_order:
+        # d1 is a delay index: absolute i = (d1 + pretrigger) mod n,
+        # shift = i − pretrigger = d1 or d1 − n
+        d_f = d1.astype(rdt)
+        shift1 = jnp.where(d1 < n - pretrigger, d_f, d_f - n)
+    else:
+        shift1 = d1.astype(rdt) - pretrigger
     # d2 reported on the caller's branch: the signed Δ that won the scan
     shift2 = shift1 + sg.astype(rdt)
     t0_1 = shift1 / fs

@@ -47,6 +47,31 @@ def event_psd_folded(vfft: jnp.ndarray, fs: float) -> jnp.ndarray:
     return jnp.sqrt(folded[..., 1:]), jnp.sqrt(folded[..., 0])
 
 
+def event_psd_folded_half(vr_h: jnp.ndarray, fs: float, n: int):
+    """:func:`event_psd_folded` from the half spectrum (ops.of1x1
+    signal_rfft, NATURAL order): the folded PSD is exactly the
+    non-negative-frequency bins, so the packed rfft provides it with
+    half the transform work. vr_h [..., N//2+1] -> (asd [..., N//2],
+    dc [...])."""
+    nfold = n // 2 + 1
+    psd = (vr_h.real**2 + vr_h.imag**2) / (n * fs)
+    scale = np.ones(nfold)
+    if n % 2 == 0:
+        scale[1:-1] = 2.0
+    else:
+        scale[1:] = 2.0
+    folded = psd * jnp.asarray(scale, dtype=psd.dtype)
+    return jnp.sqrt(folded[..., 1:]), jnp.sqrt(folded[..., 0])
+
+
+def psd_amp_half(vr_h: jnp.ndarray, fs: float, n: int,
+                 ind_ranges) -> jnp.ndarray:
+    """:func:`psd_amp` from the natural-order half spectrum."""
+    asd, _ = event_psd_folded_half(vr_h, fs, n)
+    outs = [jnp.mean(asd[..., lo:hi], axis=-1) for lo, hi in ind_ranges]
+    return jnp.stack(outs, axis=-1)
+
+
 def psd_amp(vfft: jnp.ndarray, fs: float, ind_ranges) -> jnp.ndarray:
     """Average folded ASD over index ranges.
 
@@ -129,6 +154,60 @@ def psd_peaks(
                       jnp.asarray(freqs_fold, asd.dtype)[jnp.clip(idxs, 0)],
                       SENTINEL)
     return freqs, amps, dc_amp
+
+
+def psd_peaks_half(
+    vr_h: jnp.ndarray,
+    fs: float,
+    n: int,
+    band_mask: np.ndarray,
+    npeaks: int,
+    distance_bins: int,
+):
+    """:func:`psd_peaks` from the natural-order half spectrum."""
+    asd, dc_amp = event_psd_folded_half(vr_h, fs, n)
+    freqs_fold = np.abs(np.fft.fftfreq(n, d=1.0 / fs)[: n // 2 + 1])[1:]
+    idxs, amps = find_peaks_topk(asd, jnp.asarray(band_mask), npeaks,
+                                 distance_bins)
+    freqs = jnp.where(idxs >= 0,
+                      jnp.asarray(freqs_fold, asd.dtype)[jnp.clip(idxs, 0)],
+                      SENTINEL)
+    return freqs, amps, dc_amp
+
+
+def phase_at_peaks_half(
+    vr_h: jnp.ndarray,
+    fs: float,
+    n: int,
+    band_mask: np.ndarray,
+    npeaks: int,
+    distance_bins: int,
+    pretrigger: int = 0,
+    threshold_factor: float = 0.0,
+):
+    """:func:`phase_at_peaks` from the natural-order half spectrum.
+
+    max|ṽ| over the half bins equals the full-spectrum max (mirror bins
+    have equal magnitude), so the threshold is unchanged."""
+    asd, _ = event_psd_folded_half(vr_h, fs, n)
+    freqs_fold = np.abs(np.fft.fftfreq(n, d=1.0 / fs)[: n // 2 + 1])[1:]
+
+    k = jnp.arange(n // 2 + 1)
+    shifted = vr_h * jnp.exp(2j * jnp.pi * k * (pretrigger / n))
+    mag = jnp.abs(vr_h)
+    thr = jnp.max(mag, axis=-1, keepdims=True) * threshold_factor
+    phase_half = jnp.angle(shifted)
+    phase_half = jnp.where(mag >= thr, phase_half, SENTINEL)
+    phase_fold = phase_half[..., 1:]
+
+    idxs, _ = find_peaks_topk(asd, jnp.asarray(band_mask), npeaks,
+                              distance_bins)
+    safe = jnp.clip(idxs, 0)
+    phases = jnp.take_along_axis(phase_fold, safe, axis=-1)
+    phases = jnp.where(idxs >= 0, phases, SENTINEL)
+    freqs = jnp.where(idxs >= 0,
+                      jnp.asarray(freqs_fold, asd.dtype)[safe], SENTINEL)
+    return freqs, phases
 
 
 def phase_at_peaks(

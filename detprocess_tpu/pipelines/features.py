@@ -477,20 +477,24 @@ class FeatureProcessing:
                 mask = ~mask
             return mask
 
-        # channels needing only the half spectrum (1x1 OF fast path) vs
-        # those needing the full spectrum (psd features, of1x2x2)
+        # every spectral consumer runs on the half spectrum: the 1x1 OF
+        # chain and of1x2 (Hermitian products → packed irfft), and the
+        # psd features (the folded PSD IS the non-negative bins). One
+        # rfft per channel, half the transform work of a full FFT.
         needs_half = sorted({s.chan_idx for s in specs
-                             if s.base in OF_1X1_ALGORITHMS})
-        needs_full = sorted({s.chan_idx for s in specs
-                             if s.base in ("of1x2x2",) + PSD_ALGORITHMS})
+                             if s.base in OF_1X1_ALGORITHMS
+                             + ("of1x2x2",) + PSD_ALGORITHMS})
+        # psd features index folded bins → need NATURAL half order; when
+        # the permuted layout engages they unpermute once per channel
+        needs_nat = sorted({s.chan_idx for s in specs
+                            if s.base in PSD_ALGORITHMS})
         # permuted (blocked four-step) storage layout: skips the forward
         # and inverse transpose passes of the matmul FFT (ops/fft.py);
         # device_banks permutes the bank arrays to match
         hperm = dfft.half_perm_indices(n)
         spec_k = None if hperm is None else jnp.asarray(hperm)
         # full-spectrum analog for the NxM chain (banks permuted to match
-        # in device_banks); the shared per-channel vffts stay natural
-        # order — their consumers (psd_amp, phase, of1x2) index bins
+        # in device_banks)
         fperm = dfft.perm_indices(n)
 
         def fn(raw_traces, banks):
@@ -503,12 +507,6 @@ class FeatureProcessing:
                     if "b1x1" in banks else None)
             bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
                       if "b1x1" in banks else None)
-            vffts = {}
-            if needs_full:
-                sel = traces[:, jnp.asarray(needs_full), :]
-                vf = of1x1.signal_fft(sel)
-                for j, ci in enumerate(needs_full):
-                    vffts[ci] = vf[:, j, :]
             vhalf = {}
             if needs_half:
                 sel = traces[:, jnp.asarray(needs_half), :]
@@ -516,6 +514,17 @@ class FeatureProcessing:
                       else of1x1.signal_rfft(sel))
                 for j, ci in enumerate(needs_half):
                     vhalf[ci] = vh[:, j, :]
+            # natural-order half spectra for the psd features (one
+            # [B, N//2+1] gather per channel when the permuted layout is
+            # active; free otherwise)
+            vhalf_nat = {}
+            if needs_nat:
+                pos_h = (None if hperm is None
+                         else jnp.asarray(np.argsort(hperm)))
+                for ci in needs_nat:
+                    vhalf_nat[ci] = (vhalf[ci] if pos_h is None
+                                     else jnp.take(vhalf[ci], pos_h,
+                                                   axis=-1))
 
             for spec in specs:
                 name = spec.algorithm
@@ -593,11 +602,12 @@ class FeatureProcessing:
                             out[f"ampres_{name}_{fc}"] = jnp.broadcast_to(
                                 ampres, r.amp[:, 0].shape)
                             out[f"timeres_{name}_{fc}"] = (
-                                of1x1.time_resolution(
-                                    r.amp[:, 0], bank.s_fft[spec.slot],
-                                    bank.denom_inv[spec.slot], fs))
+                                of1x1.time_resolution_half(
+                                    r.amp[:, 0], bank_h.s_fft[spec.slot],
+                                    bank_h.denom_inv[spec.slot],
+                                    bank_h.bin_w, n, fs, spec_k=hperm))
                 elif spec.base == "of1x2x2":
-                    vfft = vffts[spec.chan_idx][:, None, :]
+                    vr2 = vhalf[spec.chan_idx][:, None, :]
                     # optional Δ = t2 − t1 constraint (samples): bounds
                     # the joint scan to the physical pulse-2 delay range
                     # (O(N·|Δ|) instead of the O(N²) full circular scan)
@@ -619,16 +629,16 @@ class FeatureProcessing:
                         delta_window = np.arange(lo, hi + 1)
                     else:
                         delta_window = None
-                    r = of1x1.of1x2(
-                        vfft,
-                        bank.phi[spec.slot:spec.slot + 1],
-                        bank.norm[spec.slot:spec.slot + 1],
-                        bank.s_fft[spec.slot:spec.slot + 1],
-                        bank.phi[spec.slot2:spec.slot2 + 1],
-                        bank.norm[spec.slot2:spec.slot2 + 1],
-                        bank.s_fft[spec.slot2:spec.slot2 + 1],
-                        bank.denom_inv[spec.slot:spec.slot + 1],
-                        of_pretrig, fs, delta_window=delta_window)
+                    r = of1x1.of1x2_half(
+                        vr2,
+                        bank_h.phi[spec.slot:spec.slot + 1],
+                        bank_h.norm[spec.slot:spec.slot + 1],
+                        bank_h.phi[spec.slot2:spec.slot2 + 1],
+                        bank_h.norm[spec.slot2:spec.slot2 + 1],
+                        bank_h.s_fft[spec.slot2:spec.slot2 + 1],
+                        bank_h.denom_inv[spec.slot:spec.slot + 1],
+                        bank_h.bin_w,
+                        of_pretrig, fs, n, delta_window=delta_window)
                     out[f"scintillation_amp_{name}_{fc}"] = r.amp1[:, 0]
                     out[f"evaporation_amp_{name}_{fc}"] = r.amp2[:, 0]
                     out[f"time_diff_{name}_{fc}"] = r.time_diff[:, 0]
@@ -702,8 +712,8 @@ class FeatureProcessing:
                         np.fft.fftfreq(n, 1 / fs)[: n // 2 + 1])[1:]
                     ind_ranges = frequtils.get_ind_freq_ranges(
                         freq_ranges, freqs_fold)
-                    vals = psdfeatures.psd_amp(vffts[spec.chan_idx], fs,
-                                               ind_ranges)
+                    vals = psdfeatures.psd_amp_half(
+                        vhalf_nat[spec.chan_idx], fs, n, ind_ranges)
                     for i, rn in enumerate(range_names):
                         out[f"{name}_{rn}_{fc}"] = vals[:, i]
                 elif spec.base in ("psd_peaks", "phase"):
@@ -723,15 +733,17 @@ class FeatureProcessing:
                         if not band.any():
                             band[np.argmin(np.abs(freqs_fold - flo))] = True
                         if spec.base == "psd_peaks":
-                            fpk, apk, dc = psdfeatures.psd_peaks(
-                                vffts[spec.chan_idx], fs, band, npeaks, dist)
+                            fpk, apk, dc = psdfeatures.psd_peaks_half(
+                                vhalf_nat[spec.chan_idx], fs, n, band,
+                                npeaks, dist)
                             for i in range(npeaks):
                                 out[f"{name}_{rn}_amp_{i+1}_{fc}"] = apk[:, i]
                                 out[f"{name}_{rn}_freq_{i+1}_{fc}"] = fpk[:, i]
                             out[f"{name}_dc_amp_{fc}"] = dc
                         else:
-                            fpk, ppk = psdfeatures.phase_at_peaks(
-                                vffts[spec.chan_idx], fs, band, npeaks, dist,
+                            fpk, ppk = psdfeatures.phase_at_peaks_half(
+                                vhalf_nat[spec.chan_idx], fs, n, band,
+                                npeaks, dist,
                                 pretrigger=pretrig,
                                 threshold_factor=float(
                                     kwargs.get("threshold_factor", 0.0)))

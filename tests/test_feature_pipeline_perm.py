@@ -40,10 +40,13 @@ def dataset(tmp_path_factory):
     psd1 = 1e-20 * (1 + 50 / f)
     psd2 = 2e-20 * np.ones(N)
     amps = rng.uniform(1e-6, 4e-6, (NB_EVENTS, 2))
+    # chan2 carries a 25 kHz line for the psd features
+    line = 5e-7 * np.sin(2 * np.pi * 25e3 * np.arange(N) / FS + 0.7)
     traces = np.stack([generate_noise(psd1, FS, NB_EVENTS, rng)
-                       + amps[:, :1] * tmpl1,
+                       + amps[:, :1] * tmpl1
+                       + 0.5 * amps[:, 1:] * np.roll(tmpl2, 50),
                        generate_noise(psd2, FS, NB_EVENTS, rng)
-                       + amps[:, 1:] * tmpl2], axis=1)
+                       + amps[:, 1:] * tmpl2 + line], axis=1)
 
     raw_dir = root / "raw"
     writer = RawWriter(str(raw_dir), "I1_D20260817_T010000", FS,
@@ -55,6 +58,10 @@ def dataset(tmp_path_factory):
     fd = FilterData(verbose=False)
     fd.set_template("chan1", tmpl1, FS, pretrigger_length_samples=PRETRIG)
     fd.set_template("chan2", tmpl2, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_template("chan1", tmpl1, FS, pretrigger_length_samples=PRETRIG,
+                    tag="Scintillation")
+    fd.set_template("chan1", tmpl2, FS, pretrigger_length_samples=PRETRIG,
+                    tag="Evaporation")
     fd.set_psd("chan1", psd1, FS)
     fd.set_psd("chan2", psd2, FS)
     csd = np.zeros((2, 2, N), dtype=complex)
@@ -86,6 +93,19 @@ def dataset(tmp_path_factory):
             "baseline": {"run": True,
                          "window_min_from_start_usec": 0.0,
                          "window_max_from_trig_usec": -400.0},
+            # joint two-template fit on the half-spectrum perm path
+            "of1x2x2": {"run": True, "template_tag_1": "Scintillation",
+                        "template_tag_2": "Evaporation",
+                        "delta_window_min_usec": 0.0,
+                        "delta_window_max_usec": 100.0},
+        },
+        "chan2": {
+            # psd features unpermute the half spectrum once per channel
+            "psd_amp": {"run": True, "f_lims": [[1000.0, 10000.0]]},
+            "psd_peaks": {"run": True, "f_lims": [[10e3, 50e3]],
+                          "npeaks": 2, "min_separation_hz": 2000.0},
+            "phase": {"run": True, "f_lims": [[10e3, 50e3]],
+                      "npeaks": 1},
         },
         "chan1|chan2": {
             # unconstrained → permuted full ifft scan

@@ -162,3 +162,62 @@ def test_positive_window_beyond_half_n(banks):
     assert float(res.time_diff[0, 0]) * FS == pytest.approx(sep, abs=1.0)
     assert np.isclose(float(res.amp1[0, 0]), 2e-6, rtol=1e-3)
     assert np.isclose(float(res.amp2[0, 0]), 1.5e-6, rtol=1e-3)
+
+
+def test_of1x2_half_equals_full(banks):
+    """The half-spectrum joint kernel (packed Hermitian-product irffts,
+    delay-order core) equals the full-spectrum kernel — natural layout
+    (N small, no perm) AND the permuted layout at a four-step size."""
+    from detprocess_tpu.ops import fft as dfft
+
+    t1, t2, b1, b2 = banks
+    rng = np.random.default_rng(3)
+    traces = rng.standard_normal((4, N)) * 1e-8
+    traces += 3e-6 * t1 + 2e-6 * np.roll(t2, 37)
+
+    def run_pair(nlen, tt1, tt2, trc, window):
+        psd = np.full(nlen, 1e-16)
+        psd[0] = np.inf
+        bb1 = filterbank.make_of1x1_bank(tt1, psd, FS, nlen // 2)
+        bb2 = filterbank.make_of1x1_bank(tt2, psd, FS, nlen // 2)
+        vfft = of1x1.signal_fft(jnp.asarray(trc)[:, None, :])
+        full = of1x1.of1x2(
+            vfft,
+            jnp.asarray(bb1.phi), jnp.asarray(bb1.norm),
+            jnp.asarray(bb1.s_fft),
+            jnp.asarray(bb2.phi), jnp.asarray(bb2.norm),
+            jnp.asarray(bb2.s_fft),
+            jnp.asarray(bb1.denom_inv), nlen // 2, FS,
+            delta_window=window)
+        nh = nlen // 2 + 1
+        bin_w = np.full(nh, 2.0)
+        bin_w[0] = 1.0
+        bin_w[-1] = 1.0
+        hp = dfft.half_perm_indices(nlen)
+        sl = np.arange(nh) if hp is None else hp
+        vr = (of1x1.signal_rfft_perm(jnp.asarray(trc)[:, None, :])
+              if hp is not None
+              else of1x1.signal_rfft(jnp.asarray(trc)[:, None, :]))
+        half = of1x1.of1x2_half(
+            vr,
+            jnp.asarray(bb1.phi[:, sl]), jnp.asarray(bb1.norm),
+            jnp.asarray(bb2.phi[:, sl]), jnp.asarray(bb2.norm),
+            jnp.asarray(bb2.s_fft[:, sl]),
+            jnp.asarray(bb1.denom_inv[:, sl]), jnp.asarray(bin_w[sl]),
+            nlen // 2, FS, nlen, delta_window=window)
+        for a, b in zip(full, half):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-8, atol=1e-20)
+
+    # natural small-N layout
+    run_pair(N, t1, t2, traces, np.arange(0, 80))
+    # permuted four-step layout
+    n2 = 16384
+    tt1 = pulse.make_template(FS, n2, n2 // 2, A=1.0, tau_r=10e-6,
+                              tau_f1=60e-6)
+    tt2 = pulse.make_template(FS, n2, n2 // 2, A=1.0, tau_r=30e-6,
+                              tau_f1=400e-6)
+    tr2 = rng.standard_normal((2, n2)) * 1e-8
+    tr2 += 3e-6 * tt1 + 2e-6 * np.roll(tt2, 50)
+    assert dfft.half_perm_indices(n2) is not None
+    run_pair(n2, tt1, tt2, tr2, np.arange(0, 100))
