@@ -110,14 +110,21 @@ def bench_of1x1_basic(quick=False):
                                tau_f1=200e-6)
     psd = np.full(n, 1e-20)
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
-    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    # permuted (transpose-free) layout, same dispatch as the feature plan
+    from detprocess_tpu.ops import fft as dfft
+    hperm = dfft.half_perm_indices(n)
+    host = bank.to_device(np.float32)
+    if hperm is not None:
+        host = filterbank.permute_half_bank(host, hperm)
+    dev = jax.tree.map(jnp.asarray, host)
 
     @jax.jit
     def step(key, d):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = of1x1.signal_rfft(x[:, None, :])
+        vr = (of1x1.signal_rfft_perm(x[:, None, :]) if hperm is not None
+              else of1x1.signal_rfft(x[:, None, :]))
         r = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
                                      bh.s_fft, bh.bin_w, n=n)
         return (r.amp[:, 0], tracestats.baseline(x),
@@ -158,22 +165,40 @@ def bench_of1x1_delay(quick=False):
                                tau_f1=200e-6)
     psd = np.full(n, 1e-20)
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
-    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    from detprocess_tpu.ops import fft as dfft
+    hperm = dfft.half_perm_indices(n)
+    host = bank.to_device(np.float32)
+    if hperm is not None:
+        host = filterbank.permute_half_bank(host, hperm)
+    dev = jax.tree.map(jnp.asarray, host)
+    spec_k = None if hperm is None else jnp.asarray(hperm)
     wmask = np.zeros(n, dtype=bool)
     wmask[pretrig - 500:pretrig + 500] = True
     wmask_j = jnp.asarray(wmask)
+
+    def _rfft(x):
+        return (of1x1.signal_rfft_perm(x) if hperm is not None
+                else of1x1.signal_rfft(x))
+
+    def _withdelay(vr, bh, window_mask=None):
+        if hperm is not None:
+            return of1x1.of1x1_withdelay_half_perm(
+                vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+                pretrig, FS, n, spec_k, window_mask=window_mask)
+        return of1x1.of1x1_withdelay_half(
+            vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+            pretrig, FS,
+            window_mask=(None if window_mask is None
+                         else jnp.asarray(window_mask)))
 
     @jax.jit
     def step(key, d):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = of1x1.signal_rfft(x[:, None, :])
-        un = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                        bh.s_fft, bh.bin_w, pretrig, FS)
-        co = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                        bh.s_fft, bh.bin_w, pretrig, FS,
-                                        window_mask=wmask_j)
+        vr = _rfft(x[:, None, :])
+        un = _withdelay(vr, bh)
+        co = _withdelay(vr, bh, window_mask=wmask)
         return un.amp[:, 0], co.amp[:, 0], un.t0[:, 0], co.chi2[:, 0]
 
     keys = jax.random.split(jax.random.PRNGKey(1), k)
@@ -189,17 +214,20 @@ def bench_of1x1_delay(quick=False):
     eidx, valid, cmat, smat = of1x1.prepare_delay_window(
         wmask, pretrig, n, binw_host)
 
+    if hperm is not None:
+        cmat = cmat[hperm]
+        smat = smat[hperm]
+
     @jax.jit
     def step_direct(key, d):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = of1x1.signal_rfft(x[:, None, :])
-        un = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                        bh.s_fft, bh.bin_w, pretrig, FS)
+        vr = _rfft(x[:, None, :])
+        un = _withdelay(vr, bh)
         co = of1x1.of1x1_windowed_direct_half(
             vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
-            pretrig, FS, eidx, valid, cmat, smat, n=n)
+            pretrig, FS, eidx, valid, cmat, smat, n=n, spec_k=spec_k)
         return un.amp[:, 0], co.amp[:, 0], un.t0[:, 0], co.chi2[:, 0]
 
     dt_dir = timeit_pipelined(step_direct, [(kk, dev) for kk in keys],
@@ -278,7 +306,12 @@ def bench_nxm(quick=False):
     for ch in range(c):
         csd[ch, ch] = 1e-20
     bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
-    dev = jax.tree.map(jnp.asarray, bank.to_device(np.float32))
+    from detprocess_tpu.ops import fft as dfft
+    fperm = dfft.perm_indices(n)
+    host = bank.to_device(np.float32)
+    if fperm is not None:
+        host = filterbank.permute_nxm_bank(host, fperm)
+    dev = jax.tree.map(jnp.asarray, host)
     sig = jnp.asarray(np.einsum("cmn->cn", tmpl), jnp.float32)
 
     @jax.jit
@@ -286,9 +319,10 @@ def bench_nxm(quick=False):
         nb = filterbank.device_bank_nxm(d)
         x = (jax.random.normal(key, (b, c, n), jnp.float32) * 3e-9
              + 1e-6 * sig[None])
-        vfft = of1x1.signal_fft(x)
+        vfft = (of1x1.signal_fft_perm(x) if fperm is not None
+                else of1x1.signal_fft(x))
         r = ofnxm.ofnxm_withdelay(vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
-                                  nb.icsd, pretrig, FS)
+                                  nb.icsd, pretrig, FS, spec_perm=fperm)
         return r.amps, r.t0, r.chi2
 
     keys = jax.random.split(jax.random.PRNGKey(3), k)
