@@ -616,14 +616,19 @@ def of1x2_half(
     Every spectral product here (φ_i·ṽ, φ₁·s̃₂) is Hermitian (real
     template, real trace, real noise PSD), so the q and overlap series
     come from packed irffts of the N//2+1 bins — half the transform work
-    of :func:`of1x2`. Accepts either layout: natural half-spectrum
-    inputs, or the permuted (blocked four-step) storage order
-    (signal_rfft_perm + permute_half_bank) — the kernel never needs the
-    bin indices because the inverse transform (dfft.irfft/irfft_fromperm
-    dispatched by layout via ops/fft.half_perm_indices(n)) emits the
-    delay-ordered series either way and the χ² base is order-agnostic.
-    The pretrigger roll of :func:`of1x2` is folded into the final index
-    conversion (delay_order=True core).
+    of :func:`of1x2`.
+
+    LAYOUT CONTRACT: the expected storage order of every spectrum-shaped
+    input is decided by ``ops.fft.half_perm_indices(n)`` — natural order
+    when it is None, the permuted (blocked four-step) order otherwise
+    (inputs from signal_rfft_perm + permute_half_bank). The kernel never
+    needs the bin indices itself (the matching inverse transform emits
+    the delay-ordered series either way and the χ² base is
+    order-agnostic), but mixing layouts is silently wrong — build inputs
+    with the same dispatch the feature plan uses
+    (pipelines/features.py::_make_group_fn). The pretrigger roll of
+    :func:`of1x2` is folded into the final index conversion
+    (delay_order=True core).
     """
     rdt = vr.real.dtype
     norm1 = jnp.asarray(norm1)
