@@ -79,7 +79,7 @@ def test_half_perm_indices_layout():
 
 def test_rfft_perm_matches_numpy_under_permutation():
     rng = np.random.default_rng(9)
-    for n in (16384, 32768):
+    for n in (16384, 32768, 12000, 20000):
         x = rng.standard_normal((3, n))
         hp = dfft.half_perm_indices(n)
         got = np.asarray(dfft.rfft_perm(jnp.asarray(x)))
@@ -90,7 +90,7 @@ def test_rfft_perm_matches_numpy_under_permutation():
 
 def test_irfft_fromperm_roundtrip_and_numpy():
     rng = np.random.default_rng(10)
-    for n in (16384, 32768):
+    for n in (16384, 32768, 12000):
         x = rng.standard_normal((2, n))
         xp = dfft.rfft_perm(jnp.asarray(x))
         back = np.asarray(dfft.irfft_fromperm(xp, n))
