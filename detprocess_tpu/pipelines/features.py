@@ -503,8 +503,6 @@ class FeatureProcessing:
                                 jnp.asarray(mix, raw_traces.dtype),
                                 self._window_cut(raw_traces, group))
             out = {}
-            bank = (filterbank.device_bank_1x1(banks["b1x1"])
-                    if "b1x1" in banks else None)
             bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
                       if "b1x1" in banks else None)
             vhalf = {}
@@ -902,6 +900,11 @@ class FeatureProcessing:
                     # transpose-free half-spectrum kernels — must match
                     # the dispatch in _make_group_fn
                     dev = filterbank.permute_half_bank(dev, hperm)
+                # every 1x1 consumer runs on the half-spectrum view now —
+                # don't ship the [S, N] full-spectrum arrays to the
+                # device (host↔device bandwidth + HBM for nothing)
+                for key in ("phi", "s_fft", "denom_inv"):
+                    dev.pop(key, None)
                 d["b1x1"] = jax.tree.map(jnp.asarray, dev)
             for key, bank in group.nxm_banks.items():
                 devn = bank.to_device(real_dtype)
