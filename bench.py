@@ -22,6 +22,8 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -34,6 +36,32 @@ PRETRIG = N // 2
 BATCH = 8192
 NBATCH = 8
 CPU_BASELINE_EVENTS = 24
+
+
+def probe_device(tries=3, timeout=150, sleep_s=60):
+    """True when the accelerator answers a tiny compute+transfer probe.
+
+    A dead TPU tunnel makes ``jax.devices()`` hang forever with no error
+    (observed round 3), so the probe runs in a SUBPROCESS under a hard
+    timeout. Retries cover short blips; a persistent outage falls back
+    to a clearly-flagged CPU run instead of hanging the driver.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False
+    code = ("import jax, numpy as np, jax.numpy as jnp\n"
+            "x = jnp.asarray(np.ones(8, np.float32))\n"
+            "print('PROBE_OK', float(np.asarray(x.sum())))\n")
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout)
+            if r.returncode == 0 and b"PROBE_OK 8.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < tries:
+            time.sleep(sleep_s)
+    return False
 
 
 def build_bank():
@@ -152,16 +180,37 @@ def bench_cpu_baseline(template, psd):
 
 
 def main():
+    global BATCH, NBATCH
+    on_device = probe_device(
+        tries=int(os.environ.get("DETPROC_BENCH_PROBE_TRIES", "3")),
+        timeout=int(os.environ.get("DETPROC_BENCH_PROBE_TIMEOUT", "150")))
+    if not on_device:
+        # tunnel down (or CPU forced): run the SAME benchmark on host CPU
+        # with a batch size that finishes, and say so in the JSON — a
+        # flagged CPU number beats a silently hung driver. The env var
+        # alone is NOT enough: the preinstalled TPU plugin can override
+        # JAX_PLATFORMS (see tests/conftest.py), and its init hangs
+        # forever when the tunnel is dead — the config update below must
+        # land before any backend initialization.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        BATCH, NBATCH = 256, 2
     template, psd, bank = build_bank()
     events_per_sec = bench_tpu(bank, template)
     cpu_rate = bench_cpu_baseline(template, psd)
-    print(json.dumps({
+    result = {
         "metric": "of1x1 feature extraction (32k samples, nodelay+delay-scan"
                   "+trace stats)",
         "value": round(events_per_sec, 1),
         "unit": "events/s",
         "vs_baseline": round(events_per_sec / cpu_rate, 1),
-    }))
+    }
+    if not on_device:
+        result["platform"] = ("cpu-fallback: TPU tunnel unreachable at "
+                              "bench time (probe timed out); see "
+                              "BASELINE.md for on-chip numbers")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
