@@ -181,7 +181,8 @@ def bench_cpu_baseline(template, psd):
 
 def main():
     global BATCH, NBATCH
-    on_device = probe_device(
+    forced_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    on_device = False if forced_cpu else probe_device(
         tries=int(os.environ.get("DETPROC_BENCH_PROBE_TRIES", "3")),
         timeout=int(os.environ.get("DETPROC_BENCH_PROBE_TIMEOUT", "150")))
     if not on_device:
@@ -206,7 +207,9 @@ def main():
         "unit": "events/s",
         "vs_baseline": round(events_per_sec / cpu_rate, 1),
     }
-    if not on_device:
+    if forced_cpu:
+        result["platform"] = "cpu (JAX_PLATFORMS=cpu set by caller)"
+    elif not on_device:
         result["platform"] = ("cpu-fallback: TPU tunnel unreachable at "
                               "bench time (probe timed out); see "
                               "BASELINE.md for on-chip numbers")

@@ -207,10 +207,7 @@ def bench_of1x1_delay(quick=False):
 
     # same work with the constrained scan on the direct windowed DFT
     # matmul path (what the feature plan dispatches for this window)
-    binw_host = np.full(n // 2 + 1, 2.0)
-    binw_host[0] = 1.0
-    if n % 2 == 0:
-        binw_host[-1] = 1.0
+    binw_host = filterbank.half_bin_weights(n)
     eidx, valid, cmat, smat = of1x1.prepare_delay_window(
         wmask, pretrig, n, binw_host)
 

@@ -342,6 +342,21 @@ def half_perm_indices(n: int):
     return np.concatenate([pm, [n // 2]])
 
 
+def unperm_indices(n: int):
+    """Inverse of :func:`perm_indices`: entry k is the storage position of
+    spectral bin k in the blocked layout — the ONE small gather that
+    restores natural frequency order after an order-agnostic reduction.
+    None when the transform runs in natural order."""
+    pm = perm_indices(n)
+    return None if pm is None else np.argsort(pm)
+
+
+def half_unperm_indices(n: int):
+    """Inverse of :func:`half_perm_indices` (same convention)."""
+    pm = half_perm_indices(n)
+    return None if pm is None else np.argsort(pm)
+
+
 def _blocked_rev(x2: jnp.ndarray) -> jnp.ndarray:
     """Negate the spectral index in blocked storage: returns y with
     y[storage j] = x[storage of spectral (M − k_j) mod M].

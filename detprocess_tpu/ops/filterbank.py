@@ -59,6 +59,21 @@ def join_complex(x) -> "jnp.ndarray":
     return jax.lax.complex(x[..., 0], x[..., 1])
 
 
+def half_bin_weights(n: int, dtype=np.float64) -> np.ndarray:
+    """Per-bin weights [1, 2, …, 2, 1 (even n)] of length n//2+1 that make
+    half-spectrum reductions equal the full-spectrum sum for Hermitian
+    spectra (DC and — for even n — Nyquist appear once; every other bin
+    represents a conjugate pair). Single owner of the rule: bank packing,
+    the feature plan's direct-window kernels, and the benchmarks all
+    build their weights here."""
+    nh = n // 2 + 1
+    w = np.full(nh, 2.0, dtype)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return w
+
+
 # ---------------------------------------------------------------------------
 # notching helpers
 # ---------------------------------------------------------------------------
@@ -159,10 +174,7 @@ class OF1x1Bank(NamedTuple):
         """
         n = self.nbins
         nh = n // 2 + 1
-        bin_w = np.full(nh, 2.0)
-        bin_w[0] = 1.0
-        if n % 2 == 0:
-            bin_w[-1] = 1.0
+        bin_w = half_bin_weights(n)
         return {
             "phi": split_complex(self.phi, real_dtype),
             "s_fft": split_complex(self.s_fft, real_dtype),

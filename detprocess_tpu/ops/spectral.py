@@ -26,17 +26,6 @@ import numpy as np
 from detprocess_tpu.ops import fft as dfft
 
 
-def _unperm_pos(n: int):
-    """Inverse of ops/fft.perm_indices: ``pos[k]`` = storage position of
-    spectral bin k in the blocked four-step layout, or None when the
-    transform runs in natural order. Host-side; used to restore natural
-    frequency order with ONE small gather after the (order-agnostic)
-    spectral reductions — the forward transpose pass this replaces runs
-    over the full [B, N] complex intermediates."""
-    pm = dfft.perm_indices(n)
-    return None if pm is None else np.argsort(pm)
-
-
 def periodogram_perm(traces: jnp.ndarray, fs: float) -> jnp.ndarray:
     """Two-sided periodogram in the permuted (blocked four-step) storage
     order of ops/fft.fft_perm — spectral bin ``perm_indices(n)[j]`` at
@@ -106,7 +95,7 @@ def welch_psd(traces: jnp.ndarray, fs: float, window: str | None = None):
         scale = 1.0
     else:
         raise ValueError(f"unknown window: {window}")
-    pos = _unperm_pos(n)
+    pos = dfft.unperm_indices(n)
     if pos is None:
         pxx = periodogram(traces, fs) * scale
         return jnp.mean(pxx, axis=-2)
@@ -140,7 +129,7 @@ def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
         raise ValueError(f"unknown window: {window}")
     # full complex transform on purpose — see the periodogram note (the
     # rfft untangle's relayout costs beat its FLOP savings here)
-    pos = _unperm_pos(n)
+    pos = dfft.unperm_indices(n)
     if pos is None:
         vfft = dfft.fft(traces, axis=-1)  # [B, C, N]
         csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))

@@ -72,6 +72,7 @@ def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     Returns a jitted fn(traces [B, N] sharded) -> two-sided PSD [N]
     (replicated).
     """
+    from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import spectral
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
@@ -80,7 +81,7 @@ def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
         # transpose-free permuted layout when the four-step FFT engages;
         # the psum rides the permuted order and natural frequency order
         # is restored on the reduced [N] result (see ops/spectral.py)
-        pos = spectral._unperm_pos(local_traces.shape[-1])
+        pos = dfft.unperm_indices(local_traces.shape[-1])
         pxx = (spectral.periodogram(local_traces, fs) if pos is None
                else spectral.periodogram_perm(local_traces, fs))
         local_sum = jnp.sum(pxx, axis=-2)
@@ -107,7 +108,7 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     def _csd(local_traces):
         from detprocess_tpu.ops import spectral
         n = local_traces.shape[-1]
-        pos = spectral._unperm_pos(n)
+        pos = dfft.unperm_indices(n)
         vfft = (dfft.fft(local_traces, axis=-1) if pos is None
                 else dfft.fft_perm(local_traces))
         local = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))

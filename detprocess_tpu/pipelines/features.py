@@ -475,6 +475,13 @@ class FeatureProcessing:
             mask[lo:hi + 1] = True
             if spec.kwargs.get("lgc_outside_window", False):
                 mask = ~mask
+            if not mask.any():
+                raise ValueError(
+                    f"{spec.algorithm} on {spec.channel}: constrained "
+                    f"delay window [{lo}, {hi}] with lgc_outside_window="
+                    f"{bool(spec.kwargs.get('lgc_outside_window', False))}"
+                    " selects no delays — fix window_min/max_index or "
+                    "window_*_from_trig_usec in the processing config")
             return mask
 
         # every spectral consumer runs on the half spectrum: the 1x1 OF
@@ -518,7 +525,7 @@ class FeatureProcessing:
             vhalf_nat = {}
             if needs_nat:
                 pos_h = (None if hperm is None
-                         else jnp.asarray(np.argsort(hperm)))
+                         else jnp.asarray(dfft.half_unperm_indices(n)))
                 for ci in needs_nat:
                     vhalf_nat[ci] = (vhalf[ci] if pos_h is None
                                      else jnp.take(vhalf[ci], pos_h,
@@ -556,10 +563,7 @@ class FeatureProcessing:
                             # narrow window → direct windowed DFT matmul
                             # (skips the full [N] inverse-FFT chain;
                             # ops/of1x1.py::of1x1_windowed_direct_half)
-                            binw_host = np.full(n // 2 + 1, 2.0)
-                            binw_host[0] = 1.0
-                            if n % 2 == 0:
-                                binw_host[-1] = 1.0
+                            binw_host = filterbank.half_bin_weights(n)
                             eidx, valid, cmat, smat = (
                                 of1x1.prepare_delay_window(
                                     wmask, of_pretrig, n, binw_host))

@@ -185,3 +185,22 @@ def test_of1x2x2_delta_window_plumbed(data, result, tmp_path):
         np.testing.assert_allclose(out[col].to_numpy(),
                                    result[col].to_numpy(), rtol=1e-10)
     assert np.all(out["time_diff_of1x2x2_chan1"].to_numpy() >= 0)
+
+
+def test_empty_constrained_window_is_actionable(data, tmp_path):
+    """A constrained-OF window that selects no delays must fail with a
+    message naming the spec and channel (review finding: the direct-
+    window dispatch previously crashed deep inside prepare_delay_window
+    with no context)."""
+    config = {"chan1": {"of1x1_constrained": {
+        "run": True,
+        "window_min_index": 0,
+        "window_max_index": N - 1,
+        "lgc_outside_window": True,     # inverts to all-False
+    }}}
+    cpath = tmp_path / "empty_win.yaml"
+    yaml.safe_dump(config, open(cpath, "w"))
+    proc = FeatureProcessing(data["raw_files"], str(cpath),
+                             filter_data=data["fd"], verbose=False)
+    with pytest.raises(ValueError, match="selects no delays.*of1x1_constrained|of1x1_constrained.*selects no delays"):
+        proc.process(batch_size=NB, dtype=np.float64)
