@@ -283,3 +283,124 @@ def test_of1x2_joint_on_device(bank_and_template):
     np.testing.assert_allclose(np.asarray(r.amp2)[:, 0], 3e-6, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(r.time_diff)[:, 0] * FS, sep,
                                atol=1.5)
+
+
+def test_perm_feature_equals_natural_on_device(bank_and_template):
+    """The transpose-free permuted-FFT feature path (what the pipeline
+    ships at this N) matches the natural-order half path on the chip."""
+    from detprocess_tpu.ops import fft as dfft
+    from detprocess_tpu.ops import filterbank, of1x1
+
+    template, bank, dev = bank_and_template
+    hperm = dfft.half_perm_indices(N)
+    assert hperm is not None
+    dev_p = jax.tree.map(jnp.asarray, filterbank.permute_half_bank(
+        bank.to_device(np.float32), hperm))
+    spec_k = jnp.asarray(hperm)
+
+    rng = np.random.default_rng(5)
+    traces = (rng.standard_normal((8, N)) * 1e-8
+              + 3e-6 * np.roll(template, 7)[None, :]).astype(np.float32)
+
+    @jax.jit
+    def nat(tr, dev):
+        bh = filterbank.device_bank_1x1_half(dev)
+        vr = of1x1.signal_rfft(tr[:, None, :])
+        wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                        bh.s_fft, bh.bin_w, PRETRIG, FS)
+        nd = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                      bh.s_fft, bh.bin_w, n=N)
+        return wd.amp, wd.t0, wd.chi2, nd.amp
+
+    @jax.jit
+    def perm(tr, dev):
+        bh = filterbank.device_bank_1x1_half(dev)
+        vr = of1x1.signal_rfft_perm(tr[:, None, :])
+        wd = of1x1.of1x1_withdelay_half_perm(
+            vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+            PRETRIG, FS, N, spec_k)
+        nd = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
+                                      bh.s_fft, bh.bin_w, n=N,
+                                      spec_k=spec_k)
+        return wd.amp, wd.t0, wd.chi2, nd.amp
+
+    na, nt0, nc, nnd = map(np.asarray, nat(jnp.asarray(traces), dev))
+    pa, pt0, pc, pnd = map(np.asarray, perm(jnp.asarray(traces), dev_p))
+    np.testing.assert_allclose(pa, na, rtol=1e-4)
+    np.testing.assert_allclose(pnd, nnd, rtol=1e-4)
+    np.testing.assert_allclose(pt0, nt0, atol=1.5 / FS)
+    np.testing.assert_allclose(pc, nc, rtol=1e-3)
+    # physics: the injected amp and offset are recovered
+    np.testing.assert_allclose(pa[:, 0], 3e-6, rtol=1e-3)
+    assert np.all(np.abs(pt0 - 7 / FS) < 1.5 / FS)
+
+
+def test_rfft_perm_matches_rfft_on_device():
+    """rfft_perm gathered to natural order == rfft; irfft_fromperm
+    round-trips to the input (the permuted pair the pipeline ships)."""
+    from detprocess_tpu.ops import fft as dfft
+
+    hperm = dfft.half_perm_indices(N)
+    pos = dfft.half_unperm_indices(N)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((4, N)).astype(np.float32)
+
+    @jax.jit
+    def rt(x):
+        xp = dfft.rfft_perm(x)
+        nat = jnp.take(xp, jnp.asarray(pos), axis=-1)
+        back = dfft.irfft_fromperm(xp, N)
+        return jnp.stack([nat.real, nat.imag], 0), back
+
+    ri, back = rt(jnp.asarray(x))
+    got = np.asarray(ri[0]) + 1j * np.asarray(ri[1])
+    ref = np.fft.rfft(x)
+    assert np.max(np.abs(got - ref)) < 2e-5 * np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(back), x, atol=2e-6)
+    assert hperm is not None and len(hperm) == N // 2 + 1
+
+
+def test_windowed_direct_equals_masked_on_device(bank_and_template):
+    """The direct windowed DFT-matmul constrained OF (dispatched for
+    windows <= DIRECT_WINDOW_MAX) matches the masked irfft scan on the
+    chip, on the permuted layout the pipeline ships."""
+    from detprocess_tpu.ops import fft as dfft
+    from detprocess_tpu.ops import filterbank, of1x1
+
+    template, bank, dev = bank_and_template
+    hperm = dfft.half_perm_indices(N)
+    dev_p = jax.tree.map(jnp.asarray, filterbank.permute_half_bank(
+        bank.to_device(np.float32), hperm))
+    spec_k = jnp.asarray(hperm)
+
+    wmask = np.zeros(N, bool)
+    wmask[PRETRIG - 50:PRETRIG + 51] = True
+    binw_host = filterbank.half_bin_weights(N)
+    eidx, valid, cmat, smat = of1x1.prepare_delay_window(
+        wmask, PRETRIG, N, binw_host)
+    cmat_p, smat_p = cmat[hperm], smat[hperm]
+
+    rng = np.random.default_rng(7)
+    traces = (rng.standard_normal((8, N)) * 1e-8
+              + 3e-6 * np.roll(template, 21)[None, :]).astype(np.float32)
+    wmask_dev = jnp.asarray(wmask)
+
+    @jax.jit
+    def both(tr, dev, cm, sm):
+        bh = filterbank.device_bank_1x1_half(dev)
+        vr = of1x1.signal_rfft_perm(tr[:, None, :])
+        direct = of1x1.of1x1_windowed_direct_half(
+            vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+            PRETRIG, FS, eidx, valid, cm, sm, n=N, spec_k=spec_k)
+        masked = of1x1.of1x1_withdelay_half_perm(
+            vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
+            PRETRIG, FS, N, spec_k, window_mask=wmask_dev)
+        return direct.amp, direct.t0, masked.amp, masked.t0
+
+    da, dt0, ma, mt0 = map(np.asarray, both(
+        jnp.asarray(traces), dev_p, jnp.asarray(cmat_p),
+        jnp.asarray(smat_p)))
+    np.testing.assert_allclose(da, ma, rtol=2e-4)
+    np.testing.assert_allclose(dt0, mt0, atol=1e-9)
+    np.testing.assert_allclose(da[:, 0], 3e-6, rtol=1e-3)
+    assert np.all(np.abs(dt0 - 21 / FS) < 1.5 / FS)
