@@ -654,19 +654,84 @@ class TriggerProcessing:
             if event_df is not None and len(event_df):
                 frames.append(event_df.copy())
 
+        def sets_to_host(batch_sets):
+            """Bring a whole batch of device TriggerSets to the host in
+            TWO transfers (one int32 pack, one float32 pack).
+
+            The drain loop previously converted each field per EVENT —
+            6 fields x sets x E events is ~100 device→host transfers per
+            batch, each one ~30 ms tunnel round trip on the dev link
+            (the measured warm-pipeline bottleneck). Separate int/float
+            packs because the device runs without x64: int32 trigger
+            indices do not fit exactly in float32 beyond 2^24-sample
+            traces.
+            """
+            int_fields = ("indices", "count", "count_total", "n_above")
+            float_fields = ("dchi2", "amplitudes")
+            ints, floats, specs = [], [], []
+            ioff = foff = 0
+            for name, pair in batch_sets.items():
+                for si, t in enumerate(pair):
+                    if t is None:
+                        continue
+                    for fname in int_fields + float_fields:
+                        arr = getattr(t, fname)
+                        if arr is None:
+                            continue
+                        shape = tuple(np.shape(arr))
+                        size = int(np.prod(shape)) if shape else 1
+                        if fname in int_fields:
+                            ints.append(jnp.ravel(
+                                jnp.asarray(arr)).astype(jnp.int32))
+                            specs.append((name, si, fname, shape, "i",
+                                          ioff, size))
+                            ioff += size
+                        else:
+                            floats.append(jnp.ravel(
+                                jnp.asarray(arr)).astype(jnp.float32))
+                            specs.append((name, si, fname, shape, "f",
+                                          foff, size))
+                            foff += size
+            ibuf = (np.asarray(jnp.concatenate(ints)) if ints
+                    else np.zeros(0, np.int32))
+            fbuf = (np.asarray(jnp.concatenate(floats)) if floats
+                    else np.zeros(0, np.float32))
+            fields: dict = {}
+            for name, si, fname, shape, kind, off, size in specs:
+                buf = ibuf if kind == "i" else fbuf
+                fields.setdefault((name, si), {})[fname] = (
+                    buf[off:off + size].reshape(shape))
+            out = {}
+            for name, pair in batch_sets.items():
+                rebuilt = []
+                for si, t in enumerate(pair):
+                    if t is None:
+                        rebuilt.append(None)
+                        continue
+                    fd = fields[(name, si)]
+                    rebuilt.append(trig_ops.TriggerSet(
+                        indices=fd["indices"], dchi2=fd["dchi2"],
+                        amplitudes=fd["amplitudes"], count=fd["count"],
+                        count_total=fd["count_total"],
+                        n_above=fd.get("n_above")))
+                out[name] = tuple(rebuilt)
+            return out
+
         def slice_sets(batch_sets, e):
+            """Per-event view of HOST TriggerSets (sets_to_host output) —
+            pure numpy slicing, no device traffic."""
             out = {}
             for name, (ts, ts2) in batch_sets.items():
                 def pick(t):
                     if t is None:
                         return None
                     return trig_ops.TriggerSet(
-                        indices=np.asarray(t.indices)[e],
-                        dchi2=np.asarray(t.dchi2)[e],
-                        amplitudes=np.asarray(t.amplitudes)[e],
-                        count=np.asarray(t.count)[e],
-                        count_total=np.asarray(t.count_total)[e],
-                        n_above=(np.asarray(t.n_above)[e]
+                        indices=t.indices[e],
+                        dchi2=t.dchi2[e],
+                        amplitudes=t.amplitudes[e],
+                        count=t.count[e],
+                        count_total=t.count_total[e],
+                        n_above=(t.n_above[e]
                                  if t.n_above is not None else None))
                 out[name] = (pick(ts), pick(ts2))
             return out
@@ -710,8 +775,9 @@ class TriggerProcessing:
             inflight.append((batch_traces, batch_admins, batch_sets))
             while len(inflight) > max(pipeline_depth, 0):
                 btr, badm, bsets = inflight.pop(0)
+                hsets = sets_to_host(bsets)
                 for e in range(len(btr)):
-                    handle_event(btr[e], badm[e], slice_sets(bsets, e))
+                    handle_event(btr[e], badm[e], slice_sets(hsets, e))
                 events_done += len(btr)
             if (lgc_save and nb_events_per_dump
                     and events_done - events_dumped >= nb_events_per_dump
@@ -729,8 +795,9 @@ class TriggerProcessing:
                 print(f"INFO: processed {total} continuous events "
                       f"({ntrig} triggers so far)")
         for btr, badm, bsets in inflight:
+            hsets = sets_to_host(bsets)
             for e in range(len(btr)):
-                handle_event(btr[e], badm[e], slice_sets(bsets, e))
+                handle_event(btr[e], badm[e], slice_sets(hsets, e))
         if prefetch_depth > 0:
             source.close()
 
