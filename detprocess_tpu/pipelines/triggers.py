@@ -189,11 +189,15 @@ class EventBuilder:
 
         df = self._event_df
         n = len(df)
+        # metadata columns added in ONE concat — per-column __setitem__
+        # costs a block-manager insert each (~12 per event, a measured
+        # host hot spot in the warm pipeline)
+        new: dict = {}
         for key in ("processing_id", "data_type", "group_name"):
-            df[key] = str(event_metadata.get(key, "")) or None
+            new[key] = str(event_metadata.get(key, "")) or None
         for key in ("series_number", "event_number", "dump_number",
                     "fridge_run_number"):
-            df[key] = np.int64(event_metadata.get(key, -1))
+            new[key] = np.int64(event_metadata.get(key, -1))
 
         trigger_times = df["trigger_time"].to_numpy()
         if np.isfinite(event_time_start):
@@ -201,17 +205,19 @@ class EventBuilder:
                                             + event_time_start))
         else:
             event_times = np.full(n, -1, dtype=np.int64)
-        df["event_time"] = event_times
+        new["event_time"] = event_times
         # elapsed-time columns (eventbuilder.py:301-313): event time minus
         # the respective start stamps when provided
         for key in ("series_start_time", "group_start_time",
                     "fridge_run_start_time"):
             start = event_metadata.get(key)
-            df[key] = (event_times - np.int64(start)
-                       if start is not None and np.isfinite(event_time_start)
-                       else np.full(n, -1, dtype=np.int64))
-        df["trigger_prod_id"] = (np.arange(n, dtype=np.int64)
-                                 + self._current_trigger_id + 1)
+            new[key] = (event_times - np.int64(start)
+                        if start is not None
+                        and np.isfinite(event_time_start)
+                        else np.full(n, -1, dtype=np.int64))
+        new["trigger_prod_id"] = (np.arange(n, dtype=np.int64)
+                                  + self._current_trigger_id + 1)
+        df = pd.concat([df, pd.DataFrame(new, index=df.index)], axis=1)
         self._current_trigger_id = int(df["trigger_prod_id"].iloc[-1])
         self._event_df = df
         return df
@@ -526,11 +532,12 @@ class TriggerProcessing:
         if m == 1:
             data["trigger_amplitude"] = amps[0].astype(np.float64)
         data["trigger_channel"] = [tc.name] * count
-        df = pd.DataFrame(data)
-        # per-channel suffixed duplicates (oftrigger.py:1029-1034)
-        for col in list(df.columns):
-            df[f"{col}_{tc.name}"] = df[col]
-        return df
+        # per-channel suffixed duplicates (oftrigger.py:1029-1034) added
+        # to the dict BEFORE construction: one DataFrame build instead of
+        # 14 block-manager column inserts per event
+        for col in list(data):
+            data[f"{col}_{tc.name}"] = data[col]
+        return pd.DataFrame(data)
 
     # ------------------------------------------------------------------
     def process(self,
