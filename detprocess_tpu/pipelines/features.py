@@ -439,9 +439,26 @@ class FeatureProcessing:
         return traces[..., start:start + group.nb_samples]
 
     def _compile(self):
-        self._group_fns = []
-        for group in self._groups:
-            self._group_fns.append(self._make_group_fn(group))
+        self._group_fns_raw = [self._make_group_fn(g)
+                               for g in self._groups]
+        self._group_fns = [jax.jit(f) for f in self._group_fns_raw]
+        self._mesh_fns: dict = {}
+
+    def _group_fns_for(self, mesh):
+        """Per-batch dispatchers: plain jits, or (with a mesh) shard_maps
+        over the events axis — features are per-event, so the batch
+        shards with no collectives; banks are replicated via in_specs."""
+        if mesh is None:
+            return self._group_fns
+        if mesh not in self._mesh_fns:
+            from jax.sharding import PartitionSpec as P
+            from detprocess_tpu.parallel import mesh as pmesh
+            ev = P(pmesh.EVENTS_AXIS)
+            self._mesh_fns[mesh] = [
+                jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(ev, P()),
+                                      out_specs=ev))
+                for f in self._group_fns_raw]
+        return self._mesh_fns[mesh]
 
     def _make_group_fn(self, group: TraceGroup):
         fs = self._fs
@@ -794,7 +811,7 @@ class FeatureProcessing:
                             lo, hi)
             return out
 
-        return jax.jit(fn)
+        return fn
 
     # ------------------------------------------------------------------
     # execution
@@ -934,8 +951,16 @@ class FeatureProcessing:
                 nb_events_per_dump: Optional[int] = None,
                 memory_limit: float | str | None = None,
                 resume: bool = False,
-                lgc_output: bool = True) -> Optional[pd.DataFrame]:
+                lgc_output: bool = True,
+                mesh=None) -> Optional[pd.DataFrame]:
         """Run feature extraction.
+
+        ``mesh``: an optional ``jax.sharding.Mesh``
+        (``parallel.mesh.make_mesh``) — each batch is then SPMD over the
+        mesh's devices, sharded along ``parallel.mesh.EVENTS_AXIS``
+        (features are per-event: no collectives; banks replicate).
+        Batches are padded to a device-count multiple and trimmed on the
+        host; raise ``batch_size`` so each device gets real work.
 
         Reads events in batches, executes the compiled plan on device, and
         assembles the feature table (with admin columns). With ``lgc_save``
@@ -991,27 +1016,45 @@ class FeatureProcessing:
             # ONE device→host transfer for all packed columns: per-column
             # np.asarray costs a full device round trip each (measured
             # ~30 ms/column on the dev tunnel — 11 columns made the
-            # transfer, not the compute, the warm bottleneck)
+            # transfer, not the compute, the warm bottleneck). [:nb]
+            # drops mesh padding (every plan output is batch-leading).
             feats = {}
             if keys:
                 arr = np.asarray(packed, np.float64)
-                feats.update({k: arr[i] for i, k in enumerate(keys)})
-            feats.update({k: np.asarray(v, np.float64)
+                feats.update({k: arr[i][:nb] for i, k in enumerate(keys)})
+            feats.update({k: np.asarray(v, np.float64)[:nb]
                           for k, v in extras.items()})
             state["total"] += nb
             self._emit_frame(feats, admins, nb, frames, state, lgc_save,
                              output_path, output_format, out_series,
                              group_name)
 
+        group_fns = self._group_fns_for(mesh)
         for raw_np, admins in batches:
-            raw = jnp.asarray(raw_np, dtype)
-            dev_feats: Dict[str, jnp.ndarray] = {}
-            for group_fn, bank in zip(self._group_fns, banks):
-                dev_feats.update(group_fn(raw, bank))
             nb = raw_np.shape[0]
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                padn = (-nb) % n_dev
+                if padn:
+                    # repeat the last event so B divides the device
+                    # count; emit() trims back to nb
+                    raw_np = np.concatenate(
+                        [raw_np, np.repeat(raw_np[-1:], padn, axis=0)])
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as P)
+                from detprocess_tpu.parallel import mesh as pmesh
+                raw = jax.device_put(
+                    jnp.asarray(raw_np, dtype),
+                    NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
+            else:
+                raw = jnp.asarray(raw_np, dtype)
+            bp = raw_np.shape[0]
+            dev_feats: Dict[str, jnp.ndarray] = {}
+            for group_fn, bank in zip(group_fns, banks):
+                dev_feats.update(group_fn(raw, bank))
             # pack homogeneous [B] float columns into one [ncol, B] array
             pack = {k: v for k, v in dev_feats.items()
-                    if getattr(v, "ndim", None) == 1 and v.shape[0] == nb
+                    if getattr(v, "ndim", None) == 1 and v.shape[0] == bp
                     and jnp.issubdtype(v.dtype, jnp.floating)}
             extras = {k: v for k, v in dev_feats.items() if k not in pack}
             keys = list(pack)

@@ -437,7 +437,8 @@ class TriggerProcessing:
             ))
 
     # ------------------------------------------------------------------
-    def _make_channel_fn(self, tc: _TriggerChannel, capacity: int):
+    def _make_channel_fn(self, tc: _TriggerChannel, capacity: int,
+                         mesh=None):
         kernel = tc.kernel
 
         def run_one(trace):
@@ -495,7 +496,17 @@ class TriggerProcessing:
         # batched over continuous events: [E, C, L] → TriggerSets with a
         # leading E axis (the reference loops events in Python,
         # triggers.py:559-834)
-        return jax.jit(jax.vmap(run_one))
+        batched = jax.vmap(run_one)
+        if mesh is None:
+            return jax.jit(batched)
+        # SPMD over the mesh: events are independent, so the batch shards
+        # along the events axis with no collectives (process() pads the
+        # batch to a device-count multiple)
+        from jax.sharding import PartitionSpec as P
+        from detprocess_tpu.parallel import mesh as pmesh
+        spec = P(pmesh.EVENTS_AXIS)
+        return jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
+                                     out_specs=spec))
 
     def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
                            ) -> pd.DataFrame:
@@ -555,7 +566,8 @@ class TriggerProcessing:
                 coincident_window_samples: Optional[int] = None,
                 nb_events_per_dump: Optional[int] = None,
                 resume: bool = False,
-                lgc_output: bool = True) -> Optional[pd.DataFrame]:
+                lgc_output: bool = True,
+                mesh=None) -> Optional[pd.DataFrame]:
         """Run continuous-data triggering.
 
         ``nb_events_per_dump`` writes a trigger dump every N continuous
@@ -563,6 +575,16 @@ class TriggerProcessing:
         lgc_save) scans output_path for existing dumps, skips continuous
         events at or before the last processed (series, event) and
         continues the same output series + dump numbering.
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` (see
+        ``parallel.mesh.make_mesh``) — each dispatch is then SPMD over
+        the mesh's devices with the event batch sharded along
+        ``parallel.mesh.EVENTS_AXIS`` (events are independent, so there
+        are no collectives). Batches are padded to a multiple of the
+        device count and the padding is dropped on the host. This
+        replaces the reference's Pool-over-series with data parallelism
+        over chips inside ONE pipeline instance; raise ``event_batch``
+        so every device gets several events per dispatch.
         """
         overall = self._trigger_config.get("overall", {}) or {}
         if coincident_window_msec is None:
@@ -590,9 +612,10 @@ class TriggerProcessing:
                    # address can never alias a new function into a stale
                    # compiled entry
                    tc.dynamic_threshold_function,
-                   tc.dynamic_candidate_capacity)
+                   tc.dynamic_candidate_capacity,
+                   mesh)
             if key not in cache:
-                cache[key] = self._make_channel_fn(tc, capacity)
+                cache[key] = self._make_channel_fn(tc, capacity, mesh)
             fns[tc.name] = cache[key]
         builder = EventBuilder()
         import time as _time
@@ -774,7 +797,24 @@ class TriggerProcessing:
                     continue          # batch fully skipped, keep reading
                 break
             total += len(batch_traces)
-            stacked = jnp.asarray(np.stack(batch_traces), jnp.float32)
+            host_stack = np.stack(batch_traces)
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                pad = (-len(batch_traces)) % n_dev
+                if pad:
+                    # repeat the last event so E divides the device
+                    # count; slice_sets below only reads e < len(btr)
+                    host_stack = np.concatenate(
+                        [host_stack, np.repeat(host_stack[-1:], pad,
+                                               axis=0)])
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as P)
+                from detprocess_tpu.parallel import mesh as pmesh
+                stacked = jax.device_put(
+                    jnp.asarray(host_stack, jnp.float32),
+                    NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
+            else:
+                stacked = jnp.asarray(host_stack, jnp.float32)
             batch_sets = {}
             for tc in self._channels:
                 sub = stacked[:, jnp.asarray(tc.chan_indices), :]
