@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ncores", type=int, default=None,
                    help="accepted for drop-in compatibility; processing "
                         "is batched on the accelerator instead")
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="shard trigger/feature batches over this many "
+                        "accelerator devices (jax.sharding.Mesh over the "
+                        "events axis); default: single device")
     p.add_argument("--random_rate", type=float, default=None)
     p.add_argument("--nrandoms", type=int, default=None)
     p.add_argument("--salting_energies", type=float, nargs="+",
@@ -89,6 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", dest="verbose", action="store_false",
                    help="suppress per-batch INFO output")
     return p
+
+
+def _cli_mesh(args):
+    """Mesh from --mesh-devices (cached on args: one mesh per run)."""
+    if getattr(args, "mesh_devices", None) in (None, 0, 1):
+        return None
+    if getattr(args, "_mesh", None) is None:
+        from detprocess_tpu.parallel import mesh as pmesh
+        args._mesh = pmesh.make_mesh(args.mesh_devices)
+    return args._mesh
 
 
 def main(argv=None) -> int:
@@ -267,7 +281,8 @@ def main(argv=None) -> int:
         trigger_df = proc.process(nevents=args.nevents, lgc_save=True,
                                   output_path=out_dir,
                                   output_format=args.output_format,
-                                  series_name=out_series)
+                                  series_name=out_series,
+                                  mesh=_cli_mesh(args))
         print(f"INFO: {len(trigger_df)} triggers written to {out_dir}")
 
     # ---- feature extraction ------------------------------------------
@@ -314,7 +329,8 @@ def main(argv=None) -> int:
         proc.process(nevents=args.nevents, batch_size=args.batch_size,
                      lgc_save=True, output_path=out_dir,
                      output_format=args.output_format,
-                     series_name=out_series, lgc_output=False)
+                     series_name=out_series, lgc_output=False,
+                     mesh=_cli_mesh(args))
         print(f"INFO: features written to {out_dir}")
 
     return 0

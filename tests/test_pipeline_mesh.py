@@ -108,3 +108,40 @@ def test_feature_pipeline_mesh_equals_single(dataset):
                                        err_msg=col)
         else:
             assert (a == b).all(), col
+
+
+def test_cli_mesh_devices_chain(dataset, tmp_path):
+    """--mesh-devices routes the CLI trigger+feature chain through the
+    sharded pipeline path (virtual 8-device CPU mesh)."""
+    import os
+    from detprocess_tpu import cli
+    from detprocess_tpu.io import tables
+
+    raw_dir = os.path.dirname(dataset["raw_files"][0])
+    fpath = str(tmp_path / "filter.h5")
+    dataset["fd"].save_hdf5(fpath)
+    # one YAML with trigger + feature sections (the CLI takes one setup)
+    import yaml as _yaml
+    cfg = {}
+    cfg.update(_yaml.safe_load(open(dataset["tpath"])))
+    cfg.update(_yaml.safe_load(open(dataset["fpath"])))
+    cpath = str(tmp_path / "setup.yaml")
+    _yaml.safe_dump(cfg, open(cpath, "w"))
+
+    out = str(tmp_path / "processed")
+    rc = cli.main([
+        "--raw_path", raw_dir,
+        "--processing_setup", cpath,
+        "--filter_file", fpath,
+        "--output_group_path", out,
+        "--enable-trig", "--enable-feature",
+        "--mesh-devices", "8", "--quiet",
+    ])
+    assert rc == 0
+    feat_files = [f for f in os.listdir(os.path.join(out, "feature"))
+                  if f.endswith(".hdf5")]
+    assert feat_files
+    feat = tables.read_table(os.path.join(out, "feature", feat_files[0]))
+    assert len(feat) == 3 * NEV
+    amps = feat["amp_of1x1_nodelay_chan1"].to_numpy()
+    assert np.all((amps > 15e-6) & (amps < 32e-6))
