@@ -211,14 +211,24 @@ def ab_psd(quick=False):
         jn = jax.jit(lambda t: spectral.welch_psd(t, FS))
         _sync(jn(x))
     dt_n = timeit_pipelined(jn, [(x,)] * k, (x,))
+    # candidate C: packed half-size FFT, reversal-free per trace
+    # (spectral.welch_psd_packed — promote to the default if it wins)
+    jc = jax.jit(lambda t: spectral.welch_psd_packed(t, FS))
+    dt_c = timeit_pipelined(jc, [(x,)] * k, (x,))
 
     p_p, p_n = np.asarray(jp(x)), np.asarray(jn(x))
+    p_c = np.asarray(jc(x))
     rel = float(np.max(np.abs(p_p - p_n) / np.maximum(np.abs(p_n), 1e-40)))
+    rel_c = float(np.max(np.abs(p_c - p_p)
+                         / np.maximum(np.abs(p_p), 1e-40)))
     return {"config": "welch PSD 1024x32k",
             "natural_traces_per_sec": round(b * k / dt_n, 0),
             "perm_traces_per_sec": round(b * k / dt_p, 0),
+            "packed_traces_per_sec": round(b * k / dt_c, 0),
             "perm_speedup": round(dt_n / dt_p, 3),
-            "max_rel_psd_diff": rel}
+            "packed_speedup_vs_perm": round(dt_p / dt_c, 3),
+            "max_rel_psd_diff": rel,
+            "max_rel_packed_diff": rel_c}
 
 
 def main():

@@ -148,3 +148,26 @@ def test_spectral_perm_path_matches_natural():
     ref_lp = np.real(np.fft.ifft(np.fft.fft(traces, axis=-1) * gain,
                                  axis=-1))
     np.testing.assert_allclose(lp, ref_lp, atol=1e-9 * np.max(np.abs(ref_lp)))
+
+
+def test_welch_psd_packed_equals_welch():
+    """The packed half-size-FFT PSD (reversal-free per trace; see
+    spectral.welch_psd_packed) equals the full-FFT welch_psd on the
+    native, four-step, odd-split and windowed paths."""
+    rng = np.random.default_rng(3)
+    for n in (16, 256, 12000, 16384):
+        traces = rng.standard_normal((6, n))
+        a = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
+        b = np.asarray(spectral.welch_psd_packed(jnp.asarray(traces), FS))
+        np.testing.assert_allclose(b, a, rtol=1e-10, err_msg=str(n))
+    traces = rng.standard_normal((6, 12000))
+    a = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS,
+                                      window="hann"))
+    b = np.asarray(spectral.welch_psd_packed(jnp.asarray(traces), FS,
+                                             window="hann"))
+    np.testing.assert_allclose(b, a, rtol=1e-10)
+    # odd N falls back to welch_psd
+    traces = rng.standard_normal((6, 255))
+    a = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
+    b = np.asarray(spectral.welch_psd_packed(jnp.asarray(traces), FS))
+    np.testing.assert_allclose(b, a, rtol=1e-12)
