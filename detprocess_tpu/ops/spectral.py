@@ -180,6 +180,73 @@ def welch_psd(traces: jnp.ndarray, fs: float, window: str | None = None):
     return jnp.take(jnp.mean(pxx, axis=-2), jnp.asarray(pos), axis=-1)
 
 
+def welch_csd_packed(traces: jnp.ndarray, fs: float,
+                     window: str | None = None):
+    """Averaged CSD via the packed half-size FFT — the cross-spectral
+    analog of :func:`welch_psd_packed`; equal to :func:`welch_csd`.
+
+    With Z_c = FFT_M(x_c,even + i·x_c,odd) and the rfft identity
+    X_k = a_k Z_k + b_k conj(Z_{M−k}),
+
+        X_i·conj(X_j)|_k = |a_k|²·P_ij,k + |b_k|²·conj(P_ij,(M−k))
+                         + a_k·conj(b_k)·Q_ij,k
+                         + conj(a_k)·b_k·conj(Q_ij,(M−k))
+        P_ij = Z_i·conj(Z_j),   Q_ij = Z_i·Z_j,reversed
+
+    (using Q_ji,k = Q_ij,(M−k)). P and Q are per-trace einsums whose
+    trace-mean fuses; every reversal lands on the REDUCED [C, C, M]
+    spectra. DC/Nyquist: Re(P_0) ± Im(Q_0); negative frequencies are the
+    conjugate mirror (real input).
+    """
+    n = traces.shape[-1]
+    if n % 2 != 0 or n < 4:
+        return welch_csd(traces, fs, window=window)
+    if window == "hann":
+        w = jnp.hanning(n).astype(traces.dtype)
+        scale = 1.0 / jnp.mean(w**2)
+        traces = traces * w
+    elif window is None:
+        scale = 1.0
+    else:
+        raise ValueError(f"unknown window: {window}")
+    m = n // 2
+    z = jax.lax.complex(traces[..., 0::2], traces[..., 1::2])
+    perm = dfft.perm_indices(m)
+    if perm is None:
+        zf = dfft.fft(z, axis=-1)                       # [B, C, M]
+        zf_rev = jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1)
+    else:
+        zf = dfft.fft_perm(z)
+        zf_rev = dfft._blocked_rev(
+            zf.reshape(zf.shape[:-1] + dfft.perm_split(m))
+        ).reshape(zf.shape)
+    p = jnp.einsum("bik,bjk->ijk", zf, jnp.conj(zf))    # [C, C, M]
+    q = jnp.einsum("bik,bjk->ijk", zf, zf_rev)
+    if perm is not None:
+        pos = jnp.asarray(dfft.unperm_indices(m))
+        p = jnp.take(p, pos, axis=-1)
+        q = jnp.take(q, pos, axis=-1)
+    k = np.arange(m)
+    wk = np.exp(-2j * np.pi * k / n)
+    a = 0.5 * (1.0 - 1j * wk)
+    b = 0.5 * (1.0 + 1j * wk)
+    aa = jnp.asarray(np.abs(a) ** 2, traces.dtype)
+    bb = jnp.asarray(np.abs(b) ** 2, traces.dtype)
+    ab = dfft.const_complex(a * np.conj(b), p.dtype)
+    ba = dfft.const_complex(np.conj(a) * b, p.dtype)
+
+    def rev_m(x):
+        return jnp.concatenate([x[..., :1], x[..., :0:-1]], axis=-1)
+
+    s_half = (aa * p + bb * jnp.conj(rev_m(p))
+              + ab * q + ba * jnp.conj(rev_m(q)))       # k ∈ [0, M)
+    s_nyq = (p[..., :1].real - q[..., :1].imag).astype(p.dtype)
+    s_neg = jnp.concatenate([s_nyq, jnp.conj(s_half[..., :0:-1])],
+                            axis=-1)
+    two_sided = jnp.concatenate([s_half, s_neg], axis=-1)
+    return two_sided * (scale / (n * fs * traces.shape[0]))
+
+
 def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
     """Cross-spectral density matrix averaged over traces.
 

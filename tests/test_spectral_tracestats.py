@@ -171,3 +171,22 @@ def test_welch_psd_packed_equals_welch():
     a = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
     b = np.asarray(spectral.welch_psd_packed(jnp.asarray(traces), FS))
     np.testing.assert_allclose(b, a, rtol=1e-12)
+
+
+def test_welch_csd_packed_equals_welch():
+    """Packed half-size-FFT CSD (spectral.welch_csd_packed) equals
+    welch_csd, including Hermitian structure and the PSD diagonal."""
+    rng = np.random.default_rng(5)
+    for n in (16, 256, 12000):
+        traces = rng.standard_normal((6, 3, n))
+        a = np.asarray(spectral.welch_csd(jnp.asarray(traces), FS))
+        b = np.asarray(spectral.welch_csd_packed(jnp.asarray(traces), FS))
+        np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(),
+                                   err_msg=str(n))
+    # diagonal equals the packed PSD / B-scaling convention of welch_csd
+    tr = rng.standard_normal((6, 2, 4096))
+    csd = np.asarray(spectral.welch_csd_packed(jnp.asarray(tr), FS))
+    assert np.allclose(csd[0, 1], np.conj(csd[1, 0]))
+    psd0 = np.asarray(spectral.welch_psd_packed(jnp.asarray(tr[:, 0]), FS))
+    np.testing.assert_allclose(csd[0, 0].real, psd0, rtol=1e-10)
+    assert np.allclose(csd[0, 0].imag, 0.0, atol=1e-18)
