@@ -101,15 +101,51 @@ class Noise(FilterData):
         return traces
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _mesh_mean_spectrum(kind, kept, fs, window, mesh):
+        """Cross-chip PSD/CSD mean via the parallel.mesh psum kernels.
+
+        Zero rows pad the batch to a device-count multiple; zeros add
+        nothing to the psum, so scaling the (padded-count) mean by
+        padded/true restores the exact estimate. The window is applied
+        host-side with its power normalization folded into the scale.
+        """
+        from detprocess_tpu.parallel import mesh as pmesh
+
+        scale = 1.0
+        n = kept.shape[-1]
+        if window == "hann":
+            w = np.hanning(n)
+            scale = float(1.0 / np.mean(w**2))
+            kept = kept * jnp.asarray(w, kept.dtype)
+        elif window is not None:
+            raise ValueError(f"unknown window: {window}")
+        b = kept.shape[0]
+        padn = (-b) % mesh.devices.size
+        if padn:
+            kept = jnp.concatenate(
+                [kept, jnp.zeros((padn,) + kept.shape[1:], kept.dtype)])
+        scale *= (b + padn) / b
+        sharded = pmesh.shard_batch(mesh, kept)
+        if kind == "psd":
+            return np.asarray(pmesh.sharded_psd(mesh, fs)(sharded)) * scale
+        out = np.asarray(pmesh.sharded_csd(mesh, fs)(sharded)) * scale
+        return out[..., 0] + 1j * out[..., 1]
+
     def calc_psd(self, channels: Sequence[str] | str,
                  trace_length_samples: Optional[int] = None,
                  pretrigger_length_samples: Optional[int] = None,
                  nsigma_cut: float = 2.5,
                  tag: str = "default",
                  window: Optional[str] = None,
-                 dtype=None):
+                 dtype=None,
+                 mesh=None):
         """Estimate per-channel two-sided PSDs from randoms with autocuts
-        (core/noise.py:216-373) and store them (``psd_{tag}``)."""
+        (core/noise.py:216-373) and store them (``psd_{tag}``).
+
+        ``mesh``: optional jax Mesh — the kept randoms shard over the
+        devices and the spectral mean reduces with one psum
+        (parallel.mesh.sharded_psd)."""
         if isinstance(channels, str):
             channels = [channels]
         md = self._reader.get_metadata()
@@ -153,7 +189,10 @@ class Noise(FilterData):
             self._offset[chan] = float(
                 np.average(np.median(tr_np[mask], axis=-1)))
             self._fs = fs
-            psd = np.asarray(spectral.welch_psd(kept, fs, window=window))
+            psd = (np.asarray(spectral.welch_psd(kept, fs, window=window))
+                   if mesh is None
+                   else self._mesh_mean_spectrum("psd", kept, fs, window,
+                                                 mesh))
             self.set_psd(chan, psd, fs, tag=tag, metadata={
                 "nb_randoms": int(mask.sum()),
                 "nb_randoms_total": int(len(mask)),
@@ -167,9 +206,14 @@ class Noise(FilterData):
                  nsigma_cut: float = 2.5,
                  tag: str = "default",
                  window: Optional[str] = None,
-                 dtype=None):
+                 dtype=None,
+                 mesh=None):
         """Estimate the CSD matrix for a channel list and store it under
-        the compound channel 'c1|c2|...' (core/noise.py:374-500)."""
+        the compound channel 'c1|c2|...' (core/noise.py:374-500).
+
+        ``mesh``: optional jax Mesh — randoms shard over the devices and
+        the cross-spectral mean reduces with one psum
+        (parallel.mesh.sharded_csd)."""
         md = self._reader.get_metadata()
         fs = float(md["sample_rate"])
         n = trace_length_samples or int(md["nb_samples"])
@@ -188,11 +232,14 @@ class Noise(FilterData):
                 f"estimation (nsigma_cut={nsigma_cut})")
         kept = tr[jnp.asarray(np.where(mask)[0])]
         self._fs = fs
-        csd_dev = spectral.welch_csd(kept, fs, window=window)
-        # complex device→host transfers are unsupported on the TPU
-        # backend; pull re/im separately
-        csd = (np.asarray(csd_dev.real)
-               + 1j * np.asarray(csd_dev.imag))
+        if mesh is None:
+            csd_dev = spectral.welch_csd(kept, fs, window=window)
+            # complex device→host transfers are unsupported on the TPU
+            # backend; pull re/im separately
+            csd = (np.asarray(csd_dev.real)
+                   + 1j * np.asarray(csd_dev.imag))
+        else:
+            csd = self._mesh_mean_spectrum("csd", kept, fs, window, mesh)
         self.set_csd(list(channels), csd, fs, tag=tag, metadata={
             "nb_randoms": int(mask.sum()),
             "nb_randoms_total": int(len(mask)),

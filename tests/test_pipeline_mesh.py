@@ -145,3 +145,32 @@ def test_cli_mesh_devices_chain(dataset, tmp_path):
     assert len(feat) == 3 * NEV
     amps = feat["amp_of1x1_nodelay_chan1"].to_numpy()
     assert np.all((amps > 15e-6) & (amps < 32e-6))
+
+
+def test_noise_mesh_equals_single(dataset):
+    """Noise.calc_psd/calc_csd with mesh= (psum spectral mean over the
+    virtual 8-device mesh, zero-padded batch) equal the single-device
+    estimates."""
+    from detprocess_tpu.pipelines.noise import Noise
+
+    mesh = pmesh.make_mesh(8)
+
+    def build(mesh_arg):
+        noise = Noise(dataset["raw_files"], verbose=False)
+        noise.generate_randoms(random_rate=300.0, seed=4,
+                               min_separation_msec=1.0,
+                               edge_exclusion_msec=1.0)
+        noise.calc_psd("chan1", trace_length_samples=NT,
+                       pretrigger_length_samples=NT // 2,
+                       dtype=np.float64, mesh=mesh_arg)
+        noise.calc_csd(["chan1"], trace_length_samples=NT,
+                       pretrigger_length_samples=NT // 2,
+                       dtype=np.float64, mesh=mesh_arg)
+        psd, _ = noise.get_psd("chan1")
+        csd, _ = noise.get_csd("chan1")
+        return psd, csd
+
+    psd_s, csd_s = build(None)
+    psd_m, csd_m = build(mesh)
+    np.testing.assert_allclose(psd_m, psd_s, rtol=1e-9)
+    np.testing.assert_allclose(csd_m, csd_s, rtol=1e-9)
