@@ -174,3 +174,24 @@ def test_noise_mesh_equals_single(dataset):
     psd_m, csd_m = build(mesh)
     np.testing.assert_allclose(psd_m, psd_s, rtol=1e-9)
     np.testing.assert_allclose(csd_m, csd_s, rtol=1e-9)
+
+
+def test_trigger_mesh_residual_mode(dataset):
+    """mesh= composes with the residual re-trigger mode: the channel fn
+    then returns a (primary, residual) TriggerSet pair through the
+    shard_map, both event-sharded."""
+    import yaml as _yaml
+    mesh = pmesh.make_mesh(8)
+    cfg = _yaml.safe_load(open(dataset["tpath"]))
+    cfg["trigger"]["chan1"]["run_residual"] = True
+    import tempfile, os
+    tpath = os.path.join(tempfile.mkdtemp(), "trig_resid.yaml")
+    _yaml.safe_dump(cfg, open(tpath, "w"))
+
+    proc = TriggerProcessing(dataset["raw_files"], tpath,
+                             filter_data=dataset["fd"], verbose=False)
+    df_single = proc.process(capacity=64, event_batch=4)
+    df_mesh = proc.process(capacity=64, event_batch=4, mesh=mesh)
+    assert len(df_mesh) == len(df_single) > 0
+    pd.testing.assert_frame_equal(
+        df_mesh.reset_index(drop=True), df_single.reset_index(drop=True))
