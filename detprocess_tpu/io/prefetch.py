@@ -34,9 +34,11 @@ class EventPrefetcher:
     """
 
     def __init__(self, reader, depth: int = 32,
-                 channels: Optional[Sequence[str]] = None):
+                 channels: Optional[Sequence[str]] = None,
+                 dtype=None):
         self._reader = reader
         self._channels = channels
+        self._dtype = dtype
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._error: Optional[BaseException] = None
         self._done = False
@@ -47,8 +49,9 @@ class EventPrefetcher:
     def _run(self):
         try:
             while not self._stop.is_set():
+                kw = {} if self._dtype is None else {"dtype": self._dtype}
                 traces, admin = self._reader.read_next_event(
-                    channels=self._channels)
+                    channels=self._channels, **kw)
                 if traces is None:
                     break
                 # block (rather than drop) when the consumer lags
@@ -110,7 +113,9 @@ class EventPrefetcher:
 
 
 def prefetch_events(reader, depth: int = 32,
-                    channels: Optional[Sequence[str]] = None
-                    ) -> EventPrefetcher:
-    """Wrap a RawReader in a background prefetcher."""
-    return EventPrefetcher(reader, depth=depth, channels=channels)
+                    channels: Optional[Sequence[str]] = None,
+                    dtype=None) -> EventPrefetcher:
+    """Wrap a RawReader in a background prefetcher. ``dtype`` forwards
+    to ``read_next_event`` (None = the reader's float64 default)."""
+    return EventPrefetcher(reader, depth=depth, channels=channels,
+                           dtype=dtype)

@@ -269,8 +269,15 @@ class RawReader:
             self._ra_name = None
             self._ra_ds = {}
 
-    def read_next_event(self, channels: Optional[Sequence[str]] = None):
-        """Returns (traces [C, N] amps, admin dict) or (None, None) at end."""
+    def read_next_event(self, channels: Optional[Sequence[str]] = None,
+                        dtype=np.float64):
+        """Returns (traces [C, N] amps, admin dict) or (None, None) at end.
+
+        ``dtype``: host dtype of the returned traces. float64 default
+        (analysis pipelines compare against float64 goldens); the
+        trigger pipeline requests float32 — its device math is float32
+        anyway, and converting at read time halves the host copies and
+        the stack before upload."""
         while True:
             if self._file_idx >= len(self.files):
                 return None, None
@@ -287,13 +294,14 @@ class RawReader:
                 continue
             self._event_idx += 1
             return self._read_event(self._h5, fname, self._event_idx,
-                                    channels)
+                                    channels, dtype=dtype)
 
     def read_single_event(self, event_index: int,
                           file_name: Optional[str] = None,
                           channels: Optional[Sequence[str]] = None,
                           trace_window: Optional[tuple] = None,
-                          adctoamp: bool = True):
+                          adctoamp: bool = True,
+                          dtype=np.float64):
         """Random access; ``trace_window=(start, length)`` reads a truncated
         window (trigger-dataframe-driven mode,
         processing_data.py:555-705). The file handle is cached across
@@ -312,7 +320,7 @@ class RawReader:
             self._ra_ds[event_index] = ds
         return self._read_event(self._ra_file, fname, event_index,
                                 channels, trace_window, ds=ds,
-                                adctoamp=adctoamp)
+                                adctoamp=adctoamp, dtype=dtype)
 
     def read_many_events(self, nevents: Optional[int] = None,
                          channels: Optional[Sequence[str]] = None):
@@ -331,7 +339,8 @@ class RawReader:
         return np.stack(out), admins
 
     def _read_event(self, f, fname, event_index, channels,
-                    trace_window=None, ds=None, adctoamp=True):
+                    trace_window=None, ds=None, adctoamp=True,
+                    dtype=np.float64):
         # per-file attr values are cached — HDF5 attribute reads cost
         # ~0.1-0.3 ms each and trigger-driven windowed reads hit the
         # same file/event thousands of times in a row
@@ -380,9 +389,9 @@ class RawReader:
             arr = ds[:, start:start + int(length)]
         else:
             arr = ds[...]
-        traces = arr.astype(np.float64)
+        traces = arr.astype(dtype)
         if adctoamp:
-            traces = traces * fc["conv"][:, None]
+            traces = traces * fc["conv"][:, None].astype(dtype)
         if channels is not None:
             idx = [fc["chan_list"].index(c) for c in channels]
             traces = traces[idx]

@@ -770,9 +770,17 @@ class TriggerProcessing:
         # events per dispatch, ``pipeline_depth`` dispatches in flight;
         # a reader thread keeps ``prefetch_depth`` events decoded ahead so
         # HDF5 IO overlaps device compute (io.prefetch)
+        # float32 reads when no salt injector: the device math is
+        # float32 anyway, and converting at read time halves the host
+        # copies and the pre-upload stack (salting injects float64
+        # templates, which would silently upcast the stack — keep the
+        # reader's float64 default in that case)
+        read_dtype = (np.float32 if self._salt_injector is None
+                      else np.float64)
         if prefetch_depth > 0:
             from detprocess_tpu.io.prefetch import prefetch_events
-            source = prefetch_events(self._reader, depth=prefetch_depth)
+            source = prefetch_events(self._reader, depth=prefetch_depth,
+                                     dtype=read_dtype)
         else:
             source = self._reader
         inflight = []
@@ -781,7 +789,11 @@ class TriggerProcessing:
             want = event_batch if nevents < 0 else min(
                 event_batch, nevents - total)
             for _ in range(want):
-                traces, admin = source.read_next_event()
+                if prefetch_depth > 0:
+                    traces, admin = source.read_next_event()
+                else:
+                    traces, admin = source.read_next_event(
+                        dtype=read_dtype)
                 if traces is None:
                     break
                 if resume_after is not None and (
