@@ -32,9 +32,21 @@ EVENTS_AXIS = "events"
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = EVENTS_AXIS) -> Mesh:
-    """1-D mesh over (up to) all available devices."""
+    """1-D mesh over (up to) all available devices.
+
+    Asking for more devices than exist is an error, not a silent clamp —
+    a run that reports success while under-sharded hides a real
+    misconfiguration (e.g. ``--mesh-devices 8`` on a 2-chip host).
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are available "
+                f"({devices[0].platform}); for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} before jax initializes")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
@@ -65,13 +77,24 @@ def sharded_map(mesh: Mesh, fn, axis_name: str = EVENTS_AXIS):
     return wrapped
 
 
+# jitted spectral fns keyed on (kind, mesh, fs, axis_name): jax.jit
+# returns a FRESH callable each call, so without this cache every
+# sharded_psd/sharded_csd invocation (e.g. one per channel in
+# Noise.calc_psd(mesh=...)) would recompile identical XLA (~10 s each
+# on the 1-core dev host).
+_SPECTRAL_CACHE: dict = {}
+
+
 def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     """Welch PSD over an event-sharded trace batch with a psum mean —
     the cross-chip version of Noise.calc_psd (core/noise.py:216-373).
 
     Returns a jitted fn(traces [B, N] sharded) -> two-sided PSD [N]
-    (replicated).
-    """
+    (replicated). Cached per (mesh, fs, axis_name)."""
+    key = ("psd", mesh, float(fs), axis_name)
+    hit = _SPECTRAL_CACHE.get(key)
+    if hit is not None:
+        return hit
     from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import spectral
 
@@ -92,7 +115,9 @@ def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
         return mean if pos is None else jnp.take(mean, jnp.asarray(pos),
                                                  axis=-1)
 
-    return jax.jit(_psd)
+    fn = jax.jit(_psd)
+    _SPECTRAL_CACHE[key] = fn
+    return fn
 
 
 def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
@@ -100,7 +125,11 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
 
     Complex CSD cannot cross the host boundary on TPU, so the result is
     returned as a stacked (re, im) real array [C, C, N, 2].
-    """
+    Cached per (mesh, fs, axis_name)."""
+    key = ("csd", mesh, float(fs), axis_name)
+    hit = _SPECTRAL_CACHE.get(key)
+    if hit is not None:
+        return hit
     from detprocess_tpu.ops import fft as dfft
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
@@ -120,7 +149,9 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
             csd = jnp.take(csd, jnp.asarray(pos), axis=-1)
         return jnp.stack([csd.real, csd.imag], axis=-1)
 
-    return jax.jit(_csd)
+    fn = jax.jit(_csd)
+    _SPECTRAL_CACHE[key] = fn
+    return fn
 
 
 def sharded_longtrace_trigger(mesh: Mesh, kernel, threshold: float,

@@ -1043,8 +1043,11 @@ class FeatureProcessing:
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
+                # device_put on the HOST array uploads each shard to its
+                # device directly; jnp.asarray first would stage the full
+                # batch on device 0 and reshard (double transfer)
                 raw = jax.device_put(
-                    jnp.asarray(raw_np, dtype),
+                    np.asarray(raw_np).astype(dtype, copy=False),
                     NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
             else:
                 raw = jnp.asarray(raw_np, dtype)

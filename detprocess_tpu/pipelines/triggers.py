@@ -217,7 +217,17 @@ class EventBuilder:
                         else np.full(n, -1, dtype=np.int64))
         new["trigger_prod_id"] = (np.arange(n, dtype=np.int64)
                                   + self._current_trigger_id + 1)
-        df = pd.concat([df, pd.DataFrame(new, index=df.index)], axis=1)
+        # one-pass concat for the genuinely new columns, overwrite-in-place
+        # for any that already exist (a second build_event on the same
+        # builder, or admin columns arriving with the trigger dataframe,
+        # must replace rather than duplicate — reference overwrite
+        # semantics, eventbuilder.py:261-313)
+        fresh = {k: v for k, v in new.items() if k not in df.columns}
+        if fresh:
+            df = pd.concat([df, pd.DataFrame(fresh, index=df.index)], axis=1)
+        for k, v in new.items():
+            if k not in fresh:
+                df[k] = v
         self._current_trigger_id = int(df["trigger_prod_id"].iloc[-1])
         self._event_df = df
         return df
@@ -822,8 +832,11 @@ class TriggerProcessing:
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
+                # device_put on the HOST array uploads each shard to its
+                # device directly; jnp.asarray first would stage the full
+                # batch on device 0 and reshard (double transfer)
                 stacked = jax.device_put(
-                    jnp.asarray(host_stack, jnp.float32),
+                    host_stack.astype(np.float32, copy=False),
                     NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
             else:
                 stacked = jnp.asarray(host_stack, jnp.float32)

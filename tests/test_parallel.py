@@ -184,3 +184,24 @@ def test_sharded_psd_perm_longtrace():
     got = np.asarray(psd_fn(jnp.asarray(traces)))
     ref = np.asarray(spectral.welch_psd(jnp.asarray(traces), FS))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_sharded_spectral_fns_cached():
+    """sharded_psd/sharded_csd return the SAME jitted callable for the
+    same (mesh, fs): without the cache every per-channel call in
+    Noise.calc_psd(mesh=...) recompiled identical XLA (~10 s each on the
+    1-core dev host)."""
+    mesh = pmesh.make_mesh()
+    assert pmesh.sharded_psd(mesh, FS) is pmesh.sharded_psd(mesh, FS)
+    assert pmesh.sharded_csd(mesh, FS) is pmesh.sharded_csd(mesh, FS)
+    assert pmesh.sharded_psd(mesh, FS) is not pmesh.sharded_psd(mesh,
+                                                                2 * FS)
+
+
+def test_make_mesh_rejects_overask():
+    """Requesting more devices than exist must raise, not silently clamp
+    (a --mesh-devices 8 run on a 2-chip host would otherwise report
+    success while under-sharded)."""
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="only"):
+        pmesh.make_mesh(n + 1)

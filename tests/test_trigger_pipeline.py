@@ -155,6 +155,34 @@ def test_event_builder_mixed_split():
     assert set(out["trigger_index"]) == {1000, 1040}
 
 
+def test_event_builder_rebuild_and_existing_columns():
+    """build_event called twice on one builder, and trigger dataframes
+    that already carry admin columns, must OVERWRITE metadata columns
+    rather than duplicate them (reference overwrite semantics,
+    eventbuilder.py:261-313; regression: pd.concat silently produced
+    duplicate columns and a second build crashed on int(Series))."""
+    builder = EventBuilder()
+    df = pd.DataFrame({
+        "trigger_index": [1000],
+        "trigger_time": [1000 / FS],
+        "trigger_delta_chi2": [500.0],
+        "trigger_channel": ["chan1"],
+        "trigger_amplitude_chan1": [1e-6],
+        # admin column arriving WITH the trigger data
+        "event_number": [77],
+    })
+    builder.add_triggers(df)
+    builder.set_current_nb_samples(L)
+    meta = {"event_time": 0.0, "event_number": 5, "series_number": 9}
+    out1 = builder.build_event(meta, fs=FS)
+    assert not out1.columns.duplicated().any()
+    assert int(out1["event_number"].iloc[0]) == 5      # overwritten
+    # rebuild on the same builder (e.g. after adding another channel)
+    out2 = builder.build_event(meta, fs=FS)
+    assert not out2.columns.duplicated().any()
+    assert isinstance(out2["trigger_prod_id"].iloc[-1], (int, np.integer))
+
+
 def test_nxm_compound_channel_trigger(dataset, tmp_path):
     """'chan1|chan2' trigger channel runs the NxM (2-channel) kernel with
     a CSD from the filter file (oftrigger.py NxM path)."""
