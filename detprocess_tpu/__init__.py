@@ -31,6 +31,7 @@ def __getattr__(name):
         "FeatureProcessing": "detprocess_tpu.pipelines.features",
         "TriggerProcessing": "detprocess_tpu.pipelines.triggers",
         "EventBuilder": "detprocess_tpu.pipelines.triggers",
+        "OptimumFilterTrigger": "detprocess_tpu.pipelines.oftrigger",
         "Randoms": "detprocess_tpu.pipelines.randoms",
         "Salting": "detprocess_tpu.pipelines.salting",
         "Noise": "detprocess_tpu.pipelines.noise",

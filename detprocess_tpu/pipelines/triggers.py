@@ -131,12 +131,22 @@ class EventBuilder:
         or exposes ``find_triggers(trace, thresh, **kwargs)``; it must
         return a trigger dataframe."""
         obj = self.get_trigger_object(trigger_name)
-        runner = getattr(obj, "find_triggers", None) or obj
-        if not callable(runner):
-            raise ValueError(
-                f'ERROR: Trigger object "{trigger_name}" is not '
-                "runnable — expected a callable or a find_triggers method")
-        df = runner(trace, thresh, **kwargs)
+        if (hasattr(obj, "update_trace")
+                and hasattr(obj, "get_trigger_data_df")):
+            # OptimumFilterTrigger protocol (pipelines.oftrigger;
+            # reference eventbuilder.py:126-160): filter the trace,
+            # trigger on it, read back the dataframe
+            obj.update_trace(trace=trace)
+            obj.find_triggers(thresh, **kwargs)
+            df = obj.get_trigger_data_df()
+        else:
+            runner = getattr(obj, "find_triggers", None) or obj
+            if not callable(runner):
+                raise ValueError(
+                    f'ERROR: Trigger object "{trigger_name}" is not '
+                    "runnable — expected a callable, a find_triggers "
+                    "method, or the OptimumFilterTrigger protocol")
+            df = runner(trace, thresh, **kwargs)
         self._current_nb_samples = np.asarray(trace).shape[-1]
         self.add_trigger_data(trigger_name, df)
         return df

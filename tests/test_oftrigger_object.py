@@ -1,0 +1,212 @@
+"""Interactive OptimumFilterTrigger object (pipelines/oftrigger.py) —
+reference core/oftrigger.py:324-1037 surface: update_trace →
+find_triggers → get_trigger_data_df, residual re-trigger, saturation
+veto, edge exclusion, EventBuilder integration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from detprocess_tpu.models import pulse
+from detprocess_tpu.pipelines.oftrigger import (OptimumFilterTrigger,
+                                                combine_trigger_data)
+from detprocess_tpu.pipelines.triggers import EventBuilder
+
+FS = 1.25e6
+NT = 1024
+PRETRIG = 256
+L = 50000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tmpl = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(NT, 4e-18)
+    rng = np.random.default_rng(3)
+    sigma = np.sqrt(psd[0] * FS)
+    trace = rng.standard_normal(L) * sigma
+    inj = [(12000, 4e-6), (30000, 2e-6)]
+    for pos, amp in inj:
+        trace[pos - PRETRIG:pos - PRETRIG + NT] += amp * tmpl
+    return tmpl, psd, trace, inj
+
+
+def make_trigger(tmpl, psd):
+    return OptimumFilterTrigger("chan1", FS, tmpl, psd.astype(complex),
+                                PRETRIG)
+
+
+def test_update_and_find(setup):
+    tmpl, psd, trace, inj = setup
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+
+    assert t.get_filtered_trace().shape == (1, L)
+    assert t.get_filtered_delta_chi2().shape == (L,)
+    # padding zeroes the edges
+    assert np.all(t.get_filtered_delta_chi2()[:NT] == 0.0)
+
+    # 0.5 ms window: wide enough to merge the filter's anti-correlation
+    # sidelobes into their parent pulse (the Δχ² threshold is
+    # polarity-blind, exactly like the reference — oftrigger.py:977)
+    t.find_triggers(5.0, pileup_window_msec=0.5)
+    df = t.get_trigger_data_df()
+    assert t.get_chi2_threshold() is not None
+    assert len(df) == len(inj)
+    idx = np.sort(df["trigger_index"].to_numpy())
+    for (pos, amp), found in zip(inj, idx):
+        # OF timing jitter at these SNRs is several samples (noiseless
+        # alignment is proven exactly in test_trigger.py)
+        assert abs(found - pos) <= 16
+    # amplitudes recover truth; suffixed columns mirror base ones
+    amps = df.sort_values("trigger_index")["trigger_amplitude"].to_numpy()
+    # rtol accounts for max-pick selection bias: the kept sample is the
+    # max-Δχ² one of the merged group, whose amplitude overshoots truth
+    np.testing.assert_allclose(amps, [a for _, a in inj], rtol=0.3)
+    np.testing.assert_array_equal(df["trigger_amplitude_chan1"],
+                                  df["trigger_amplitude"])
+    assert set(df["trigger_channel"]) == {"chan1"}
+
+
+def test_accessors(setup):
+    tmpl, psd, _, _ = setup
+    t = make_trigger(tmpl, psd)
+    assert t.get_phi().shape == (1, 1, NT)
+    assert t.get_norm() > 0
+    assert t.get_resolution().shape == (1,)
+    # resolution consistent with the OF identity 1/sqrt(sum |s|^2/psd)
+    assert 0 < t.get_resolution()[0] < 1e-6
+
+
+def test_filtered_trace_input_matches_trace_input(setup):
+    tmpl, psd, trace, _ = setup
+    t1 = make_trigger(tmpl, psd)
+    t1.update_trace(trace=trace)
+    t2 = make_trigger(tmpl, psd)
+    t2.update_trace(filtered_trace=t1.get_filtered_trace(), padding=True)
+    np.testing.assert_allclose(t2.get_filtered_delta_chi2(),
+                               t1.get_filtered_delta_chi2(),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_residual_retrigger_finds_pileup(setup):
+    tmpl, psd, _, _ = setup
+    rng = np.random.default_rng(9)
+    sigma = np.sqrt(psd[0] * FS)
+    trace = rng.standard_normal(L) * sigma
+    # big pulse + small one INSIDE its merge window: one first-pass
+    # trigger; the residual pass must reveal the second
+    trace[20000 - PRETRIG:20000 - PRETRIG + NT] += 50e-6 * tmpl
+    trace[20150 - PRETRIG:20150 - PRETRIG + NT] += 5e-6 * tmpl
+
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+    ret = t.find_triggers(5.0, pileup_window_samples=400, residual=True,
+                          return_trigger_data=True)
+    first, first_dchi2, second, second_dchi2 = ret
+    n_first = len(first["chan1"]["trigger_index"])
+    df = t.get_trigger_data_df()
+    assert len(df) > n_first        # residual added at least one
+    # the residual pass reveals the hidden pulse's neighborhood; the
+    # group max can sit tens of samples off (noise cross-terms
+    # 2·a_pulse·W·a_noise survive the subtraction — same behavior as the
+    # reference's subtract-and-retrigger, oftrigger.py:795-825)
+    idx = df["trigger_index"].to_numpy()
+    assert np.any(np.abs(idx - 20150) <= 64)
+    # no duplicate indices after the combine
+    assert len(set(idx.tolist())) == len(idx)
+    # the stored delta-chi2 trace is restored to the FIRST pass's
+    np.testing.assert_array_equal(t.get_filtered_delta_chi2(),
+                                  first_dchi2)
+
+
+def test_saturation_veto_skips_subtraction(setup):
+    tmpl, psd, _, _ = setup
+    rng = np.random.default_rng(10)
+    sigma = np.sqrt(psd[0] * FS)
+    trace = rng.standard_normal(L) * sigma
+    trace[20000 - PRETRIG:20000 - PRETRIG + NT] += 50e-6 * tmpl
+    trace[20150 - PRETRIG:20150 - PRETRIG + NT] += 5e-6 * tmpl
+
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+    # saturation threshold below the big pulse: it is vetoed, nothing is
+    # subtracted, and the residual pass finds nothing new
+    t.find_triggers(5.0, pileup_window_samples=400, residual=True,
+                    saturation_amplitudes_LPF_50kHz=[10e-6])
+    df_veto = t.get_trigger_data_df()
+
+    t2 = make_trigger(tmpl, psd)
+    t2.update_trace(trace=trace)
+    t2.find_triggers(5.0, pileup_window_samples=400, residual=False)
+    df_once = t2.get_trigger_data_df()
+    assert len(df_veto) == len(df_once)
+
+
+def test_edge_exclusion_and_livetime(setup):
+    tmpl, psd, trace, inj = setup
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+    # exclude everything before 12 ms: drops the 12000-sample trigger
+    # (9.6 ms) but keeps 30000 (24 ms)
+    t.find_triggers(5.0, pileup_window_msec=0.5,
+                    edge_exclusion_msec=12.0, livetime=3.5)
+    df = t.get_trigger_data_df()
+    assert len(df) == 1
+    assert abs(int(df["trigger_index"].iloc[0]) - 30000) <= 16
+    assert df["trigger_edge_exclusion_time_chan1"].iloc[0] == 12.0e-3
+    assert df["trigger_livetime_chan1"].iloc[0] == 3.5
+
+
+def test_dynamic_window_grouping(setup):
+    tmpl, psd, trace, inj = setup
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+    # huge dynamic window merges BOTH injected pulses into one trigger
+    t.find_triggers_once(5.0, dynamic=True,
+                         dynamic_threshold_function=lambda d: 1e9)
+    assert len(t.get_trigger_data()["chan1"]["trigger_index"]) == 1
+    # moderate window keeps the two pulses separate (but still merges
+    # each pulse's anti-correlation sidelobes into it)
+    t.find_triggers_once(5.0, dynamic=True,
+                         dynamic_threshold_function=lambda d: 2000.0)
+    assert len(t.get_trigger_data()["chan1"]["trigger_index"]) == 2
+
+
+def test_eventbuilder_acquire_triggers(setup):
+    tmpl, psd, trace, inj = setup
+    builder = EventBuilder()
+    builder.add_trigger_object(
+        "chan1", OptimumFilterTrigger("chan1", FS, tmpl,
+                                      psd.astype(complex), PRETRIG))
+    df = builder.acquire_triggers("chan1", trace, 5.0,
+                                  pileup_window_msec=0.5)
+    assert len(df) == len(inj)
+    out = builder.build_event({"event_time": 0.0, "series_number": 1},
+                              fs=FS)
+    assert len(out) == len(inj)
+    assert "trigger_prod_id" in out.columns
+
+
+def test_combine_trigger_data_dedup():
+    a = {"c": {"trigger_index": [5, 9], "trigger_time": [0.5, 0.9],
+               "trigger_index_c": [5, 9], "trigger_time_c": [0.5, 0.9]}}
+    b = {"c": {"trigger_index": [9, 14], "trigger_time": [0.9, 1.4],
+               "trigger_index_c": [9, 14], "trigger_time_c": [0.9, 1.4]}}
+    out = combine_trigger_data(a, b, [5, 9], [9, 14])["c"]
+    assert out["trigger_index"] == [5, 9, 14]
+    assert out["trigger_time"] == [0.5, 0.9, 1.4]
+    assert out["trigger_index_c"] == out["trigger_index"]
+
+
+def test_input_shape_validation(setup):
+    tmpl, psd, _, _ = setup
+    with pytest.raises(ValueError, match="ambiguous|shaped"):
+        OptimumFilterTrigger("c", FS, np.ones((4, 7)),
+                             psd.astype(complex), PRETRIG)
+    t = make_trigger(tmpl, psd)
+    with pytest.raises(ValueError, match="required"):
+        t.update_trace()
+    with pytest.raises(ValueError, match="update_trace"):
+        t.find_triggers_once(5.0)
