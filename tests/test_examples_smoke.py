@@ -39,6 +39,7 @@ def _run(script, tmp_path, timeout=900):
     "filterdata/filter_data_generation.py",
     "noise/noise_model.py",
     "trigger/longtrace_sharded.py",
+    "trigger/event_builder.py",
     "processing/mesh_pipelines.py",
 ])
 def test_example_runs(script, tmp_path):
