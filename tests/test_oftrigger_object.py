@@ -189,6 +189,51 @@ def test_eventbuilder_acquire_triggers(setup):
     assert "trigger_prod_id" in out.columns
 
 
+def test_nxm_two_channel_trigger():
+    """2-channel joint trigger (list channel → 'a|b' name, CSD [2,2,F]),
+    incl. the residual + multi-channel saturation-veto path."""
+    t1 = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                             tau_f1=200e-6)
+    t2 = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=30e-6,
+                             tau_f1=300e-6)
+    tmpl = np.stack([t1[None, :], 0.8 * t2[None, :]], axis=0)  # [2,1,NT]
+    csd = np.zeros((2, 2, NT), complex)
+    csd[0, 0] = 4e-18
+    csd[1, 1] = 6e-18
+    rng = np.random.default_rng(5)
+    n = 60000
+    trace = np.stack([rng.standard_normal(n) * np.sqrt(4e-18 * FS),
+                      rng.standard_normal(n) * np.sqrt(6e-18 * FS)])
+    inj = [(20000, 8e-6), (45000, 6e-6)]
+    for p, a in inj:
+        trace[0, p - PRETRIG:p - PRETRIG + NT] += a * t1
+        trace[1, p - PRETRIG:p - PRETRIG + NT] += 0.8 * a * t2
+
+    t = OptimumFilterTrigger(["chA", "chB"], FS, tmpl, csd, PRETRIG)
+    assert t._trigger_name == "chA|chB"
+    t.update_trace(trace=trace)
+    t.find_triggers(6.0, pileup_window_msec=0.5)
+    df = t.get_trigger_data_df()
+    assert len(df) == 2
+    idx = np.sort(df["trigger_index"].to_numpy())
+    for (p, a), got in zip(inj, idx):
+        assert abs(got - p) <= 16
+    amps = df.sort_values("trigger_index")["trigger_amplitude_0"]
+    np.testing.assert_allclose(amps, [a for _, a in inj], rtol=0.1)
+    # channel-shape validation
+    with pytest.raises(ValueError, match="channel"):
+        t.update_trace(trace=trace[:1])
+    # residual re-trigger with a per-channel saturation veto runs and
+    # keeps the two true triggers (possibly adding residual artifacts)
+    t.update_trace(trace=trace)
+    t.find_triggers(6.0, pileup_window_msec=0.5, residual=True,
+                    saturation_amplitudes_LPF_50kHz=[1e-3, 1e-3])
+    idx2 = t.get_trigger_data_df()["trigger_index"].to_numpy()
+    for p, _ in inj:
+        assert np.any(np.abs(idx2 - p) <= 16)
+    assert len(set(idx2.tolist())) == len(idx2)
+
+
 def test_combine_trigger_data_dedup():
     a = {"c": {"trigger_index": [5, 9], "trigger_time": [0.5, 0.9],
                "trigger_index_c": [5, 9], "trigger_time_c": [0.5, 0.9]}}
