@@ -206,11 +206,14 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
     return q_blocks * valid[None, :, :], valid
 
 
-def of_fir(trace: jnp.ndarray, kernel: TriggerKernel) -> jnp.ndarray:
+def of_fir(trace: jnp.ndarray, kernel: TriggerKernel,
+           valid_range=None) -> jnp.ndarray:
     """Overlap-save FIR: continuous trace [C, L] → q [M, L] (flat view of
-    :func:`of_fir_blocks` — prefer the block form in device pipelines)."""
+    :func:`of_fir_blocks` — prefer the block form in device pipelines).
+    ``valid_range`` is forwarded (``(0, L)`` disables the edge zeroing
+    when the caller owns the padding cut)."""
     l = trace.shape[-1]
-    q_blocks, _ = of_fir_blocks(trace, kernel)
+    q_blocks, _ = of_fir_blocks(trace, kernel, valid_range=valid_range)
     m = q_blocks.shape[0]
     return q_blocks.reshape(m, -1)[:, :l]
 

@@ -50,27 +50,6 @@ def _group_ranges_static(idx: np.ndarray, window: int):
     return np.stack([starts, ends], axis=1)
 
 
-def _group_ranges_dynamic(idx: np.ndarray, vals: np.ndarray, window_fn):
-    """Amplitude-dependent merge: the window for each gap is
-    ``window_fn(max Δχ² of the current group so far)``
-    (oftrigger.py:78-145 semantics)."""
-    if len(idx) == 0:
-        return np.zeros((0, 2), dtype=int)
-    starts, ends = [], []
-    cur = 0
-    run_max = vals[0]
-    for i in range(1, len(idx)):
-        run_max = max(run_max, vals[i])
-        if (idx[i] - idx[i - 1]) > float(window_fn(run_max)):
-            starts.append(cur)
-            ends.append(i)
-            cur = i
-            run_max = vals[i]
-    starts.append(cur)
-    ends.append(len(idx))
-    return np.stack([starts, ends], axis=1)
-
-
 class OptimumFilterTrigger:
     """Time-domain optimal-filter trigger on one continuous trace
     (core/oftrigger.py:324-503).
@@ -111,28 +90,11 @@ class OptimumFilterTrigger:
                 else self._trigger_channel)
         self._trigger_name = name.replace("\0", "")
 
-        template = np.asarray(template)
-        if template.ndim == 2 and 1 not in template.shape:
-            raise ValueError(
-                f"Template is shaped as {template.shape}: pass "
-                "(N, M, samples), (samples,), (1, samples) or "
-                "(samples, 1) — a 2D shape with two non-unity axes is "
-                "ambiguous between channels and amplitudes")
-        csd = np.asarray(noisecsd)
-        if csd.ndim == 2 and 1 not in csd.shape:
-            raise ValueError(
-                f"Noise CSD is shaped as {csd.shape}: pass "
-                "(N, N, frequencies), (frequencies,), (1, frequencies) "
-                "or (frequencies, 1)")
-        # 1x1 convenience shapes → [1, 1, S] (make_ofnxm_bank expects
-        # [C, M, S] templates and [C, C, F] CSDs)
-        if template.ndim in (1, 2):
-            template = template.reshape(1, 1, -1)
-        if csd.ndim in (1, 2):
-            csd = csd.reshape(1, 1, -1)
-
+        # shape normalization/validation ([N]/[1,N]/[N,1] → [1,1,N],
+        # ambiguous 2D rejected) is owned by make_ofnxm_bank's
+        # _reshape_template_3d/_reshape_csd_3d
         self._bank = filterbank.make_ofnxm_bank(
-            template, csd.astype(complex), self._fs,
+            template, noisecsd, self._fs,
             self._pretrigger_samples,
             ignored_frequency_peaks=ignored_frequency_peaks,
             ignore_harmonics=ignore_harmonics)
@@ -208,7 +170,10 @@ class OptimumFilterTrigger:
             kernel = self._kernel
 
             def run(trace):
-                q = trig_ops.of_fir(trace, kernel)              # [M, L]
+                # no kernel-side edge zeroing: update_trace owns the
+                # padding cut (one rule for both input modes)
+                q = trig_ops.of_fir(trace, kernel,
+                                    valid_range=(0, length))    # [M, L]
                 iw = jnp.asarray(kernel.iw_matrix)
                 dchi2, amps = trig_ops.delta_chi2(q, iw)
                 lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
@@ -256,6 +221,13 @@ class OptimumFilterTrigger:
                 lpf = spectral.lowpass_filter(
                     jnp.asarray(trace, jnp.float32), 50e3, self._fs)
                 self._raw_trace_lpf_50khz = np.asarray(lpf)
+            else:
+                # no raw trace for THIS filtered trace: a previous
+                # trace's LPF must not drive the saturation veto
+                # (without it the veto treats every trigger as
+                # unsaturated; the reference requires the raw trace)
+                self._raw_trace = None
+                self._raw_trace_lpf_50khz = None
         else:
             step = self._device_step(trace.shape[-1])
             amps, dchi2, lpf = step(jnp.asarray(trace, jnp.float32))
@@ -264,6 +236,9 @@ class OptimumFilterTrigger:
             self._raw_trace_lpf_50khz = np.asarray(lpf)
 
         if padding:
+            # exact reference cut (oftrigger.py:674-679) on both input
+            # modes; the device step computes unzeroed q so this is the
+            # single owner of the padding rule
             cut = self._nb_samples
             self._delta_chi2_trace[:cut] = 0.0
             self._delta_chi2_trace[len(self._delta_chi2_trace)
@@ -295,12 +270,18 @@ class OptimumFilterTrigger:
             float(thresh), self._m_amplitudes)
 
         dchi2 = self._delta_chi2_trace
-        above = np.where(dchi2 > self.chi2_threshold)[0]
         if dynamic:
-            ranges = _group_ranges_dynamic(above, dchi2[above],
-                                           dynamic_threshold_function)
+            # same host grouper the batched pipeline uses (single owner
+            # of the amplitude-dependent-window semantics)
+            winners, _, _ = trig_ops.find_triggers_dynamic(
+                dchi2, self._filtered_trace, self.chi2_threshold,
+                dynamic_threshold_function)
+            winners = [int(w) for w in winners]
         else:
+            above = np.where(dchi2 > self.chi2_threshold)[0]
             ranges = _group_ranges_static(above, pileup_window)
+            winners = [int(above[st:en][np.argmax(dchi2[above[st:en]])])
+                       for st, en in ranges]
 
         data: dict = {
             "trigger_delta_chi2": [], "trigger_time": [],
@@ -311,9 +292,7 @@ class OptimumFilterTrigger:
         if self._m_amplitudes == 1:
             data["trigger_amplitude"] = []
 
-        for st, en in ranges:
-            grp = above[st:en]
-            win = grp[np.argmax(dchi2[grp])]
+        for win in winners:
             # q(T) already peaks at the trigger point (kernel-folded
             # shift) — no pretrigger−N//2 correction needed here
             data["trigger_index"].append(int(win))
@@ -329,9 +308,11 @@ class OptimumFilterTrigger:
             data["trigger_threshold_sigma"].append(float(thresh))
             data["trigger_pileup_window"].append(pileup_window)
 
+        # always present (the reference adds it only when n > 0, which
+        # gives zero-trigger results a different schema — deliberate
+        # deviation so empty frames concat/groupby cleanly)
         n = len(data["trigger_index"])
-        if n > 0:
-            data["trigger_channel"] = [self._trigger_name] * n
+        data["trigger_channel"] = [self._trigger_name] * n
         # per-channel suffixed duplicates share the reference layout
         out = dict(data)
         for key, val in data.items():
@@ -464,11 +445,19 @@ def combine_trigger_data(original_trigger_data, new_trigger_data,
     merged = copy.deepcopy(original_trigger_data[name])
     new_inner = new_trigger_data[name]
     take = [i for i, t in enumerate(new_triggers) if t in unique]
+    n_orig = len(merged.get("trigger_index", ()))
     for key, vals in new_inner.items():
         if key not in merged:
-            merged[key] = list(vals)
+            # column absent from the first pass (e.g. trigger_channel on
+            # an empty pass): pad its first-pass rows so every column
+            # stays row-aligned
+            merged[key] = [None] * n_orig + [vals[i] for i in take]
             continue
         merged[key] = list(merged[key]) + [vals[i] for i in take]
+    # ... and columns absent from the second pass pad symmetrically
+    for key in merged:
+        if key not in new_inner and len(merged[key]) == n_orig:
+            merged[key] = list(merged[key]) + [None] * len(take)
     # suffixed duplicates must stay identical to their base columns
     for key in list(merged):
         base = key.removesuffix(f"_{name}")

@@ -109,7 +109,9 @@ def main(out_dir=None):
             chan, sample_rate, template, psd.astype(complex),
             md["nb_pretrigger_samples"]))
 
-        cidx = available_channels.index(chan)
+        # rows of `trace` follow the channels= order passed to
+        # get_traces (NOT the raw file's stored order)
+        cidx = CHANNELS.index(chan)
         df = builder.acquire_triggers(
             chan, trace[cidx], cfg["threshold_sigma"],
             pileup_window_msec=cfg["pileup_window_msec"])

@@ -245,6 +245,59 @@ def test_combine_trigger_data_dedup():
     assert out["trigger_index_c"] == out["trigger_index"]
 
 
+def test_combine_trigger_data_asymmetric_columns():
+    """Columns present in only one pass stay row-aligned (None-padded),
+    so the merged dict is always DataFrame-constructible."""
+    a = {"c": {"trigger_index": [5], "only_first": ["x"]}}
+    b = {"c": {"trigger_index": [5, 14], "only_second": ["p", "q"]}}
+    out = combine_trigger_data(a, b, [5], [5, 14])["c"]
+    df = pd.DataFrame(out)      # must not raise ragged-length errors
+    assert out["trigger_index"] == [5, 14]
+    assert out["only_second"] == [None, "q"]
+    assert out["only_first"] == ["x", None]
+    assert len(df) == 2
+
+
+def test_empty_result_schema_and_padding_flag(setup):
+    tmpl, psd, _, _ = setup
+    rng = np.random.default_rng(21)
+    sigma = np.sqrt(psd[0] * FS)
+    quiet = rng.standard_normal(8192) * sigma
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=quiet)
+    t.find_triggers(5.0, pileup_window_msec=0.1)
+    df = t.get_trigger_data_df()
+    # zero-trigger frames keep the full schema incl. trigger_channel
+    assert len(df) == 0 and "trigger_channel" in df.columns
+
+    # padding=False on the RAW-trace path: a pulse inside the first
+    # template length is triggerable (padding=True suppresses it)
+    edge = quiet.copy()
+    edge[:NT - PRETRIG] += 30e-6 * tmpl[PRETRIG:]   # pulse peak at t=0
+    t.update_trace(trace=edge, padding=False)
+    t.find_triggers(5.0, pileup_window_msec=0.1)
+    idx_nopad = t.get_trigger_data_df()["trigger_index"].to_numpy()
+    assert np.any(idx_nopad < NT)
+    t.update_trace(trace=edge, padding=True)
+    t.find_triggers(5.0, pileup_window_msec=0.1)
+    idx_pad = t.get_trigger_data_df()["trigger_index"].to_numpy()
+    assert not np.any(idx_pad < NT)
+
+
+def test_filtered_trace_input_clears_stale_lpf(setup):
+    """A filtered_trace without its raw trace must not leave a previous
+    trace's 50 kHz LPF driving the saturation veto."""
+    tmpl, psd, trace, _ = setup
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=trace)
+    assert t._raw_trace_lpf_50khz is not None
+    filt = t.get_filtered_trace()
+    t.update_trace(filtered_trace=filt)
+    assert t._raw_trace_lpf_50khz is None
+    # veto treats triggers as unsaturated without a raw trace
+    assert not t._is_saturated(12000, [1e-9], True)
+
+
 def test_input_shape_validation(setup):
     tmpl, psd, _, _ = setup
     with pytest.raises(ValueError, match="ambiguous|shaped"):
