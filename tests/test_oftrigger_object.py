@@ -298,6 +298,63 @@ def test_filtered_trace_input_clears_stale_lpf(setup):
     assert not t._is_saturated(12000, [1e-9], True)
 
 
+def test_object_matches_batched_pipeline(setup, tmp_path):
+    """Cross-implementation consistency: the interactive object's
+    host-side merge and the batched pipeline's on-device tiled merge
+    (find_triggers_tiled) must find the SAME triggers on the same trace
+    — two independent merge implementations over one FIR kernel."""
+    import yaml
+    from detprocess_tpu.io.filterfile import FilterData
+    from detprocess_tpu.io.rawdata import RawData, RawWriter
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmpl, psd, _, _ = setup
+    rng = np.random.default_rng(33)
+    sigma = np.sqrt(psd[0] * FS)
+    n = 60000
+    trace = rng.standard_normal((1, 1, n)) * sigma
+    for pos, amp in [(15000, 30e-6), (30000, 10e-6), (45000, 50e-6),
+                     (45300, 12e-6)]:     # last two merge (window 625)
+        trace[0, 0, pos - PRETRIG:pos - PRETRIG + NT] += amp * tmpl
+
+    raw_dir = tmp_path / "raw"
+    RawWriter(str(raw_dir), "I1_D20260818_T090000", FS,
+              ["chan1"]).write_dump(trace, dump_num=1)
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=PRETRIG)
+    fd.set_psd("chan1", psd, FS)
+    filter_path = str(tmp_path / "filter.h5")
+    fd.save_hdf5(filter_path)
+    config_path = str(tmp_path / "trig.yaml")
+    with open(config_path, "w") as fh:
+        yaml.safe_dump({"trigger": {
+            "chan1": {"run": True, "template_tag": "default",
+                      "threshold_sigma": 8.0,
+                      "pileup_window_msec": 0.5}}}, fh)
+
+    raw_files = sorted(str(p) for p in raw_dir.glob("*.hdf5"))
+    df_pipe = TriggerProcessing(
+        raw_files, config_path, filter_data=filter_path,
+        verbose=False).process(capacity=64, lgc_save=False)
+
+    # object on the identical trace (read back through the same IO)
+    readback = RawData(str(raw_dir)).get_traces(
+        "I1_D20260818_T090000", [1], channels=["chan1"])[0]
+    t = make_trigger(tmpl, psd)
+    t.update_trace(trace=readback)
+    t.find_triggers(8.0, pileup_window_msec=0.5)
+    df_obj = t.get_trigger_data_df()
+
+    got_pipe = np.sort(df_pipe["trigger_index"].to_numpy())
+    got_obj = np.sort(df_obj["trigger_index"].to_numpy())
+    np.testing.assert_array_equal(got_pipe, got_obj)
+    assert len(got_obj) == 3      # pileup pair merged into one
+    np.testing.assert_allclose(
+        np.sort(df_pipe["trigger_delta_chi2"].to_numpy()),
+        np.sort(df_obj["trigger_delta_chi2"].to_numpy()),
+        rtol=1e-5)
+
+
 def test_input_shape_validation(setup):
     tmpl, psd, _, _ = setup
     with pytest.raises(ValueError, match="ambiguous|shaped"):
