@@ -83,10 +83,12 @@ def bench_tpu(bank, template):
     from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
 
-    # transpose-free permuted-FFT layout, same dispatch as the feature
-    # plan (pipelines/features.py): bank pre-permuted on the host,
-    # rfft_perm + *_perm kernels on device
-    hperm = dfft.half_perm_indices(N)
+    # same per-site layout dispatch as the feature plan
+    # (pipelines/features.py): the on-chip A/B (BASELINE.md) put the
+    # feature chain faster in NATURAL order, so this resolves to the
+    # natural half-spectrum path; were the site verdict to flip, the
+    # bank would be pre-permuted on the host to match.
+    hperm = dfft.site_half_perm_indices(N, "feature")
     host_bank = bank.to_device(np.float32)
     if hperm is not None:
         host_bank = filterbank.permute_half_bank(host_bank, hperm)

@@ -112,7 +112,7 @@ def bench_of1x1_basic(quick=False):
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
     # permuted (transpose-free) layout, same dispatch as the feature plan
     from detprocess_tpu.ops import fft as dfft
-    hperm = dfft.half_perm_indices(n)
+    hperm = dfft.site_half_perm_indices(n, "feature")
     host = bank.to_device(np.float32)
     if hperm is not None:
         host = filterbank.permute_half_bank(host, hperm)
@@ -166,7 +166,7 @@ def bench_of1x1_delay(quick=False):
     psd = np.full(n, 1e-20)
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
     from detprocess_tpu.ops import fft as dfft
-    hperm = dfft.half_perm_indices(n)
+    hperm = dfft.site_half_perm_indices(n, "feature")
     host = bank.to_device(np.float32)
     if hperm is not None:
         host = filterbank.permute_half_bank(host, hperm)
@@ -304,7 +304,7 @@ def bench_nxm(quick=False):
         csd[ch, ch] = 1e-20
     bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
     from detprocess_tpu.ops import fft as dfft
-    fperm = dfft.perm_indices(n)
+    fperm = dfft.site_perm_indices(n, "feature")
     host = bank.to_device(np.float32)
     if fperm is not None:
         host = filterbank.permute_nxm_bank(host, fperm)

@@ -357,6 +357,40 @@ def half_unperm_indices(n: int):
     return None if pm is None else np.argsort(pm)
 
 
+# Per-SITE dispatch of the permuted (transpose-free) layout, set from
+# the on-chip A/B (benchmarks/perm_ab.py; BASELINE.md "Permuted layout
+# on chip"): the trigger FIR (+2.7%) and Welch spectra (+3.9%) keep a
+# measured win, but the of1x1 feature chain runs ~1.2x FASTER in
+# natural order on the chip (the permuted forward real transform's
+# reindexed untangle costs more there than the transpose it saves; the
+# NxM chain is a wash). Dispatch sites resolve their layout through the
+# site helpers below so each site follows its own measured verdict;
+# tests force a path by patching this dict (or the raw index functions,
+# which the helpers call through).
+PERM_SITES = {"feature": False, "trigger": True, "spectral": True}
+
+
+def site_perm_indices(n: int, site: str):
+    """:func:`perm_indices` gated by the per-site dispatch table."""
+    if not PERM_SITES.get(site, True):
+        return None
+    return perm_indices(n)
+
+
+def site_half_perm_indices(n: int, site: str):
+    """:func:`half_perm_indices` gated by the per-site dispatch table."""
+    if not PERM_SITES.get(site, True):
+        return None
+    return half_perm_indices(n)
+
+
+def site_unperm_indices(n: int, site: str):
+    """:func:`unperm_indices` gated by the per-site dispatch table."""
+    if not PERM_SITES.get(site, True):
+        return None
+    return unperm_indices(n)
+
+
 def _blocked_rev(x2: jnp.ndarray) -> jnp.ndarray:
     """Negate the spectral index in blocked storage: returns y with
     y[storage j] = x[storage of spectral (M − k_j) mod M].

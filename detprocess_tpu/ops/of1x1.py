@@ -619,8 +619,8 @@ def of1x2_half(
     of :func:`of1x2`.
 
     LAYOUT CONTRACT: the expected storage order of every spectrum-shaped
-    input is decided by ``ops.fft.half_perm_indices(n)`` — natural order
-    when it is None, the permuted (blocked four-step) order otherwise
+    input is decided by ``ops.fft.site_half_perm_indices(n, "feature")``
+    — natural order when it is None, the permuted (blocked) order otherwise
     (inputs from signal_rfft_perm + permute_half_bank). The kernel never
     needs the bin indices itself (the matching inverse transform emits
     the delay-ordered series either way and the χ² base is
@@ -636,7 +636,7 @@ def of1x2_half(
     sq1 = jnp.sqrt(norm1)
     sq2 = jnp.sqrt(norm2)
 
-    perm = dfft.half_perm_indices(n) is not None
+    perm = dfft.site_half_perm_indices(n, "feature") is not None
 
     def inv(x):
         return (dfft.irfft_fromperm(x, n) if perm

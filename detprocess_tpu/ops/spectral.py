@@ -112,7 +112,7 @@ def welch_psd_packed(traces: jnp.ndarray, fs: float,
         raise ValueError(f"unknown window: {window}")
     m = n // 2
     z = jax.lax.complex(traces[..., 0::2], traces[..., 1::2])
-    perm = dfft.perm_indices(m)
+    perm = dfft.site_perm_indices(m, "spectral")
     if perm is None:
         zf = dfft.fft(z, axis=-1)
         zf_rev = jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1)
@@ -169,7 +169,7 @@ def welch_psd(traces: jnp.ndarray, fs: float, window: str | None = None):
         scale = 1.0
     else:
         raise ValueError(f"unknown window: {window}")
-    pos = dfft.unperm_indices(n)
+    pos = dfft.site_unperm_indices(n, "spectral")
     if pos is None:
         pxx = periodogram(traces, fs) * scale
         return jnp.mean(pxx, axis=-2)
@@ -211,7 +211,7 @@ def welch_csd_packed(traces: jnp.ndarray, fs: float,
         raise ValueError(f"unknown window: {window}")
     m = n // 2
     z = jax.lax.complex(traces[..., 0::2], traces[..., 1::2])
-    perm = dfft.perm_indices(m)
+    perm = dfft.site_perm_indices(m, "spectral")
     if perm is None:
         zf = dfft.fft(z, axis=-1)                       # [B, C, M]
         zf_rev = jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1)
@@ -270,7 +270,7 @@ def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
         raise ValueError(f"unknown window: {window}")
     # full complex transform on purpose — see the periodogram note (the
     # rfft untangle's relayout costs beat its FLOP savings here)
-    pos = dfft.unperm_indices(n)
+    pos = dfft.site_unperm_indices(n, "spectral")
     if pos is None:
         vfft = dfft.fft(traces, axis=-1)  # [B, C, N]
         csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
@@ -297,7 +297,7 @@ def lowpass_filter(traces: jnp.ndarray, cut_off_freq: float, fs: float,
     trace edges (excluded from triggering anyway).
     """
     n = traces.shape[-1]
-    pm = dfft.perm_indices(n)
+    pm = dfft.site_perm_indices(n, "spectral")
     # |k/n| is fs-free so the frequency grid stays static (fs and the
     # cutoff may be traced); |f|/fc = |k|/n · fs/fc
     kabs = np.abs(np.fft.fftfreq(n))                       # |k|/n, host

@@ -112,7 +112,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # multiply is elementwise in k, so only this host-side reindex and
     # the transform pair change. of_fir_blocks re-derives the same
     # condition from fft_size.
-    hp = dfft.half_perm_indices(f_size)
+    hp = dfft.site_half_perm_indices(f_size, "trigger")
     if hp is not None:
         g_fft = g_fft[..., hp]
 
@@ -182,7 +182,7 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
     # Segments are real → half-spectrum rfft/irfft (2x less FFT work/HBM
     # than the full complex path; same win as ops/of1x1.py's half path)
     with dfft.matmul_precision("high"):
-        if dfft.half_perm_indices(f) is not None:
+        if dfft.site_half_perm_indices(f, "trigger") is not None:
             # transpose-free permuted-layout pair; g_fft was pre-permuted
             # to the matching storage order in make_trigger_kernel
             seg_fft = dfft.rfft_perm(segments)                # [C, nb, F/2+1]

@@ -104,7 +104,7 @@ def sharded_psd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
         # transpose-free permuted layout when the four-step FFT engages;
         # the psum rides the permuted order and natural frequency order
         # is restored on the reduced [N] result (see ops/spectral.py)
-        pos = dfft.unperm_indices(local_traces.shape[-1])
+        pos = dfft.site_unperm_indices(local_traces.shape[-1], "spectral")
         pxx = (spectral.periodogram(local_traces, fs) if pos is None
                else spectral.periodogram_perm(local_traces, fs))
         local_sum = jnp.sum(pxx, axis=-2)
@@ -137,7 +137,7 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
     def _csd(local_traces):
         from detprocess_tpu.ops import spectral
         n = local_traces.shape[-1]
-        pos = dfft.unperm_indices(n)
+        pos = dfft.site_unperm_indices(n, "spectral")
         vfft = (dfft.fft(local_traces, axis=-1) if pos is None
                 else dfft.fft_perm(local_traces))
         local = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))

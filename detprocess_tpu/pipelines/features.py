@@ -514,12 +514,15 @@ class FeatureProcessing:
                             if s.base in PSD_ALGORITHMS})
         # permuted (blocked four-step) storage layout: skips the forward
         # and inverse transpose passes of the matmul FFT (ops/fft.py);
-        # device_banks permutes the bank arrays to match
-        hperm = dfft.half_perm_indices(n)
+        # device_banks permutes the bank arrays to match. Gated by the
+        # per-site table (dfft.PERM_SITES): the on-chip A/B put the
+        # feature chain FASTER in natural order, so this site defaults
+        # off; tests force it on to cover the permuted kernels.
+        hperm = dfft.site_half_perm_indices(n, "feature")
         spec_k = None if hperm is None else jnp.asarray(hperm)
         # full-spectrum analog for the NxM chain (banks permuted to match
         # in device_banks)
-        fperm = dfft.perm_indices(n)
+        fperm = dfft.site_perm_indices(n, "feature")
 
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
@@ -915,7 +918,8 @@ class FeatureProcessing:
             d = {}
             if group.bank_1x1 is not None:
                 dev = group.bank_1x1.to_device(real_dtype)
-                hperm = dfft.half_perm_indices(group.nb_samples)
+                hperm = dfft.site_half_perm_indices(group.nb_samples,
+                                                    "feature")
                 if hperm is not None:
                     # permuted (blocked four-step) storage layout for the
                     # transpose-free half-spectrum kernels — must match
@@ -929,7 +933,8 @@ class FeatureProcessing:
                 d["b1x1"] = jax.tree.map(jnp.asarray, dev)
             for key, bank in group.nxm_banks.items():
                 devn = bank.to_device(real_dtype)
-                fperm = dfft.perm_indices(group.nb_samples)
+                fperm = dfft.site_perm_indices(group.nb_samples,
+                                               "feature")
                 if fperm is not None:
                     # permuted full-spectrum layout to match the NxM
                     # dispatch in _make_group_fn (signal_fft_perm)

@@ -139,6 +139,9 @@ def _run(dataset):
 
 def test_pipeline_equal_perm_on_off(dataset, monkeypatch):
     assert dfft.half_perm_indices(N) is not None   # perm engages at this N
+    # the feature site defaults to natural (on-chip A/B, BASELINE.md);
+    # force it on for the permuted run so both layouts stay covered
+    monkeypatch.setitem(dfft.PERM_SITES, "feature", True)
     df_perm = _run(dataset)
     monkeypatch.setattr(dfft, "half_perm_indices", lambda n: None)
     monkeypatch.setattr(dfft, "perm_indices", lambda n: None)

@@ -193,7 +193,7 @@ def test_of1x2_half_equals_full(banks):
         bin_w = np.full(nh, 2.0)
         bin_w[0] = 1.0
         bin_w[-1] = 1.0
-        hp = dfft.half_perm_indices(nlen)
+        hp = dfft.site_half_perm_indices(nlen, "feature")
         sl = np.arange(nh) if hp is None else hp
         vr = (of1x1.signal_rfft_perm(jnp.asarray(trc)[:, None, :])
               if hp is not None
@@ -220,4 +220,11 @@ def test_of1x2_half_equals_full(banks):
     tr2 = rng.standard_normal((2, n2)) * 1e-8
     tr2 += 3e-6 * tt1 + 2e-6 * np.roll(tt2, 50)
     assert dfft.half_perm_indices(n2) is not None
-    run_pair(n2, tt1, tt2, tr2, np.arange(0, 100))
+    # the feature site defaults to natural order (on-chip A/B verdict);
+    # force it on so the permuted of1x2 layout keeps coverage
+    old = dfft.PERM_SITES["feature"]
+    dfft.PERM_SITES["feature"] = True
+    try:
+        run_pair(n2, tt1, tt2, tr2, np.arange(0, 100))
+    finally:
+        dfft.PERM_SITES["feature"] = old
