@@ -54,11 +54,14 @@ OF_1X1_ALGORITHMS = ("of1x1_nodelay", "of1x1_unconstrained",
 
 #: constrained-OF windows at or below this many allowed delays use the
 #: direct windowed DFT-matmul kernel instead of the full inverse-FFT
-#: chain. Measured on v5e at 32k traces: direct wins 1.65× at W≈100 and
-#: loses ~9% at W≈1000 (matmul cost grows linearly in W) — break-even
-#: is a few hundred samples; 512 keeps dispatch on the winning side
-#: (BASELINE.md "Constrained OF").
-DIRECT_WINDOW_MAX = 512
+#: chain. Re-measured on the chip against the NATURAL-order inverse
+#: chain (the shipping layout, round 3): direct wins 1.84× at W=128,
+#: 1.51× at W=1024, and still 1.31× at W=1536 (matmul cost grows
+#: linearly in W; break-even extrapolates to W≈2700). Capped at 1024
+#: anyway: the [F, W] cos/sin pair costs 2·F·W·4 bytes of HBM per
+#: constrained spec (134 MB at 32k/W=1024), which several specs per
+#: channel would multiply (BASELINE.md "Constrained OF").
+DIRECT_WINDOW_MAX = 1024
 OF_NXM_ALGORITHMS = ("ofnxm", "ofnxmx2")
 PSD_ALGORITHMS = ("psd_amp", "psd_peaks", "phase")
 TRACE_ALGORITHMS = ("baseline", "integral", "maximum", "minimum",
@@ -91,6 +94,10 @@ class TraceGroup:
     compound_channels: List[str] = field(default_factory=list)
     mix_matrix: Optional[np.ndarray] = None      # [n_compound, n_raw]
     specs: List[AlgoSpec] = field(default_factory=list)
+    # spec index → (eval_idx, valid, cos_mat, sin_mat) for constrained
+    # specs the plan dispatches onto the direct windowed-DFT kernels;
+    # built in _make_group_fn, packed as device arrays by device_banks
+    direct_windows: Dict[int, tuple] = field(default_factory=dict)
     bank_1x1: Optional[filterbank.OF1x1Bank] = None
     slot_keys: List[tuple] = field(default_factory=list)
     nxm_banks: Dict[str, filterbank.OFNxMBank] = field(default_factory=dict)
@@ -524,6 +531,39 @@ class FeatureProcessing:
         # in device_banks)
         fperm = dfft.site_perm_indices(n, "feature")
 
+        # Direct windowed-DFT tables for narrow constrained windows,
+        # built ONCE here so the [F, W] cos/sin matrices ride the banks
+        # pytree as runtime device arrays (packed by device_banks from
+        # group.direct_windows). Closed over inside fn they would become
+        # HLO constants — 2·F·W·4 bytes of compile payload PER SPEC
+        # (67 MB at W=512), which a remote-compile setup rejects
+        # outright for wide windows (HTTP 413 measured at W≈2000) and
+        # every local compile has to re-hash.
+        group.direct_windows.clear()
+        for spec_i, spec in enumerate(specs):
+            if spec.base == "of1x1_constrained":
+                wmask = window_mask_for(spec)
+                if (wmask is not None
+                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                    eidx, valid, cmat, smat = of1x1.prepare_delay_window(
+                        wmask, of_pretrig, n, filterbank.half_bin_weights(n))
+                    if hperm is not None:
+                        # rows follow the permuted storage order of
+                        # prod = phi_h·ṽ_h
+                        cmat = cmat[hperm]
+                        smat = smat[hperm]
+                    group.direct_windows[spec_i] = (eidx, valid, cmat, smat)
+            elif spec.base == "ofnxm":
+                wmask = window_mask_for(spec)
+                if (wmask is not None
+                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                    eidx, valid, cmat, smat = of1x1.prepare_delay_window(
+                        wmask, of_pretrig, n)
+                    if fperm is not None:
+                        cmat = cmat[fperm]
+                        smat = smat[fperm]
+                    group.direct_windows[spec_i] = (eidx, valid, cmat, smat)
+
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
             traces = jnp.einsum("cr,brn->bcn",
@@ -551,7 +591,7 @@ class FeatureProcessing:
                                      else jnp.take(vhalf[ci], pos_h,
                                                    axis=-1))
 
-            for spec in specs:
+            for spec_i, spec in enumerate(specs):
                 name = spec.algorithm
                 fc = spec.feature_channel
                 kwargs = spec.kwargs
@@ -578,23 +618,19 @@ class FeatureProcessing:
                     else:
                         wmask = (window_mask_for(spec)
                                  if spec.base == "of1x1_constrained" else None)
-                        if (wmask is not None
-                                and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                        dw = group.direct_windows.get(spec_i)
+                        if dw is not None:
                             # narrow window → direct windowed DFT matmul
                             # (skips the full [N] inverse-FFT chain;
-                            # ops/of1x1.py::of1x1_windowed_direct_half)
-                            binw_host = filterbank.half_bin_weights(n)
-                            eidx, valid, cmat, smat = (
-                                of1x1.prepare_delay_window(
-                                    wmask, of_pretrig, n, binw_host))
-                            if hperm is not None:
-                                # rows follow the permuted storage order
-                                # of prod = phi_h·ṽ_h
-                                cmat = cmat[hperm]
-                                smat = smat[hperm]
+                            # ops/of1x1.py::of1x1_windowed_direct_half);
+                            # big cos/sin matrices arrive as device
+                            # arrays through the banks pytree
+                            eidx, valid = dw[0], dw[1]
+                            cs = banks["dwin"][str(spec_i)]
                             r = of1x1.of1x1_windowed_direct_half(
                                 vr, phi, norm, dinv, s_fft, binw,
-                                of_pretrig, fs, eidx, valid, cmat, smat,
+                                of_pretrig, fs, eidx, valid,
+                                cs["c"], cs["s"],
                                 low_mask_h=lmask,
                                 interpolate_t0=bool(
                                     kwargs.get("interpolate", False)),
@@ -672,21 +708,17 @@ class FeatureProcessing:
                     r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi, nb.iw_matrix,
                                                nb.icsd, fs)
                     wmask = window_mask_for(spec)
-                    if (wmask is not None
-                            and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                    dw = group.direct_windows.get(spec_i)
+                    if dw is not None:
                         # narrow window → direct windowed DFT matmuls
-                        # instead of M full inverse FFTs
-                        eidx, valid, cmat, smat = (
-                            of1x1.prepare_delay_window(
-                                wmask, of_pretrig, n))
-                        if fperm is not None:
-                            # rows follow the permuted storage order
-                            cmat = cmat[fperm]
-                            smat = smat[fperm]
+                        # instead of M full inverse FFTs; cos/sin ride
+                        # the banks pytree as device arrays
+                        eidx, valid = dw[0], dw[1]
+                        cs = banks["dwin"][str(spec_i)]
                         r_wd = ofnxm.ofnxm_withdelay_direct(
                             vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
-                            nb.icsd, of_pretrig, fs, eidx, valid, cmat,
-                            smat,
+                            nb.icsd, of_pretrig, fs, eidx, valid,
+                            cs["c"], cs["s"],
                             interpolate_t0=bool(
                                 kwargs.get("interpolate_t0", False)))
                     else:
@@ -940,6 +972,15 @@ class FeatureProcessing:
                     # dispatch in _make_group_fn (signal_fft_perm)
                     devn = filterbank.permute_nxm_bank(devn, fperm)
                 d[key] = jax.tree.map(jnp.asarray, devn)
+            if group.direct_windows:
+                # [F, W] cos/sin pairs for the direct windowed-DFT
+                # kernels, as runtime arrays (NOT trace constants — see
+                # _make_group_fn). Same real dtype as the banks so the
+                # f64 CPU golden path keeps full precision.
+                d["dwin"] = {
+                    str(i): {"c": jnp.asarray(t[2].astype(real_dtype)),
+                             "s": jnp.asarray(t[3].astype(real_dtype))}
+                    for i, t in group.direct_windows.items()}
             packed.append(d)
         return packed
 

@@ -200,7 +200,8 @@ def test_empty_constrained_window_is_actionable(data, tmp_path):
     }}}
     cpath = tmp_path / "empty_win.yaml"
     yaml.safe_dump(config, open(cpath, "w"))
-    proc = FeatureProcessing(data["raw_files"], str(cpath),
-                             filter_data=data["fd"], verbose=False)
+    # the direct-window tables are built at PLAN BUILD (constructor),
+    # so the empty window fails before any processing starts
     with pytest.raises(ValueError, match="selects no delays.*of1x1_constrained|of1x1_constrained.*selects no delays"):
-        proc.process(batch_size=NB, dtype=np.float64)
+        FeatureProcessing(data["raw_files"], str(cpath),
+                          filter_data=data["fd"], verbose=False)
