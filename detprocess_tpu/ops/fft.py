@@ -456,6 +456,29 @@ def ifft_fromperm(xp: jnp.ndarray) -> jnp.ndarray:
     return jnp.reshape(out, xp.shape[:-1] + (m,))
 
 
+def packed_spectrum(x: jnp.ndarray):
+    """Packed spectrum pair (Z, Z_rev) of real traces — the raw material
+    of the fused of1x1 chain (ops/of1x1.py ``*_packed`` kernels).
+
+    Z = FFT_m(x_even + i·x_odd) in blocked (four-step) storage order,
+    Z_rev its spectral reversal (storage j holds bin (m − k_j) mod m).
+    The half spectrum satisfies V_k = A_k·Z_k + B_k·conj(Z_{(m−k)%m}),
+    so every half-spectrum consumer is a per-bin combination of this
+    pair — the packed kernels fold their own combination coefficients
+    (filter multiply, inverse retangle, reduction weights) into host
+    constants and never materialize V. Caller must have checked
+    ``half_perm_indices(n) is not None``.
+    """
+    n = x.shape[-1]
+    m = n // 2
+    n1, n2 = perm_split(m)
+    cdtype = _complex_dtype(x.dtype)
+    z = jax.lax.complex(x[..., 0::2], x[..., 1::2]).astype(cdtype)
+    z2 = _matmul_fft_stages(z, n1, n2)                   # [..., n1, n2]
+    zrev = jnp.reshape(_blocked_rev(z2), z.shape)
+    return jnp.reshape(z2, z.shape), zrev
+
+
 def rfft_perm(x: jnp.ndarray) -> jnp.ndarray:
     """Half-spectrum FFT of real traces in permuted storage order.
 

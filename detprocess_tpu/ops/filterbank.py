@@ -370,6 +370,128 @@ def permute_half_bank(dev: dict, half_perm: np.ndarray) -> dict:
     return out
 
 
+def packed_half_coeffs(bank: OF1x1Bank, real_dtype=np.float32) -> dict:
+    """Host coefficients for the packed (Z-domain) of1x1 chain.
+
+    The half-spectrum chain qt = n·irfft(φ ⊙ rfft(x)) spends two of its
+    HBM passes on pure relayout math: the rfft's untangle
+    (V = A·Z + B·conj(Z_rev)) and the irfft's retangle
+    (z' = C·Y + D·conj(Y_rev)). Both are LINEAR per bin, so with the
+    diagonal filter multiply between them the whole middle collapses to
+    host-precomputed coefficients on the packed spectrum pair
+    (ops/fft.packed_spectrum):
+
+        z'_k = P_k·Z_k + Q_k·conj(Z_rev,k)            (delay series)
+        c0   = Σ α_k·|Z_k|² + Re(g_k·Z_k·Z_rev,k)     (χ² base)
+        q0   = Σ Re(H_k·Z_k)                          (no-delay fit)
+
+    with the Nyquist bin's contribution (V_M = Re Z_0 − Im Z_0) folded
+    into the k = 0 coefficients. Measured on-chip: the full
+    nodelay+withdelay chain drops ~25% of its HBM passes → 1.3× (see
+    BASELINE.md "Packed of1x1 chain"). Coefficients are returned in the
+    blocked storage order of ops/fft.packed_spectrum and real-stacked
+    for the host→device boundary. Only valid when
+    ``ops.fft.half_perm_indices(nbins) is not None``.
+
+    Replaces nothing in the reference — QETpy materializes every
+    spectrum (qetpy OF1x1 via detprocess core/algorithms.py:331-567);
+    this is a TPU-memory-bandwidth design, not a port.
+    """
+    from . import fft as dfft
+
+    n = bank.nbins
+    m = n // 2
+    pm = dfft.perm_indices(m)
+    if n % 2 != 0 or pm is None:
+        raise ValueError(f"packed chain does not engage at nbins={n}")
+    k = np.arange(m)
+    w = np.exp(-2j * np.pi * k / n)
+    A = 0.5 * (1.0 - 1j * w)
+    B = 0.5 * (1.0 + 1j * w)
+    wi = np.exp(2j * np.pi * k / n)
+    C = 0.5 * (1.0 + 1j * wi)
+    D = 0.5 * (1.0 - 1j * wi)
+    r = (m - k) % m                      # spectral reversal partner
+
+    phi = bank.phi[:, :m + 1]            # [S, M+1] natural half
+    dinv = bank.denom_inv[:, :m + 1].real
+    binw = half_bin_weights(n)           # [M+1]
+
+    # delay series: fold untangle → φ· → retangle (and the OF's ×n)
+    P = C * phi[:, :m] * A + D * np.conj(phi[:, r] * B[r])
+    Q = C * phi[:, :m] * B + D * np.conj(phi[:, r] * A[r])
+    P[:, 0] = (C[0] * phi[:, 0] * A[0]
+               + D[0] * np.conj(phi[:, m]) * (1.0 + 1j) / 2.0)
+    Q[:, 0] = (C[0] * phi[:, 0] * B[0]
+               + D[0] * np.conj(phi[:, m]) * (1.0 - 1j) / 2.0)
+    P *= n
+    Q *= n
+
+    # χ² base: Σ u_k|V_k|² as a bilinear form in (|Z|², Z·Z_rev)
+    u = dinv * binw                      # [S, M+1]
+    alpha = u[:, :m] * (np.abs(A) ** 2) + (u[:, :m] * np.abs(B) ** 2)[:, r]
+    g = 2.0 * u[:, :m] * A * np.conj(B)
+    # Nyquist: u_M·(Re Z_0 − Im Z_0)² = u_M·(|Z_0|² − Im(Z_0²))
+    alpha[:, 0] += u[:, m]
+    g[:, 0] += 1j * u[:, m]
+
+    # no-delay fit: q0 = Σ b_k·Re(φ_k V_k) = Σ Re(H_k Z_k)
+    bphi = binw[None, :m] * phi[:, :m]
+    H = bphi * A + np.conj((bphi * B)[:, r])
+    H[:, 0] += binw[m] * (phi[:, m] * (1.0 + 1j) / 2.0
+                          + np.conj(phi[:, m] * (1.0 - 1j) / 2.0))
+
+    return {
+        "pk_P": split_complex(P[:, pm], real_dtype),
+        "pk_Q": split_complex(Q[:, pm], real_dtype),
+        "pk_alpha": alpha[:, pm].astype(real_dtype),
+        "pk_g": split_complex(g[:, pm], real_dtype),
+        "pk_H": split_complex(H[:, pm], real_dtype),
+        "norm": bank.norm.astype(real_dtype),
+    }
+
+
+def packed_low_table(bank: OF1x1Bank, low_mask_h: np.ndarray,
+                     real_dtype=np.float32) -> dict:
+    """Host gather table for the low-frequency residual χ² on the packed
+    chain: the low mask keeps only ~1–2% of bins, so instead of
+    materializing the half spectrum the kernel gathers those bins' Z
+    pairs and untangles just them (ops/of1x1._residual_chi2_packed).
+
+    ``low_mask_h``: natural-order boolean [M+1]
+    (ops/of1x1.lowfreq_mask_half). The Nyquist bin must not be selected
+    (it needs the separate Z_0 combination; lowfreq masks never reach
+    fs/2)."""
+    from . import fft as dfft
+
+    n = bank.nbins
+    m = n // 2
+    pm = dfft.perm_indices(m)
+    if n % 2 != 0 or pm is None:
+        raise ValueError(f"packed chain does not engage at nbins={n}")
+    low_mask_h = np.asarray(low_mask_h, bool)
+    if low_mask_h.shape[-1] != m + 1:
+        raise ValueError("low_mask_h must be natural half order [M+1]")
+    if low_mask_h[m]:
+        raise ValueError("packed residual gather cannot select the "
+                         "Nyquist bin")
+    kl = np.where(low_mask_h[:m])[0]
+    unperm = np.argsort(pm)
+    w = np.exp(-2j * np.pi * kl / n)
+    A = 0.5 * (1.0 - 1j * w)
+    B = 0.5 * (1.0 + 1j * w)
+    binw = half_bin_weights(n)
+    u = bank.denom_inv[:, :m + 1].real * binw
+    return {
+        "lw_pos": unperm[kl].astype(np.int32),
+        "lw_k": kl.astype(real_dtype),
+        "lw_A": split_complex(A, real_dtype),
+        "lw_B": split_complex(B, real_dtype),
+        "lw_s": split_complex(bank.s_fft[:, kl], real_dtype),
+        "lw_u": u[:, kl].astype(real_dtype),
+    }
+
+
 def permute_nxm_bank(dev: dict, perm: np.ndarray) -> dict:
     """Reorder a to_device()-packed NxM bank's spectral arrays into the
     permuted (blocked four-step) storage layout of ops/fft.fft_perm.

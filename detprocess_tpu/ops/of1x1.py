@@ -381,6 +381,131 @@ def of1x1_withdelay_half_perm(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     return OF1x1Result(amp, t0, chi2, lowchi2, c0)
 
 
+class DevicePacked1x1(NamedTuple):
+    """Joined packed-chain coefficients (ops/filterbank.packed_half_coeffs)."""
+
+    P: jnp.ndarray        # [S, M] complex — delay-series combine (×n folded)
+    Q: jnp.ndarray        # [S, M] complex
+    alpha: jnp.ndarray    # [S, M] real — χ²-base |Z|² weights
+    g: jnp.ndarray        # [S, M] complex — χ²-base Z·Z_rev weights
+    H: jnp.ndarray        # [S, M] complex — no-delay fit weights
+    norm: jnp.ndarray     # [S]
+
+
+def device_packed_1x1(dev: dict) -> DevicePacked1x1:
+    from .filterbank import join_complex
+    return DevicePacked1x1(
+        P=join_complex(dev["pk_P"]), Q=join_complex(dev["pk_Q"]),
+        alpha=dev["pk_alpha"], g=join_complex(dev["pk_g"]),
+        H=join_complex(dev["pk_H"]), norm=dev["norm"])
+
+
+def chi2_base_packed(Z, Zr, alpha, g):
+    """χ² base Σ u_k|V_k|² evaluated on the packed spectrum pair
+    (ops/fft.packed_spectrum) via the bilinear coefficients of
+    ops/filterbank.packed_half_coeffs — V is never materialized."""
+    c0 = jnp.sum(alpha * (Z.real ** 2 + Z.imag ** 2), axis=-1)
+    tr = Z.real * Zr.real - Z.imag * Zr.imag
+    ti = Z.real * Zr.imag + Z.imag * Zr.real
+    return c0 + jnp.sum(g.real * tr - g.imag * ti, axis=-1)
+
+
+def _residual_chi2_packed(Z, Zr, amp, shift, low: dict, n: int):
+    """Low-frequency residual χ² on the packed chain: gathers only the
+    masked bins' (Z, Z_rev) pairs and untangles them in registers
+    (table from ops/filterbank.packed_low_table; semantics identical to
+    :func:`_residual_chi2_half` over the same mask)."""
+    from .filterbank import join_complex
+    pos = jnp.asarray(low["lw_pos"])
+    zl = jnp.take(Z, pos, axis=-1)
+    zrl = jnp.take(Zr, pos, axis=-1)
+    a = join_complex(low["lw_A"])
+    b = join_complex(low["lw_B"])
+    v = a * zl + b * jnp.conj(zrl)
+    kl = jnp.asarray(low["lw_k"])
+    phase = jnp.exp(-2j * jnp.pi * kl * shift[..., None] / n)
+    resid = v - amp[..., None] * join_complex(low["lw_s"]) * phase
+    p2 = resid.real ** 2 + resid.imag ** 2
+    return jnp.sum(p2 * low["lw_u"], axis=-1)
+
+
+def of1x1_nodelay_packed(Z, Zr, pk: DevicePacked1x1, n: int,
+                         low: Optional[dict] = None) -> OF1x1Result:
+    """No-delay OF fit on the packed spectrum pair; numerically equal to
+    :func:`of1x1_nodelay_half` (different summation order)."""
+    q = jnp.sum(pk.H.real * Z.real - pk.H.imag * Z.imag, axis=-1)
+    amp = q / pk.norm
+    c0 = chi2_base_packed(Z, Zr, pk.alpha, pk.g)
+    chi2 = c0 - q * q / pk.norm
+    if low is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        zero = jnp.zeros_like(amp)
+        lowchi2 = _residual_chi2_packed(Z, Zr, amp, zero, low, n)
+    return OF1x1Result(amp, jnp.zeros_like(amp), chi2, lowchi2, c0)
+
+
+def of1x1_withdelay_packed(Z, Zr, pk: DevicePacked1x1, pretrigger: int,
+                           fs: float, n: int,
+                           window_mask=None, low: Optional[dict] = None,
+                           interpolate_t0: bool = False) -> OF1x1Result:
+    """Delay-scan OF fit on the packed spectrum pair; numerically equal
+    to :func:`of1x1_withdelay_half`.
+
+    The delay series comes straight from the packed pair:
+    z' = P·Z + Q·conj(Z_rev) (the forward untangle, the φ multiply, and
+    the inverse retangle all live in P/Q — ops/filterbank.
+    packed_half_coeffs), inverted by ops/fft.ifft_fromperm. Indexing
+    (delay-order mask pre-roll, t0 conversion, parabolic interpolation)
+    mirrors :func:`of1x1_withdelay_half_perm`.
+    """
+    c0 = chi2_base_packed(Z, Zr, pk.alpha, pk.g)
+    zp = pk.P * Z + pk.Q * jnp.conj(Zr)
+    zt = dfft.ifft_fromperm(zp)                          # natural [., M]
+    qt = jnp.reshape(jnp.stack([zt.real, zt.imag], axis=-1),
+                     zt.shape[:-1] + (n,))               # delay series
+    dchi2 = qt * qt / pk.norm[..., None]
+
+    if window_mask is None:
+        masked = dchi2
+    else:
+        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
+        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
+    d_best = jnp.argmax(masked, axis=-1)
+    q_best = jnp.take_along_axis(qt, d_best[..., None], axis=-1)[..., 0]
+    amp = q_best / pk.norm
+    chi2 = c0 - q_best * q_best / pk.norm
+    d_f = d_best.astype(qt.dtype)
+    t0_idx = jnp.where(d_best < n - pretrigger, d_f, d_f - n)
+    shift = t0_idx
+
+    if interpolate_t0:
+        dm1 = (d_best - 1) % n
+        dp1 = (d_best + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, dm1[..., None], axis=-1)[..., 0]
+        y0 = -jnp.take_along_axis(dchi2, d_best[..., None], axis=-1)[..., 0]
+        yp1 = -jnp.take_along_axis(dchi2, dp1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
+        am1 = jnp.take_along_axis(qt, dm1[..., None], axis=-1)[..., 0] \
+            / pk.norm
+        ap1 = jnp.take_along_axis(qt, dp1[..., None], axis=-1)[..., 0] \
+            / pk.norm
+        a_denom = am1 - 2.0 * amp + ap1
+        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
+        shift = t0_idx + delta
+
+    t0 = shift / fs
+    if low is None:
+        lowchi2 = jnp.full_like(chi2, -999999.0)
+    else:
+        lowchi2 = _residual_chi2_packed(Z, Zr, amp, shift, low, n)
+    return OF1x1Result(amp, t0, chi2, lowchi2, c0)
+
+
 def prepare_delay_window(window_mask: np.ndarray, pretrigger: int,
                          n: int, bin_w: Optional[np.ndarray] = None):
     """Host-side precompute for the direct windowed delay kernels
