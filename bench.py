@@ -83,16 +83,21 @@ def bench_tpu(bank, template):
     from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
 
-    # same per-site layout dispatch as the feature plan
-    # (pipelines/features.py): the on-chip A/B (BASELINE.md) put the
-    # feature chain faster in NATURAL order, so this resolves to the
-    # natural half-spectrum path; were the site verdict to flip, the
-    # bank would be pre-permuted on the host to match.
-    hperm = dfft.site_half_perm_indices(N, "feature")
+    # same layout dispatch as the feature plan (pipelines/features.py):
+    # the packed Z-domain chain when the four-step FFT engages
+    # (BASELINE.md "Packed of1x1 chain" — the measured-fastest layout),
+    # natural half-spectrum otherwise.
+    packed = (dfft.PERM_SITES.get("feature", True) == "packed"
+              and dfft.half_perm_indices(N) is not None)
+    hperm = None if packed else dfft.site_half_perm_indices(N, "feature")
     host_bank = bank.to_device(np.float32)
     if hperm is not None:
         host_bank = filterbank.permute_half_bank(host_bank, hperm)
     dev_bank = jax.tree.map(jnp.asarray, host_bank)
+    if packed:
+        dev_bank = dict(dev_bank)
+        dev_bank["pk"] = jax.tree.map(
+            jnp.asarray, filterbank.packed_half_coeffs(bank, np.float32))
     spec_k = None if hperm is None else jnp.asarray(hperm)
     tmpl_dev = jnp.asarray(template, jnp.float32)
 
@@ -108,19 +113,27 @@ def bench_tpu(bank, template):
     @jax.jit
     def feature_step(traces, dev):
         bh = filterbank.device_bank_1x1_half(dev)
-        if hperm is not None:
+        if packed:
+            pk = of1x1.device_packed_1x1(dev["pk"])
+            z, zr = dfft.packed_spectrum(traces[:, None, :])
+            wd = of1x1.of1x1_withdelay_packed(z, zr, pk, PRETRIG, FS, N)
+            nod = of1x1.of1x1_nodelay_packed(z, zr, pk, N)
+        elif hperm is not None:
             vr = of1x1.signal_rfft_perm(traces[:, None, :])
             wd = of1x1.of1x1_withdelay_half_perm(
                 vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
                 PRETRIG, FS, N, spec_k)
+            nod = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm,
+                                           bh.denom_inv, bh.s_fft,
+                                           bh.bin_w, n=N, spec_k=spec_k)
         else:
             vr = of1x1.signal_rfft(traces[:, None, :])
             wd = of1x1.of1x1_withdelay_half(vr, bh.phi, bh.norm,
                                             bh.denom_inv, bh.s_fft,
                                             bh.bin_w, PRETRIG, FS)
-        nod = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                       bh.s_fft, bh.bin_w, n=N,
-                                       spec_k=spec_k)
+            nod = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm,
+                                           bh.denom_inv, bh.s_fft,
+                                           bh.bin_w, n=N)
         return (nod.amp[:, 0], nod.chi2[:, 0], wd.amp[:, 0], wd.t0[:, 0],
                 wd.chi2[:, 0], tracestats.baseline(traces),
                 tracestats.integral(traces, FS))

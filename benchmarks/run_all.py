@@ -97,12 +97,40 @@ def _cpu_protocol(spread):
             "cpu_spread": round(spread, 3)}
 
 
+def _feature_layout(bank, n, real_dtype=np.float32):
+    """Mirror the feature plan's layout dispatch (pipelines/features.py):
+    packed Z-domain chain when the four-step FFT engages, permuted or
+    natural half-spectrum otherwise. Returns (mode, dev, spec_k)."""
+    import jax
+    import jax.numpy as jnp
+    from detprocess_tpu.ops import filterbank
+    from detprocess_tpu.ops import fft as dfft
+
+    packed = (dfft.PERM_SITES.get("feature", True) == "packed"
+              and dfft.half_perm_indices(n) is not None)
+    # the site helper returns the permuted indices under "packed" too —
+    # consumers that need an explicit half spectrum see the permuted
+    # layout (same convention as pipelines/features.py::device_banks)
+    hperm = dfft.site_half_perm_indices(n, "feature")
+    host = dict(bank.to_device(real_dtype))
+    if hperm is not None:
+        host = filterbank.permute_half_bank(host, hperm)
+    if packed:
+        host["pk"] = filterbank.packed_half_coeffs(bank, real_dtype)
+    dev = jax.tree.map(jnp.asarray, host)
+    mode = ("packed" if packed
+            else ("perm" if hperm is not None else "natural"))
+    spec_k = None if hperm is None else jnp.asarray(hperm)
+    return mode, dev, spec_k
+
+
 def bench_of1x1_basic(quick=False):
     """Config 1: of1x1_nodelay + baseline/integral, 32k samples."""
     import jax
     import jax.numpy as jnp
     from detprocess_tpu.models import pulse
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
+    from detprocess_tpu.ops import fft as dfft
     from reference_impl import RefOF1x1
 
     n, pretrig, b, k = 32768, 16384, 4096, (2 if quick else 16)
@@ -110,23 +138,23 @@ def bench_of1x1_basic(quick=False):
                                tau_f1=200e-6)
     psd = np.full(n, 1e-20)
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
-    # permuted (transpose-free) layout, same dispatch as the feature plan
-    from detprocess_tpu.ops import fft as dfft
-    hperm = dfft.site_half_perm_indices(n, "feature")
-    host = bank.to_device(np.float32)
-    if hperm is not None:
-        host = filterbank.permute_half_bank(host, hperm)
-    dev = jax.tree.map(jnp.asarray, host)
+    mode, dev, spec_k = _feature_layout(bank, n)
 
     @jax.jit
     def step(key, d):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = (of1x1.signal_rfft_perm(x[:, None, :]) if hperm is not None
-              else of1x1.signal_rfft(x[:, None, :]))
-        r = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm, bh.denom_inv,
-                                     bh.s_fft, bh.bin_w, n=n)
+        if mode == "packed":
+            z, zr = dfft.packed_spectrum(x[:, None, :])
+            pk = of1x1.device_packed_1x1(d["pk"])
+            r = of1x1.of1x1_nodelay_packed(z, zr, pk, n)
+        else:
+            vr = (of1x1.signal_rfft_perm(x[:, None, :])
+                  if mode == "perm" else of1x1.signal_rfft(x[:, None, :]))
+            r = of1x1.of1x1_nodelay_half(vr, bh.phi, bh.norm,
+                                         bh.denom_inv, bh.s_fft,
+                                         bh.bin_w, n=n)
         return (r.amp[:, 0], tracestats.baseline(x),
                 tracestats.integral(x, FS))
 
@@ -166,22 +194,17 @@ def bench_of1x1_delay(quick=False):
     psd = np.full(n, 1e-20)
     bank = filterbank.make_of1x1_bank(tmpl, psd, FS, pretrig)
     from detprocess_tpu.ops import fft as dfft
-    hperm = dfft.site_half_perm_indices(n, "feature")
-    host = bank.to_device(np.float32)
-    if hperm is not None:
-        host = filterbank.permute_half_bank(host, hperm)
-    dev = jax.tree.map(jnp.asarray, host)
-    spec_k = None if hperm is None else jnp.asarray(hperm)
+    mode, dev, spec_k = _feature_layout(bank, n)
     wmask = np.zeros(n, dtype=bool)
     wmask[pretrig - 500:pretrig + 500] = True
     wmask_j = jnp.asarray(wmask)
 
     def _rfft(x):
-        return (of1x1.signal_rfft_perm(x) if hperm is not None
+        return (of1x1.signal_rfft_perm(x) if mode == "perm"
                 else of1x1.signal_rfft(x))
 
     def _withdelay(vr, bh, window_mask=None):
-        if hperm is not None:
+        if mode == "perm":
             return of1x1.of1x1_withdelay_half_perm(
                 vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
                 pretrig, FS, n, spec_k, window_mask=window_mask)
@@ -196,9 +219,16 @@ def bench_of1x1_delay(quick=False):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = _rfft(x[:, None, :])
-        un = _withdelay(vr, bh)
-        co = _withdelay(vr, bh, window_mask=wmask)
+        if mode == "packed":
+            z, zr = dfft.packed_spectrum(x[:, None, :])
+            pk = of1x1.device_packed_1x1(d["pk"])
+            un = of1x1.of1x1_withdelay_packed(z, zr, pk, pretrig, FS, n)
+            co = of1x1.of1x1_withdelay_packed(z, zr, pk, pretrig, FS, n,
+                                              window_mask=wmask)
+        else:
+            vr = _rfft(x[:, None, :])
+            un = _withdelay(vr, bh)
+            co = _withdelay(vr, bh, window_mask=wmask)
         return un.amp[:, 0], co.amp[:, 0], un.t0[:, 0], co.chi2[:, 0]
 
     keys = jax.random.split(jax.random.PRNGKey(1), k)
@@ -206,22 +236,33 @@ def bench_of1x1_delay(quick=False):
     tpu_rate = b * k / dt
 
     # same work with the constrained scan on the direct windowed DFT
-    # matmul path (what the feature plan dispatches for this window)
+    # matmul path (what the feature plan dispatches for this window);
+    # under the packed chain the direct kernel consumes the PERMUTED
+    # half spectrum derived via ops/fft.untangle_pair
     binw_host = filterbank.half_bin_weights(n)
     eidx, valid, cmat, smat = of1x1.prepare_delay_window(
         wmask, pretrig, n, binw_host)
 
-    if hperm is not None:
-        cmat = cmat[hperm]
-        smat = smat[hperm]
+    if spec_k is not None:
+        # rows follow the permuted storage order of prod = phi_h·ṽ_h
+        # (the packed mode's untangled view is permuted too)
+        hp_raw = dfft.half_perm_indices(n)
+        cmat = cmat[hp_raw]
+        smat = smat[hp_raw]
 
     @jax.jit
     def step_direct(key, d):
         bh = filterbank.device_bank_1x1_half(d)
         x = jax.random.normal(key, (b, n), jnp.float32) * 3e-9 + 2e-6 * \
             jnp.asarray(tmpl, jnp.float32)[None, :]
-        vr = _rfft(x[:, None, :])
-        un = _withdelay(vr, bh)
+        if mode == "packed":
+            z, zr = dfft.packed_spectrum(x[:, None, :])
+            pk = of1x1.device_packed_1x1(d["pk"])
+            un = of1x1.of1x1_withdelay_packed(z, zr, pk, pretrig, FS, n)
+            vr = dfft.untangle_pair(z, zr, n)
+        else:
+            vr = _rfft(x[:, None, :])
+            un = _withdelay(vr, bh)
         co = of1x1.of1x1_windowed_direct_half(
             vr, bh.phi, bh.norm, bh.denom_inv, bh.s_fft, bh.bin_w,
             pretrig, FS, eidx, valid, cmat, smat, n=n, spec_k=spec_k)

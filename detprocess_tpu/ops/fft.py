@@ -357,17 +357,19 @@ def half_unperm_indices(n: int):
     return None if pm is None else np.argsort(pm)
 
 
-# Per-SITE dispatch of the permuted (transpose-free) layout, set from
-# the on-chip A/B (benchmarks/perm_ab.py; BASELINE.md "Permuted layout
-# on chip"): the trigger FIR (+2.7%) and Welch spectra (+3.9%) keep a
-# measured win, but the of1x1 feature chain runs ~1.2x FASTER in
-# natural order on the chip (the permuted forward real transform's
-# reindexed untangle costs more there than the transpose it saves; the
-# NxM chain is a wash). Dispatch sites resolve their layout through the
-# site helpers below so each site follows its own measured verdict;
-# tests force a path by patching this dict (or the raw index functions,
-# which the helpers call through).
-PERM_SITES = {"feature": False, "trigger": True, "spectral": True}
+# Per-SITE dispatch of the spectral storage layout, set from the
+# on-chip A/Bs (benchmarks/perm_ab.py; BASELINE.md "Permuted layout on
+# chip" and "Packed of1x1 chain"): the trigger FIR (+2.7%) and Welch
+# spectra (+3.9%) keep the permuted (transpose-free) layout; the
+# feature site runs the PACKED Z-domain chain ("packed" — 1.3× over the
+# natural chain, which itself beat plain-perm 1.2×). Under "packed" the
+# site helpers still return the permuted indices (consumers that need
+# an explicit half spectrum — psd features, of1x2, the direct windowed
+# kernels — see the permuted layout, derived from the packed pair by
+# ops/fft.untangle_pair). Tests force a path by patching this dict (or
+# the raw index functions, which the helpers call through); False =
+# natural order, True = permuted half/full-spectrum chain.
+PERM_SITES = {"feature": "packed", "trigger": True, "spectral": True}
 
 
 def site_perm_indices(n: int, site: str):
@@ -487,14 +489,16 @@ def rfft_perm(x: jnp.ndarray) -> jnp.ndarray:
     identical to :func:`rfft` up to the (static) permutation. Caller must
     have checked ``half_perm_indices(n) is not None``.
     """
-    n = x.shape[-1]
+    zf, zrev = packed_spectrum(x)
+    return untangle_pair(zf, zrev, x.shape[-1])
+
+
+def untangle_pair(zf: jnp.ndarray, zrev: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Half spectrum (permuted storage order, [..., M+1]) from the packed
+    pair of :func:`packed_spectrum`: V = A·Z + B·conj(Z_rev) with the
+    Nyquist bin (Re Z₀ − Im Z₀) appended at position M."""
     m = n // 2
-    n1, n2 = perm_split(m)
-    cdtype = _complex_dtype(x.dtype)
-    z = jax.lax.complex(x[..., 0::2], x[..., 1::2]).astype(cdtype)
-    zf2 = _matmul_fft_stages(z, n1, n2)                  # [..., n1, n2]
-    zrev = jnp.reshape(_blocked_rev(zf2), z.shape)
-    zf = jnp.reshape(zf2, z.shape)
+    cdtype = zf.dtype
     # untangle with coefficients pre-permuted to storage order
     pm = perm_indices(m)
     w = np.exp(-2j * np.pi * pm / n)

@@ -98,6 +98,10 @@ class TraceGroup:
     # specs the plan dispatches onto the direct windowed-DFT kernels;
     # built in _make_group_fn, packed as device arrays by device_banks
     direct_windows: Dict[int, tuple] = field(default_factory=dict)
+    # packed (Z-domain) 1x1 chain: set by _make_group_fn, read by
+    # device_banks (which builds the coefficient tables per dtype)
+    packed_mode: bool = False
+    packed_fcutoffs: List[float] = field(default_factory=list)
     bank_1x1: Optional[filterbank.OF1x1Bank] = None
     slot_keys: List[tuple] = field(default_factory=list)
     nxm_banks: Dict[str, filterbank.OFNxMBank] = field(default_factory=dict)
@@ -530,6 +534,21 @@ class FeatureProcessing:
         # full-spectrum analog for the NxM chain (banks permuted to match
         # in device_banks)
         fperm = dfft.site_perm_indices(n, "feature")
+        # packed (Z-domain) 1x1 chain — the measured-fastest layout on
+        # chip (BASELINE.md "Packed of1x1 chain"): the of1x1 kernels run
+        # directly on the packed spectrum pair; consumers that need an
+        # explicit half spectrum (psd features, of1x2, direct windows)
+        # derive the PERMUTED view lazily via ops/fft.untangle_pair
+        # (hperm is non-None whenever packed is on, so their wiring is
+        # the permuted-layout wiring)
+        packed = (dfft.PERM_SITES.get("feature", True) == "packed"
+                  and dfft.half_perm_indices(n) is not None
+                  and group.bank_1x1 is not None)
+        group.packed_mode = packed
+        group.packed_fcutoffs = sorted(
+            {float(s.kwargs.get("lowchi2_fcutoff", 10000))
+             for s in specs if s.base in OF_1X1_ALGORITHMS}) if packed \
+            else []
 
         # Direct windowed-DFT tables for narrow constrained windows,
         # built ONCE here so the [F, W] cos/sin matrices ride the banks
@@ -573,12 +592,28 @@ class FeatureProcessing:
             bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
                       if "b1x1" in banks else None)
             vhalf = {}
+            zpair = {}
             if needs_half:
                 sel = traces[:, jnp.asarray(needs_half), :]
-                vh = (of1x1.signal_rfft_perm(sel) if hperm is not None
-                      else of1x1.signal_rfft(sel))
-                for j, ci in enumerate(needs_half):
-                    vhalf[ci] = vh[:, j, :]
+                if packed:
+                    zs, zrs = dfft.packed_spectrum(sel)
+                    for j, ci in enumerate(needs_half):
+                        zpair[ci] = (zs[:, j, :], zrs[:, j, :])
+                else:
+                    vh = (of1x1.signal_rfft_perm(sel) if hperm is not None
+                          else of1x1.signal_rfft(sel))
+                    for j, ci in enumerate(needs_half):
+                        vhalf[ci] = vh[:, j, :]
+
+            def get_vhalf(ci):
+                """Half spectrum (permuted order when hperm is set) —
+                under the packed chain derived on demand, once per
+                channel, from the packed pair."""
+                if ci not in vhalf:
+                    zc, zrc = zpair[ci]
+                    vhalf[ci] = dfft.untangle_pair(zc, zrc, n)
+                return vhalf[ci]
+
             # natural-order half spectra for the psd features (one
             # [B, N//2+1] gather per channel when the permuted layout is
             # active; free otherwise)
@@ -587,8 +622,8 @@ class FeatureProcessing:
                 pos_h = (None if hperm is None
                          else jnp.asarray(dfft.half_unperm_indices(n)))
                 for ci in needs_nat:
-                    vhalf_nat[ci] = (vhalf[ci] if pos_h is None
-                                     else jnp.take(vhalf[ci], pos_h,
+                    vhalf_nat[ci] = (get_vhalf(ci) if pos_h is None
+                                     else jnp.take(get_vhalf(ci), pos_h,
                                                    axis=-1))
 
             for spec_i, spec in enumerate(specs):
@@ -597,7 +632,6 @@ class FeatureProcessing:
                 kwargs = spec.kwargs
                 if spec.base in OF_1X1_ALGORITHMS:
                     # half-spectrum fast path (ops/of1x1.py half kernels)
-                    vr = vhalf[spec.chan_idx][:, None, :]
                     phi = bank_h.phi[spec.slot:spec.slot + 1]
                     s_fft = bank_h.s_fft[spec.slot:spec.slot + 1]
                     dinv = bank_h.denom_inv[spec.slot:spec.slot + 1]
@@ -608,14 +642,38 @@ class FeatureProcessing:
                     if hperm is not None:
                         lmask_host = lmask_host[hperm]
                     lmask = jnp.asarray(lmask_host)
+                    if packed:
+                        # packed-chain inputs: slot-sliced coefficient
+                        # tables + this channel's spectrum pair
+                        pk_all = of1x1.device_packed_1x1(banks["pk"])
+                        sl = slice(spec.slot, spec.slot + 1)
+                        pk_s = of1x1.DevicePacked1x1(
+                            pk_all.P[sl], pk_all.Q[sl], pk_all.alpha[sl],
+                            pk_all.g[sl], pk_all.H[sl], pk_all.norm[sl])
+                        lt = banks["pk_low"][str(float(
+                            kwargs.get("lowchi2_fcutoff", 10000)))]
+                        low_s = dict(lt)
+                        low_s["lw_s"] = lt["lw_s"][sl]
+                        low_s["lw_u"] = lt["lw_u"][sl]
+                        zc, zrc = zpair[spec.chan_idx]
+                        z1 = zc[:, None, :]
+                        zr1 = zrc[:, None, :]
                     if spec.base == "of1x1_nodelay":
-                        r = of1x1.of1x1_nodelay_half(vr, phi, norm, dinv,
-                                                     s_fft, binw, lmask,
-                                                     n=n, spec_k=spec_k)
+                        if packed:
+                            r = of1x1.of1x1_nodelay_packed(z1, zr1, pk_s,
+                                                           n, low=low_s)
+                        else:
+                            r = of1x1.of1x1_nodelay_half(
+                                get_vhalf(spec.chan_idx)[:, None, :],
+                                phi, norm, dinv, s_fft, binw, lmask,
+                                n=n, spec_k=spec_k)
                         out[f"amp_{name}_{fc}"] = r.amp[:, 0]
                         out[f"chi2_{name}_{fc}"] = r.chi2[:, 0]
                         out[f"lowchi2_{name}_{fc}"] = r.lowchi2[:, 0]
                     else:
+                        vr = get_vhalf(spec.chan_idx)[:, None, :] \
+                            if (group.direct_windows.get(spec_i)
+                                is not None or not packed) else None
                         wmask = (window_mask_for(spec)
                                  if spec.base == "of1x1_constrained" else None)
                         dw = group.direct_windows.get(spec_i)
@@ -635,6 +693,12 @@ class FeatureProcessing:
                                 interpolate_t0=bool(
                                     kwargs.get("interpolate", False)),
                                 n=n, spec_k=spec_k)
+                        elif packed:
+                            r = of1x1.of1x1_withdelay_packed(
+                                z1, zr1, pk_s, of_pretrig, fs, n,
+                                window_mask=wmask, low=low_s,
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate", False)))
                         elif hperm is not None:
                             r = of1x1.of1x1_withdelay_half_perm(
                                 vr, phi, norm, dinv, s_fft, binw,
@@ -665,7 +729,7 @@ class FeatureProcessing:
                                     bank_h.denom_inv[spec.slot],
                                     bank_h.bin_w, n, fs, spec_k=hperm))
                 elif spec.base == "of1x2x2":
-                    vr2 = vhalf[spec.chan_idx][:, None, :]
+                    vr2 = get_vhalf(spec.chan_idx)[:, None, :]
                     # optional Δ = t2 − t1 constraint (samples): bounds
                     # the joint scan to the physical pulse-2 delay range
                     # (O(N·|Δ|) instead of the O(N²) full circular scan)
@@ -963,6 +1027,21 @@ class FeatureProcessing:
                 for key in ("phi", "s_fft", "denom_inv"):
                     dev.pop(key, None)
                 d["b1x1"] = jax.tree.map(jnp.asarray, dev)
+                if group.packed_mode:
+                    # packed (Z-domain) chain coefficient tables, same
+                    # real dtype as the banks (f64 golden path included)
+                    d["pk"] = jax.tree.map(
+                        jnp.asarray,
+                        filterbank.packed_half_coeffs(group.bank_1x1,
+                                                      real_dtype))
+                    d["pk_low"] = {}
+                    for fc in group.packed_fcutoffs:
+                        lmask = of1x1.lowfreq_mask_half(
+                            group.nb_samples, self._fs, fc)
+                        d["pk_low"][str(float(fc))] = jax.tree.map(
+                            jnp.asarray,
+                            filterbank.packed_low_table(
+                                group.bank_1x1, lmask, real_dtype))
             for key, bank in group.nxm_banks.items():
                 devn = bank.to_device(real_dtype)
                 fperm = dfft.site_perm_indices(group.nb_samples,

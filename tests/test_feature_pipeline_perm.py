@@ -137,22 +137,28 @@ def _run(dataset):
     return proc.process(batch_size=4, dtype=np.float64)
 
 
-def test_pipeline_equal_perm_on_off(dataset, monkeypatch):
-    assert dfft.half_perm_indices(N) is not None   # perm engages at this N
-    # the feature site defaults to natural (on-chip A/B, BASELINE.md);
-    # force it on for the permuted run so both layouts stay covered
+def test_pipeline_equal_across_layouts(dataset, monkeypatch):
+    """All three feature-site layouts produce the same table: the packed
+    Z-domain chain (shipping default), the permuted half/full-spectrum
+    chain, and the natural-order chain."""
+    assert dfft.half_perm_indices(N) is not None   # engages at this N
+    assert dfft.PERM_SITES["feature"] == "packed"  # shipping default
+    df_packed = _run(dataset)
     monkeypatch.setitem(dfft.PERM_SITES, "feature", True)
     df_perm = _run(dataset)
     monkeypatch.setattr(dfft, "half_perm_indices", lambda n: None)
     monkeypatch.setattr(dfft, "perm_indices", lambda n: None)
     df_nat = _run(dataset)
     assert sorted(df_perm.columns) == sorted(df_nat.columns)
-    for col in df_nat.columns:
-        a = df_nat[col].to_numpy()
-        b = df_perm[col].to_numpy()
-        if a.dtype.kind in "fc":
-            np.testing.assert_allclose(
-                b, a, rtol=1e-9, atol=1e-12 * max(1.0, np.abs(a).max()),
-                err_msg=f"column {col}")
-        else:
-            assert np.array_equal(a, b), f"column {col}"
+    assert sorted(df_packed.columns) == sorted(df_nat.columns)
+    for label, df in (("perm", df_perm), ("packed", df_packed)):
+        for col in df_nat.columns:
+            a = df_nat[col].to_numpy()
+            b = df[col].to_numpy()
+            if a.dtype.kind in "fc":
+                np.testing.assert_allclose(
+                    b, a, rtol=1e-9,
+                    atol=1e-12 * max(1.0, np.abs(a).max()),
+                    err_msg=f"column {col} ({label} vs natural)")
+            else:
+                assert np.array_equal(a, b), f"column {col} ({label})"
