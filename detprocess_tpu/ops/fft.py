@@ -369,7 +369,7 @@ def half_unperm_indices(n: int):
 # ops/fft.untangle_pair). Tests force a path by patching this dict (or
 # the raw index functions, which the helpers call through); False =
 # natural order, True = permuted half/full-spectrum chain.
-PERM_SITES = {"feature": "packed", "trigger": True, "spectral": True}
+PERM_SITES = {"feature": "packed", "trigger": "packed", "spectral": True}
 
 
 def site_perm_indices(n: int, site: str):
@@ -491,6 +491,41 @@ def rfft_perm(x: jnp.ndarray) -> jnp.ndarray:
     """
     zf, zrev = packed_spectrum(x)
     return untangle_pair(zf, zrev, x.shape[-1])
+
+
+def packed_multiply_coeffs(h_half: np.ndarray, n: int):
+    """Host: fold untangle → diagonal multiply by ``h_half`` → inverse
+    retangle into one coefficient pair (P, Q) on the packed pair of
+    :func:`packed_spectrum`:
+
+        interleave(ifft_fromperm(P·Z + Q·conj(Z_rev))) == irfft(h·rfft(x), n)
+
+    ``h_half``: natural-order half spectrum [..., M+1] (Nyquist folded
+    into the k = 0 coefficients). Returns (P, Q) [..., M] in NATURAL bin
+    order — permute by ``perm_indices(n//2)`` for the storage layout.
+    Pure numpy float64; runs once at kernel/plan build.
+    """
+    h_half = np.asarray(h_half)
+    m = n // 2
+    if h_half.shape[-1] != m + 1:
+        raise ValueError("h_half must be the natural half spectrum [M+1]")
+    k = np.arange(m)
+    w = np.exp(-2j * np.pi * k / n)
+    a = 0.5 * (1.0 - 1j * w)
+    b = 0.5 * (1.0 + 1j * w)
+    wi = np.exp(2j * np.pi * k / n)
+    c = 0.5 * (1.0 + 1j * wi)
+    d = 0.5 * (1.0 - 1j * wi)
+    r = (m - k) % m
+    h = h_half[..., :m]
+    hr = h_half[..., r]
+    p = c * h * a + d * np.conj(hr * b[r])
+    q = c * h * b + d * np.conj(hr * a[r])
+    p[..., 0] = (c[0] * h_half[..., 0] * a[0]
+                 + d[0] * np.conj(h_half[..., m]) * (1.0 + 1j) / 2.0)
+    q[..., 0] = (c[0] * h_half[..., 0] * b[0]
+                 + d[0] * np.conj(h_half[..., m]) * (1.0 - 1j) / 2.0)
+    return p, q
 
 
 def untangle_pair(zf: jnp.ndarray, zrev: jnp.ndarray, n: int) -> jnp.ndarray:

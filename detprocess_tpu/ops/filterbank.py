@@ -408,9 +408,6 @@ def packed_half_coeffs(bank: OF1x1Bank, real_dtype=np.float32) -> dict:
     w = np.exp(-2j * np.pi * k / n)
     A = 0.5 * (1.0 - 1j * w)
     B = 0.5 * (1.0 + 1j * w)
-    wi = np.exp(2j * np.pi * k / n)
-    C = 0.5 * (1.0 + 1j * wi)
-    D = 0.5 * (1.0 - 1j * wi)
     r = (m - k) % m                      # spectral reversal partner
 
     phi = bank.phi[:, :m + 1]            # [S, M+1] natural half
@@ -418,12 +415,7 @@ def packed_half_coeffs(bank: OF1x1Bank, real_dtype=np.float32) -> dict:
     binw = half_bin_weights(n)           # [M+1]
 
     # delay series: fold untangle → φ· → retangle (and the OF's ×n)
-    P = C * phi[:, :m] * A + D * np.conj(phi[:, r] * B[r])
-    Q = C * phi[:, :m] * B + D * np.conj(phi[:, r] * A[r])
-    P[:, 0] = (C[0] * phi[:, 0] * A[0]
-               + D[0] * np.conj(phi[:, m]) * (1.0 + 1j) / 2.0)
-    Q[:, 0] = (C[0] * phi[:, 0] * B[0]
-               + D[0] * np.conj(phi[:, m]) * (1.0 - 1j) / 2.0)
+    P, Q = dfft.packed_multiply_coeffs(phi, n)
     P *= n
     Q *= n
 

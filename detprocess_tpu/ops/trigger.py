@@ -61,6 +61,10 @@ class TriggerKernel(NamedTuple):
 
     g_fft: np.ndarray          # [C, M, F//2+1, 2] split re/im — half-spectrum
                                # rFFT of the linear matched filters, padded to F
+    g_pk_p: Optional[np.ndarray]  # [C, M, F//2, 2] packed-chain combine
+    g_pk_q: Optional[np.ndarray]  # coefficients (ops/fft.
+                               # packed_multiply_coeffs, storage order);
+                               # None when the packed FIR is off
     iw_matrix: np.ndarray      # [M, M]
     response: np.ndarray       # [M, M, 2·Nt-1] Δχ²-subtraction responses:
                                # response[i, j] = (filter_i ⋆ template_j)
@@ -106,15 +110,25 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # half-spectrum: segments are real, so the FIR runs rfft→multiply→irfft
     # (half the FFT work and HBM traffic of the full complex path)
     g_fft = np.fft.rfft(g_pad, axis=-1)
-    # when F takes the four-step matmul FFT, pre-permute the filter
-    # spectra into its blocked storage order so the FIR runs transpose-
-    # free (rfft_perm → multiply → irfft_fromperm; see ops/fft.py) — the
-    # multiply is elementwise in k, so only this host-side reindex and
-    # the transform pair change. of_fir_blocks re-derives the same
-    # condition from fft_size.
-    hp = dfft.site_half_perm_indices(f_size, "trigger")
-    if hp is not None:
-        g_fft = g_fft[..., hp]
+    # layout of the device FIR, decided here and carried by the kernel
+    # (of_fir_blocks dispatches on g_pk_p): "packed" folds the rfft
+    # untangle and the irfft retangle into the per-filter combine
+    # coefficients (ops/fft.packed_multiply_coeffs) — the FIR becomes
+    # stages → one channel-mix einsum pair → inverse stages, dropping
+    # two relayout passes over the segment intermediates; plain perm
+    # (True) pre-permutes the filter spectra for the transpose-free
+    # transform pair instead.
+    site = dfft.PERM_SITES.get("trigger", True)
+    g_pk_p = g_pk_q = None
+    if site == "packed" and dfft.half_perm_indices(f_size) is not None:
+        pk_p, pk_q = dfft.packed_multiply_coeffs(g_fft, f_size)
+        pm = dfft.perm_indices(f_size // 2)
+        g_pk_p = split_complex(pk_p[..., pm], real_dtype)
+        g_pk_q = split_complex(pk_q[..., pm], real_dtype)
+    else:
+        hp = dfft.site_half_perm_indices(f_size, "trigger")
+        if hp is not None:
+            g_fft = g_fft[..., hp]
 
     # Δχ² subtraction responses: filter i applied to a unit pulse of
     # template j, as a function of lag d around the pulse position:
@@ -127,6 +141,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
 
     return TriggerKernel(
         g_fft=split_complex(g_fft, real_dtype),
+        g_pk_p=g_pk_p, g_pk_q=g_pk_q,
         iw_matrix=bank.iw_matrix.astype(real_dtype),
         response=resp.astype(real_dtype),
         nt=n, pretrigger=p, fs=bank.fs, block=block, fft_size=f_size,
@@ -182,7 +197,20 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
     # Segments are real → half-spectrum rfft/irfft (2x less FFT work/HBM
     # than the full complex path; same win as ops/of1x1.py's half path)
     with dfft.matmul_precision("high"):
-        if dfft.site_half_perm_indices(f, "trigger") is not None:
+        if kernel.g_pk_p is not None:
+            # packed chain: the untangle and retangle live in the
+            # combine coefficients (make_trigger_kernel); the channel
+            # mix runs directly on the packed pair
+            z, zr = dfft.packed_spectrum(segments)            # [C, nb, F/2]
+            pk_p = join_complex(jnp.asarray(kernel.g_pk_p))   # [C, M, F/2]
+            pk_q = join_complex(jnp.asarray(kernel.g_pk_q))
+            zp = (jnp.einsum("cbf,cmf->mbf", z, pk_p)
+                  + jnp.einsum("cbf,cmf->mbf", jnp.conj(zr), pk_q))
+            zt = dfft.ifft_fromperm(zp)                       # [M, nb, F/2]
+            y_seg = jnp.reshape(
+                jnp.stack([zt.real, zt.imag], axis=-1),
+                zt.shape[:-1] + (f,))                         # [M, nb, F]
+        elif dfft.site_half_perm_indices(f, "trigger") is not None:
             # transpose-free permuted-layout pair; g_fft was pre-permuted
             # to the matching storage order in make_trigger_kernel
             seg_fft = dfft.rfft_perm(segments)                # [C, nb, F/2+1]
