@@ -344,11 +344,17 @@ def bench_nxm(quick=False):
     for ch in range(c):
         csd[ch, ch] = 1e-20
     bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
+    # same layout dispatch as the feature plan: packed when the
+    # four-step FFT engages, perm/natural otherwise
     from detprocess_tpu.ops import fft as dfft
-    fperm = dfft.site_perm_indices(n, "feature")
-    host = bank.to_device(np.float32)
+    nxm_packed = (dfft.PERM_SITES.get("feature", True) == "packed"
+                  and dfft.half_perm_indices(n) is not None)
+    fperm = None if nxm_packed else dfft.site_perm_indices(n, "feature")
+    host = dict(bank.to_device(np.float32))
     if fperm is not None:
         host = filterbank.permute_nxm_bank(host, fperm)
+    if nxm_packed:
+        host["pk"] = filterbank.packed_nxm_coeffs(bank, np.float32)
     dev = jax.tree.map(jnp.asarray, host)
     sig = jnp.asarray(np.einsum("cmn->cn", tmpl), jnp.float32)
 
@@ -357,10 +363,17 @@ def bench_nxm(quick=False):
         nb = filterbank.device_bank_nxm(d)
         x = (jax.random.normal(key, (b, c, n), jnp.float32) * 3e-9
              + 1e-6 * sig[None])
-        vfft = (of1x1.signal_fft_perm(x) if fperm is not None
-                else of1x1.signal_fft(x))
-        r = ofnxm.ofnxm_withdelay(vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
-                                  nb.icsd, pretrig, FS, spec_perm=fperm)
+        if nxm_packed:
+            z, zr = dfft.packed_spectrum(x)
+            pk = ofnxm.device_packed_nxm(d["pk"])
+            r = ofnxm.ofnxm_withdelay_packed(z, zr, pk, nb.iw_matrix,
+                                             pretrig, FS, n)
+        else:
+            vfft = (of1x1.signal_fft_perm(x) if fperm is not None
+                    else of1x1.signal_fft(x))
+            r = ofnxm.ofnxm_withdelay(vfft, nb.phi, nb.w_matrix,
+                                      nb.iw_matrix, nb.icsd, pretrig, FS,
+                                      spec_perm=fperm)
         return r.amps, r.t0, r.chi2
 
     keys = jax.random.split(jax.random.PRNGKey(3), k)

@@ -484,6 +484,62 @@ def packed_low_table(bank: OF1x1Bank, low_mask_h: np.ndarray,
     }
 
 
+def packed_nxm_coeffs(bank: OFNxMBank, real_dtype=np.float32) -> dict:
+    """Host coefficients for the packed (Z-domain) NxM chain
+    (ops/ofnxm.py ``*_packed`` kernels) — the NxM analog of
+    :func:`packed_half_coeffs`, with matrix-valued combine coefficients
+    over channels (same algebra as the trigger FIR's packed path):
+
+        z'_m   = Σ_c P_cm·Z_c + Q_cm·conj(Z_rev,c)   delay series q_m(d)
+        q_m(0) = Σ_c Re(H_cm·Z_c)                    no-delay fit
+        χ²₀    = Σ_k V† (u_k·J⁻¹_k) V  (V untangled in registers)
+
+    The full-spectrum NxM kernels run a COMPLEX FFT per channel plus M
+    full inverse FFTs; real traces only need the half-size packed pair —
+    about half the transform work and HBM traffic before the
+    untangle/retangle fusion even counts. Returns real-stacked arrays in
+    the blocked storage order; only valid when
+    ``ops.fft.half_perm_indices(nbins) is not None``.
+    """
+    from . import fft as dfft
+
+    n = bank.nbins
+    m = n // 2
+    pm = dfft.perm_indices(m)
+    if n % 2 != 0 or pm is None:
+        raise ValueError(f"packed chain does not engage at nbins={n}")
+    k = np.arange(m)
+    w = np.exp(-2j * np.pi * k / n)
+    A = 0.5 * (1.0 - 1j * w)
+    B = 0.5 * (1.0 + 1j * w)
+    r = (m - k) % m
+    binw = half_bin_weights(n)
+
+    phi_h = bank.phi[:, :, :m + 1]            # [C, M, M+1] natural half
+    P, Q = dfft.packed_multiply_coeffs(phi_h, n)
+    P *= n
+    Q *= n
+
+    bphi = binw[None, None, :m] * phi_h[..., :m]
+    H = bphi * A + np.conj((bphi * B)[..., r])
+    H[..., 0] += binw[m] * (phi_h[..., m] * (1.0 + 1j) / 2.0
+                            + np.conj(phi_h[..., m] * (1.0 - 1j) / 2.0))
+
+    # χ²₀ weights: u_k·J⁻¹[k] over half bins (Nyquist separate — V there
+    # is the real combination of Z₀)
+    u = binw / (n * bank.fs)
+    icsd_u = bank.icsd[:m] * u[:m, None, None]       # [m, C, C]
+    icsd_nyq = bank.icsd[m] * u[m]                   # [C, C]
+
+    return {
+        "pk_P": split_complex(P[..., pm], real_dtype),
+        "pk_Q": split_complex(Q[..., pm], real_dtype),
+        "pk_H": split_complex(H[..., pm], real_dtype),
+        "pk_icsd_u": split_complex(icsd_u[pm], real_dtype),
+        "pk_icsd_nyq": split_complex(icsd_nyq, real_dtype),
+    }
+
+
 def permute_nxm_bank(dev: dict, perm: np.ndarray) -> dict:
     """Reorder a to_device()-packed NxM bank's spectral arrays into the
     permuted (blocked four-step) storage layout of ops/fft.fft_perm.

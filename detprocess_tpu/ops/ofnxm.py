@@ -39,11 +39,20 @@ class OFNxMResult(NamedTuple):
     chi2: jnp.ndarray   # [...]
 
 
+def _einsum(subs, *ops):
+    """einsum at the trace-context DFT-matmul precision. On TPU a
+    DEFAULT-precision einsum rounds its f32 inputs to bf16 (~2⁻⁸ relative
+    error) — measured 3.5e-3 amplitude error and delay-argmax jitter vs
+    the f64 goldens on chip; every NxM contraction must carry the same
+    precision as the DFT matmuls (ops/fft.matmul_precision)."""
+    return jnp.einsum(subs, *ops, precision=dfft.current_matmul_precision())
+
+
 def chi2_base_nxm(vfft: jnp.ndarray, icsd: jnp.ndarray, fs: float) -> jnp.ndarray:
     """χ²₀ = Σ_k ṽ† J⁻¹ ṽ / (N·fs). vfft [..., C, N]; icsd [N, C, C]."""
     n = vfft.shape[-1]
-    tmp = jnp.einsum("kab,...bk->...ak", icsd, vfft)
-    return jnp.einsum("...ak,...ak->...", jnp.conj(vfft), tmp).real / (n * fs)
+    tmp = _einsum("kab,...bk->...ak", icsd, vfft)
+    return _einsum("...ak,...ak->...", jnp.conj(vfft), tmp).real / (n * fs)
 
 
 def ofnxm_nodelay(
@@ -54,20 +63,125 @@ def ofnxm_nodelay(
     fs: float,
 ) -> OFNxMResult:
     """No-delay NxM fit. vfft [..., C, N] -> amps [..., M]."""
-    q = jnp.einsum("cmk,...ck->...m", phi, vfft).real
-    amps = jnp.einsum("ij,...j->...i", iw_matrix, q)
+    q = _einsum("cmk,...ck->...m", phi, vfft).real
+    amps = _einsum("ij,...j->...i", iw_matrix, q)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
-    dchi2 = jnp.einsum("...i,ij,...j->...", q, iw_matrix, q)
+    dchi2 = _einsum("...i,ij,...j->...", q, iw_matrix, q)
     chi2 = chi2_0 - dchi2
     t0 = jnp.zeros_like(chi2)
     return OFNxMResult(amps, t0, chi2)
+
+
+class DevicePackedNxM(NamedTuple):
+    """Joined packed-chain coefficients (ops/filterbank.packed_nxm_coeffs)."""
+
+    P: jnp.ndarray          # [C, M, m] complex — delay-series combine
+    Q: jnp.ndarray          # [C, M, m] complex
+    H: jnp.ndarray          # [C, M, m] complex — no-delay fit
+    icsd_u: jnp.ndarray     # [m, C, C] complex — u_k-scaled inverse CSD
+    icsd_nyq: jnp.ndarray   # [C, C] complex
+
+
+def device_packed_nxm(dev: dict) -> DevicePackedNxM:
+    from detprocess_tpu.ops.filterbank import join_complex
+    return DevicePackedNxM(
+        P=join_complex(dev["pk_P"]), Q=join_complex(dev["pk_Q"]),
+        H=join_complex(dev["pk_H"]), icsd_u=join_complex(dev["pk_icsd_u"]),
+        icsd_nyq=join_complex(dev["pk_icsd_nyq"]))
+
+
+def _untangle_registers(Z, Zr, n):
+    """Half-spectrum values (k < M, storage order) from the packed pair —
+    meant to be fused by XLA into the consuming reduction, never
+    materialized (the Nyquist bin is handled separately by callers)."""
+    m = n // 2
+    pm = dfft.perm_indices(m)
+    w = np.exp(-2j * np.pi * pm / n)
+    a = dfft.const_complex(0.5 * (1.0 - 1j * w), Z.dtype)
+    b = dfft.const_complex(0.5 * (1.0 + 1j * w), Z.dtype)
+    return a * Z + b * jnp.conj(Zr)
+
+
+def chi2_base_nxm_packed(Z, Zr, pk: DevicePackedNxM, n: int) -> jnp.ndarray:
+    """χ²₀ on the packed pair; equals :func:`chi2_base_nxm` (different
+    summation order). Z/Zr [..., C, m]."""
+    v = _untangle_registers(Z, Zr, n)                    # [..., C, m]
+    tmp = _einsum("kab,...bk->...ak", pk.icsd_u, v)
+    c0 = _einsum("...ak,...ak->...", jnp.conj(v), tmp).real
+    vm = Z[..., 0].real - Z[..., 0].imag                 # [..., C] Nyquist
+    c0 = c0 + _einsum("...a,ab,...b->...", vm, pk.icsd_nyq.real, vm)
+    return c0
+
+
+def _q_timeseries_packed(Z, Zr, pk: DevicePackedNxM, n: int) -> jnp.ndarray:
+    """q_m(d) in DELAY order from the packed pair: the untangle, the φ
+    channel mix, and the inverse retangle all live in P/Q (same algebra
+    as the trigger FIR's packed path)."""
+    zp = (_einsum("...cf,cmf->...mf", Z, pk.P)
+          + _einsum("...cf,cmf->...mf", jnp.conj(Zr), pk.Q))
+    zt = dfft.ifft_fromperm(zp)                          # [..., M, m]
+    return jnp.reshape(jnp.stack([zt.real, zt.imag], axis=-1),
+                       zt.shape[:-1] + (n,))
+
+
+def ofnxm_nodelay_packed(Z, Zr, pk: DevicePackedNxM, iw_matrix,
+                         n: int) -> OFNxMResult:
+    """No-delay NxM fit on the packed pair; equals :func:`ofnxm_nodelay`."""
+    # Nyquist is folded into H[..., 0] (packed_nxm_coeffs)
+    q = (_einsum("...cf,cmf->...m", Z.real, pk.H.real)
+         - _einsum("...cf,cmf->...m", Z.imag, pk.H.imag))
+    amps = _einsum("ij,...j->...i", iw_matrix, q)
+    chi2_0 = chi2_base_nxm_packed(Z, Zr, pk, n)
+    dchi2 = _einsum("...i,ij,...j->...", q, iw_matrix, q)
+    chi2 = chi2_0 - dchi2
+    return OFNxMResult(amps, jnp.zeros_like(chi2), chi2)
+
+
+def ofnxm_withdelay_packed(
+    Z, Zr, pk: DevicePackedNxM, iw_matrix,
+    pretrigger: int, fs: float, n: int,
+    window_mask: Optional[np.ndarray] = None,
+    interpolate_t0: bool = False,
+) -> OFNxMResult:
+    """Delay-scan NxM fit on the packed pair; equals
+    :func:`ofnxm_withdelay` (delay-order indexing as its spec_perm
+    branch: mask pre-rolled by −pretrigger, d → t0 via the wrap rule)."""
+    q_scan = _q_timeseries_packed(Z, Zr, pk, n)          # [..., M, N]
+    dchi2 = _einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
+    if window_mask is not None:
+        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
+        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
+    else:
+        masked = dchi2
+    imax = jnp.argmax(masked, axis=-1)
+    q_best = jnp.take_along_axis(
+        q_scan, imax[..., None, None], axis=-1)[..., 0]
+    amps = _einsum("ij,...j->...i", iw_matrix, q_best)
+    chi2_0 = chi2_base_nxm_packed(Z, Zr, pk, n)
+    dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
+    chi2 = chi2_0 - dchi2_best
+    d_f = imax.astype(chi2.dtype)
+    shift = jnp.where(imax < n - pretrigger, d_f, d_f - n)
+    if interpolate_t0:
+        im1 = (imax - 1) % n
+        ip1 = (imax + 1) % n
+        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
+        y0 = -dchi2_best
+        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * y0 + yp1
+        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
+                          0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
+        shift = shift + delta
+    return OFNxMResult(amps, shift / fs, chi2)
 
 
 def _q_timeseries(vfft: jnp.ndarray, phi: jnp.ndarray,
                   pretrigger: int) -> jnp.ndarray:
     """q_m(t) rolled to absolute trace indices: [..., M, N]."""
     n = vfft.shape[-1]
-    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    integrand = _einsum("cmk,...ck->...mk", phi, vfft)
     q_t = dfft.ifft(integrand, axis=-1).real * n
     return jnp.roll(q_t, pretrigger, axis=-1)
 
@@ -80,7 +194,7 @@ def _q_timeseries_delayorder(vfft: jnp.ndarray,
     storage order directly and the pretrigger roll is folded into the
     callers' mask pre-roll + index arithmetic."""
     n = vfft.shape[-1]
-    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    integrand = _einsum("cmk,...ck->...mk", phi, vfft)
     return dfft.ifft_fromperm(integrand).real * n
 
 
@@ -112,7 +226,7 @@ def ofnxm_withdelay(
         q_scan = _q_timeseries(vfft, phi, pretrigger)        # abs order
     else:
         q_scan = _q_timeseries_delayorder(vfft, phi)
-    dchi2 = jnp.einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
+    dchi2 = _einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
     if window_mask is not None:
         mask = (window_mask if spec_perm is None
                 else jnp.roll(jnp.asarray(window_mask), -pretrigger))
@@ -122,7 +236,7 @@ def ofnxm_withdelay(
     imax = jnp.argmax(masked, axis=-1)                       # [...]
     q_best = jnp.take_along_axis(
         q_scan, imax[..., None, None], axis=-1)[..., 0]      # [..., M]
-    amps = jnp.einsum("ij,...j->...i", iw_matrix, q_best)
+    amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
     dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
     chi2 = chi2_0 - dchi2_best
@@ -176,18 +290,18 @@ def ofnxm_withdelay_direct(
     from detprocess_tpu.ops import fft as _dfft
 
     prec = _dfft.current_matmul_precision()
-    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)
+    integrand = _einsum("cmk,...ck->...mk", phi, vfft)
     cos_mat = jnp.asarray(cos_mat, vfft.real.dtype)
     sin_mat = jnp.asarray(sin_mat, vfft.real.dtype)
     qw = (jnp.matmul(integrand.real, cos_mat, precision=prec)
           - jnp.matmul(integrand.imag, sin_mat, precision=prec))
     # [..., M, W]
-    dchi2 = jnp.einsum("...iw,ij,...jw->...w", qw, iw_matrix, qw)
+    dchi2 = _einsum("...iw,ij,...jw->...w", qw, iw_matrix, qw)
     masked = jnp.where(jnp.asarray(valid), dchi2, -jnp.inf)
     p = jnp.argmax(masked, axis=-1)
     q_best = jnp.take_along_axis(
         qw, p[..., None, None], axis=-1)[..., 0]             # [..., M]
-    amps = jnp.einsum("ij,...j->...i", iw_matrix, q_best)
+    amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
     dchi2_best = jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
     chi2 = chi2_0 - dchi2_best
@@ -265,7 +379,7 @@ def ofnxmx2(
 
     # per-template q values; phi = conj(J⁻¹s̃)
     # (NOT J⁻¹·conj(s̃) — see ops/filterbank.py make_ofnxm_bank)
-    phi = jnp.conj(jnp.einsum("kab,bmk->amk", icsd, s_fft)) / (n * fs)
+    phi = jnp.conj(_einsum("kab,bmk->amk", icsd, s_fft)) / (n * fs)
 
     idx1 = np.where(np.asarray(window1))[0]
     idx2 = np.where(np.asarray(window2))[0]
@@ -277,7 +391,7 @@ def ofnxmx2(
     idx_u = np.union1d(idx1, idx2)
     pos1 = jnp.asarray(np.searchsorted(idx_u, idx1))
     pos2 = jnp.asarray(np.searchsorted(idx_u, idx2))
-    integrand = jnp.einsum("cmk,...ck->...mk", phi, vfft)    # [..., M, N]
+    integrand = _einsum("cmk,...ck->...mk", phi, vfft)    # [..., M, N]
     if len(idx_u) <= DIRECT_UNION_MAX:
         prec = dfft.current_matmul_precision()
         # k grid follows the storage order of the (possibly permuted)
@@ -304,8 +418,8 @@ def ofnxmx2(
     # pairwise template overlap vs relative shift Δ (cross-group terms only):
     # R_ij(Δ) = Re Σ_k s̃_i† J⁻¹ s̃_j e^{2πikΔ/N} / (N·fs)  — via one ifft
     s_f = jnp.moveaxis(s_fft, -1, 0)                         # [N, C, M]
-    js = jnp.einsum("kab,kbm->kam", icsd, s_f)               # [N, C, M]
-    cross_k = jnp.einsum("kci,kcj->ijk", jnp.conj(s_f), js)  # [M, M, N]
+    js = _einsum("kab,kbm->kam", icsd, s_f)               # [N, C, M]
+    cross_k = _einsum("kci,kcj->ijk", jnp.conj(s_f), js)  # [M, M, N]
     if spec_perm is None:
         r_delta = dfft.ifft(cross_k, axis=-1).real * n / (n * fs)
     else:
@@ -338,8 +452,8 @@ def ofnxmx2(
         pos_for = jnp.where(jnp.asarray(g) == 0, pos1[i1], pos2[i2])
         idx = jnp.broadcast_to(pos_for[:, None], q_win.shape[:-1] + (1,))
         q = jnp.take_along_axis(q_win, idx, axis=-1)[..., 0]
-        amps = jnp.einsum("ij,...j->...i", ip, q)
-        dchi2 = jnp.einsum("...i,ij,...j->...", q, ip, q)
+        amps = _einsum("ij,...j->...i", ip, q)
+        dchi2 = _einsum("...i,ij,...j->...", q, ip, q)
         return amps, dchi2
 
     def scan_d2(i1):

@@ -204,8 +204,8 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
             z, zr = dfft.packed_spectrum(segments)            # [C, nb, F/2]
             pk_p = join_complex(jnp.asarray(kernel.g_pk_p))   # [C, M, F/2]
             pk_q = join_complex(jnp.asarray(kernel.g_pk_q))
-            zp = (jnp.einsum("cbf,cmf->mbf", z, pk_p)
-                  + jnp.einsum("cbf,cmf->mbf", jnp.conj(zr), pk_q))
+            zp = (_einsum("cbf,cmf->mbf", z, pk_p)
+                  + _einsum("cbf,cmf->mbf", jnp.conj(zr), pk_q))
             zt = dfft.ifft_fromperm(zp)                       # [M, nb, F/2]
             y_seg = jnp.reshape(
                 jnp.stack([zt.real, zt.imag], axis=-1),
@@ -214,11 +214,11 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
             # transpose-free permuted-layout pair; g_fft was pre-permuted
             # to the matching storage order in make_trigger_kernel
             seg_fft = dfft.rfft_perm(segments)                # [C, nb, F/2+1]
-            prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
+            prod = _einsum("cbf,cmf->mbf", seg_fft, g_fft)
             y_seg = dfft.irfft_fromperm(prod, f)              # [M, nb, F]
         else:
             seg_fft = dfft.rfft(segments, axis=-1)            # [C, nb, F/2+1]
-            prod = jnp.einsum("cbf,cmf->mbf", seg_fft, g_fft)
+            prod = _einsum("cbf,cmf->mbf", seg_fft, g_fft)
             y_seg = dfft.irfft(prod, f, axis=-1)              # [M, nb, F]
     # valid outputs of segment i: y_global[i·B − pad_left + nt−1 + j]
     #                            = q[i·B + j − pad_left + nt−1 − (nt−1−p)]
@@ -246,17 +246,25 @@ def of_fir(trace: jnp.ndarray, kernel: TriggerKernel,
     return q_blocks.reshape(m, -1)[:, :l]
 
 
+def _einsum(subs, *ops):
+    """einsum at the trace-context DFT-matmul precision — a
+    DEFAULT-precision einsum rounds f32 inputs to bf16 on TPU (~2⁻⁸
+    relative error on amplitudes and Δχ² thresholds); same fix as
+    ops/ofnxm.py::_einsum."""
+    return jnp.einsum(subs, *ops, precision=dfft.current_matmul_precision())
+
+
 def delta_chi2(q: jnp.ndarray, iw_matrix: jnp.ndarray):
     """(Δχ²(t) [L], amplitudes a(t) [M, L]) from q [M, L]."""
-    amps = jnp.einsum("ij,jt->it", iw_matrix, q)
-    dchi2 = jnp.einsum("it,it->t", amps, q)
+    amps = _einsum("ij,jt->it", iw_matrix, q)
+    dchi2 = _einsum("it,it->t", amps, q)
     return dchi2, amps
 
 
 def delta_chi2_blocks(q_blocks: jnp.ndarray, iw_matrix: jnp.ndarray):
     """Block-layout version: q [M, R, B] → (Δχ² [R, B], amps [M, R, B])."""
-    amps = jnp.einsum("ij,jrb->irb", iw_matrix, q_blocks)
-    dchi2 = jnp.einsum("irb,irb->rb", amps, q_blocks)
+    amps = _einsum("ij,jrb->irb", iw_matrix, q_blocks)
+    dchi2 = _einsum("irb,irb->rb", amps, q_blocks)
     return dchi2, amps
 
 
@@ -264,7 +272,7 @@ def delta_chi2_from_q(q_blocks: jnp.ndarray, iw_matrix: jnp.ndarray):
     """Δχ²(t) = q(t)ᵀW⁻¹q(t) [R, B] WITHOUT materializing the amplitude
     series (pair with ``find_triggers_tiled(..., amps_transform=iw)``:
     amplitudes are reconstructed only at the ≤K winner samples)."""
-    return jnp.einsum("irb,ij,jrb->rb", q_blocks, iw_matrix, q_blocks)
+    return _einsum("irb,ij,jrb->rb", q_blocks, iw_matrix, q_blocks)
 
 
 class TriggerSet(NamedTuple):
@@ -521,8 +529,8 @@ def find_triggers_tiled(dchi2: jnp.ndarray, amps: jnp.ndarray,
     cand_amp = jnp.take_along_axis(
         a, tile_arg[None, :, None], axis=-1)[..., 0]          # [M, T]
     if amps_transform is not None:
-        cand_amp = jnp.einsum("ij,jt->it", jnp.asarray(amps_transform),
-                              cand_amp)
+        cand_amp = _einsum("ij,jt->it", jnp.asarray(amps_transform),
+                           cand_amp)
     big = jnp.int32(np.iinfo(np.int32).max)
     flat_idx = jnp.where(winner, cand_idx, big)
     flat_val = jnp.where(winner, tile_max, 0.0)
@@ -1106,8 +1114,8 @@ def residual_subtract(dchi2: jnp.ndarray, triggers: TriggerSet,
     k = triggers.indices.shape[0]
 
     # per-trigger q response on the 2Nt−1 lag axis: [K, M, 2Nt−1]
-    q_resp = jnp.einsum("ijl,jk->kil", resp, triggers.amplitudes)
-    d_resp = jnp.einsum("kil,ij,kjl->kl", q_resp, iw, q_resp)  # [K, 2Nt−1]
+    q_resp = _einsum("ijl,jk->kil", resp, triggers.amplitudes)
+    d_resp = _einsum("kil,ij,kjl->kl", q_resp, iw, q_resp)     # [K, 2Nt−1]
     # align each response's peak to the trigger index
     peak = jnp.argmax(d_resp, axis=-1)                         # [K]
 

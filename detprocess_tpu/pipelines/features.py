@@ -542,8 +542,7 @@ class FeatureProcessing:
         # (hperm is non-None whenever packed is on, so their wiring is
         # the permuted-layout wiring)
         packed = (dfft.PERM_SITES.get("feature", True) == "packed"
-                  and dfft.half_perm_indices(n) is not None
-                  and group.bank_1x1 is not None)
+                  and dfft.half_perm_indices(n) is not None)
         group.packed_mode = packed
         group.packed_fcutoffs = sorted(
             {float(s.kwargs.get("lowchi2_fcutoff", 10000))
@@ -585,9 +584,12 @@ class FeatureProcessing:
 
         def fn(raw_traces, banks):
             # compound-channel traces via one matmul
+            # precision: a DEFAULT einsum rounds f32 traces to bf16
+            # on TPU (ops/ofnxm.py::_einsum) — the mix must be exact
             traces = jnp.einsum("cr,brn->bcn",
                                 jnp.asarray(mix, raw_traces.dtype),
-                                self._window_cut(raw_traces, group))
+                                self._window_cut(raw_traces, group),
+                                precision=dfft.current_matmul_precision())
             out = {}
             bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
                       if "b1x1" in banks else None)
@@ -767,31 +769,49 @@ class FeatureProcessing:
                 elif spec.base == "ofnxm":
                     nb = filterbank.device_bank_nxm(banks[spec.nxm_key])
                     sel = traces[:, jnp.asarray(list(spec.nxm_chan_idx)), :]
-                    vfft = (of1x1.signal_fft_perm(sel) if fperm is not None
-                            else of1x1.signal_fft(sel))
-                    r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi, nb.iw_matrix,
-                                               nb.icsd, fs)
                     wmask = window_mask_for(spec)
                     dw = group.direct_windows.get(spec_i)
-                    if dw is not None:
-                        # narrow window → direct windowed DFT matmuls
-                        # instead of M full inverse FFTs; cos/sin ride
-                        # the banks pytree as device arrays
-                        eidx, valid = dw[0], dw[1]
-                        cs = banks["dwin"][str(spec_i)]
-                        r_wd = ofnxm.ofnxm_withdelay_direct(
-                            vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
-                            nb.icsd, of_pretrig, fs, eidx, valid,
-                            cs["c"], cs["s"],
+                    if packed and dw is None:
+                        # packed real chain: half-size transforms, the
+                        # untangle/φ-mix/retangle folded into the bank
+                        # coefficients (ops/ofnxm.py *_packed)
+                        znx, zrnx = dfft.packed_spectrum(sel)
+                        pknx = ofnxm.device_packed_nxm(
+                            banks[spec.nxm_key + "::pk"])
+                        r_nd = ofnxm.ofnxm_nodelay_packed(
+                            znx, zrnx, pknx, nb.iw_matrix, n)
+                        r_wd = ofnxm.ofnxm_withdelay_packed(
+                            znx, zrnx, pknx, nb.iw_matrix, of_pretrig,
+                            fs, n, window_mask=wmask,
                             interpolate_t0=bool(
                                 kwargs.get("interpolate_t0", False)))
                     else:
-                        r_wd = ofnxm.ofnxm_withdelay(
-                            vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
-                            nb.icsd, of_pretrig, fs, window_mask=wmask,
-                            interpolate_t0=bool(
-                                kwargs.get("interpolate_t0", False)),
-                            spec_perm=fperm)
+                        vfft = (of1x1.signal_fft_perm(sel)
+                                if fperm is not None
+                                else of1x1.signal_fft(sel))
+                        r_nd = ofnxm.ofnxm_nodelay(vfft, nb.phi,
+                                                   nb.iw_matrix,
+                                                   nb.icsd, fs)
+                        if dw is not None:
+                            # narrow window → direct windowed DFT
+                            # matmuls instead of M full inverse FFTs;
+                            # cos/sin ride the banks pytree
+                            eidx, valid = dw[0], dw[1]
+                            cs = banks["dwin"][str(spec_i)]
+                            r_wd = ofnxm.ofnxm_withdelay_direct(
+                                vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
+                                nb.icsd, of_pretrig, fs, eidx, valid,
+                                cs["c"], cs["s"],
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate_t0", False)))
+                        else:
+                            r_wd = ofnxm.ofnxm_withdelay(
+                                vfft, nb.phi, nb.w_matrix, nb.iw_matrix,
+                                nb.icsd, of_pretrig, fs,
+                                window_mask=wmask,
+                                interpolate_t0=bool(
+                                    kwargs.get("interpolate_t0", False)),
+                                spec_perm=fperm)
                     m = r_nd.amps.shape[-1]
                     amp_names = kwargs.get("amplitude_names") or [
                         f"amp{i + 1}" for i in range(m)]
@@ -1027,7 +1047,7 @@ class FeatureProcessing:
                 for key in ("phi", "s_fft", "denom_inv"):
                     dev.pop(key, None)
                 d["b1x1"] = jax.tree.map(jnp.asarray, dev)
-                if group.packed_mode:
+                if group.packed_mode and group.bank_1x1 is not None:
                     # packed (Z-domain) chain coefficient tables, same
                     # real dtype as the banks (f64 golden path included)
                     d["pk"] = jax.tree.map(
@@ -1051,6 +1071,12 @@ class FeatureProcessing:
                     # dispatch in _make_group_fn (signal_fft_perm)
                     devn = filterbank.permute_nxm_bank(devn, fperm)
                 d[key] = jax.tree.map(jnp.asarray, devn)
+                if group.packed_mode:
+                    # packed-chain NxM coefficient tables (half-size
+                    # real transforms; ops/ofnxm.py *_packed kernels)
+                    d[key + "::pk"] = jax.tree.map(
+                        jnp.asarray,
+                        filterbank.packed_nxm_coeffs(bank, real_dtype))
             if group.direct_windows:
                 # [F, W] cos/sin pairs for the direct windowed-DFT
                 # kernels, as runtime arrays (NOT trace constants — see
