@@ -87,8 +87,7 @@ def bench_tpu(bank, template):
     # the packed Z-domain chain when the four-step FFT engages
     # (BASELINE.md "Packed of1x1 chain" — the measured-fastest layout),
     # natural half-spectrum otherwise.
-    packed = (dfft.PERM_SITES.get("feature", True) == "packed"
-              and dfft.half_perm_indices(N) is not None)
+    packed = dfft.site_packed(N, "feature")
     hperm = None if packed else dfft.site_half_perm_indices(N, "feature")
     host_bank = bank.to_device(np.float32)
     if hperm is not None:

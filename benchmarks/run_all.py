@@ -106,8 +106,7 @@ def _feature_layout(bank, n, real_dtype=np.float32):
     from detprocess_tpu.ops import filterbank
     from detprocess_tpu.ops import fft as dfft
 
-    packed = (dfft.PERM_SITES.get("feature", True) == "packed"
-              and dfft.half_perm_indices(n) is not None)
+    packed = dfft.site_packed(n, "feature")
     # the site helper returns the permuted indices under "packed" too —
     # consumers that need an explicit half spectrum see the permuted
     # layout (same convention as pipelines/features.py::device_banks)
@@ -347,8 +346,7 @@ def bench_nxm(quick=False):
     # same layout dispatch as the feature plan: packed when the
     # four-step FFT engages, perm/natural otherwise
     from detprocess_tpu.ops import fft as dfft
-    nxm_packed = (dfft.PERM_SITES.get("feature", True) == "packed"
-                  and dfft.half_perm_indices(n) is not None)
+    nxm_packed = dfft.site_packed(n, "feature")
     fperm = None if nxm_packed else dfft.site_perm_indices(n, "feature")
     host = dict(bank.to_device(np.float32))
     if fperm is not None:

@@ -217,6 +217,18 @@ def current_matmul_precision():
     return _MATMUL_PRECISION[-1]
 
 
+def einsum(subs, *ops):
+    """``jnp.einsum`` at the trace-context DFT-matmul precision.
+
+    On TPU a DEFAULT-precision einsum rounds its f32 inputs to bf16
+    (~2⁻⁸ relative error — measured 3.5e-3 amplitude error and
+    delay-argmax jitter vs the f64 goldens on chip), so every
+    contraction on f32 device data must carry the same precision as the
+    DFT matmuls. Use this instead of ``jnp.einsum`` anywhere in the
+    compute path."""
+    return jnp.einsum(subs, *ops, precision=current_matmul_precision())
+
+
 @contextmanager
 def matmul_precision(prec):
     """Override the DFT-matmul precision within this trace context.
@@ -393,6 +405,15 @@ def site_unperm_indices(n: int, site: str):
     return unperm_indices(n)
 
 
+def site_packed(n: int, site: str) -> bool:
+    """True when the packed (Z-domain) real chain is the dispatch for
+    ``site`` at this trace length — the single owner of the
+    "PERM_SITES says packed AND the four-step transform engages" test
+    every plan/bench/entry site needs."""
+    return (PERM_SITES.get(site, True) == "packed"
+            and half_perm_indices(n) is not None)
+
+
 def _blocked_rev(x2: jnp.ndarray) -> jnp.ndarray:
     """Negate the spectral index in blocked storage: returns y with
     y[storage j] = x[storage of spectral (M − k_j) mod M].
@@ -493,6 +514,27 @@ def rfft_perm(x: jnp.ndarray) -> jnp.ndarray:
     return untangle_pair(zf, zrev, x.shape[-1])
 
 
+def untangle_coeffs(n: int, k: np.ndarray | None = None):
+    """Host: the rfft untangle coefficients on the packed pair — the
+    single owner of the algebra every packed-chain builder folds over:
+
+        V_k = A_k·Z_k + B_k·conj(Z_rev,k),   k ∈ [0, M)
+
+    with A = (1 − i·w)/2, B = (1 + i·w)/2, w = exp(−2πik/n). Returns
+    (A, B, r) where r = (M − k) % M is the spectral-reversal partner
+    index (meaningful for full-range ``k`` only). ``k`` defaults to
+    arange(M); pass a subset (e.g. a low-frequency gather's bins, or
+    permuted storage order) to evaluate just those bins."""
+    m = n // 2
+    if k is None:
+        k = np.arange(m)
+    k = np.asarray(k)
+    w = np.exp(-2j * np.pi * k / n)
+    a = 0.5 * (1.0 - 1j * w)
+    b = 0.5 * (1.0 + 1j * w)
+    return a, b, (m - k) % m
+
+
 def packed_multiply_coeffs(h_half: np.ndarray, n: int):
     """Host: fold untangle → diagonal multiply by ``h_half`` → inverse
     retangle into one coefficient pair (P, Q) on the packed pair of
@@ -510,13 +552,10 @@ def packed_multiply_coeffs(h_half: np.ndarray, n: int):
     if h_half.shape[-1] != m + 1:
         raise ValueError("h_half must be the natural half spectrum [M+1]")
     k = np.arange(m)
-    w = np.exp(-2j * np.pi * k / n)
-    a = 0.5 * (1.0 - 1j * w)
-    b = 0.5 * (1.0 + 1j * w)
+    a, b, r = untangle_coeffs(n)
     wi = np.exp(2j * np.pi * k / n)
     c = 0.5 * (1.0 + 1j * wi)
     d = 0.5 * (1.0 - 1j * wi)
-    r = (m - k) % m
     h = h_half[..., :m]
     hr = h_half[..., r]
     p = c * h * a + d * np.conj(hr * b[r])
@@ -535,10 +574,9 @@ def untangle_pair(zf: jnp.ndarray, zrev: jnp.ndarray, n: int) -> jnp.ndarray:
     m = n // 2
     cdtype = zf.dtype
     # untangle with coefficients pre-permuted to storage order
-    pm = perm_indices(m)
-    w = np.exp(-2j * np.pi * pm / n)
-    a = const_complex(0.5 * (1.0 - 1j * w), cdtype)
-    b = const_complex(0.5 * (1.0 + 1j * w), cdtype)
+    ah, bh, _ = untangle_coeffs(n, perm_indices(m))
+    a = const_complex(ah, cdtype)
+    b = const_complex(bh, cdtype)
     half = a * zf + b * jnp.conj(zrev)
     nyq = (zf[..., :1].real - zf[..., :1].imag)          # storage 0 = DC
     return jnp.concatenate([half, nyq.astype(cdtype)], axis=-1)

@@ -113,6 +113,13 @@ def notch_bin_mask(
             for sign in (1.0, -1.0):
                 idx = int(np.argmin(np.abs(freqs - sign * ft)))
                 keep[idx] = False
+                # drop the mirror partner too: a spectral line in REAL
+                # data lives at ±f, and an asymmetric drop (possible
+                # when ft falls exactly between bins and the argmin
+                # tie-breaks differently for ±ft) would break the
+                # J(−f) = J(f)* symmetry every half-spectrum/packed
+                # kernel folds over
+                keep[(n - idx) % n] = False
     return keep
 
 
@@ -404,11 +411,7 @@ def packed_half_coeffs(bank: OF1x1Bank, real_dtype=np.float32) -> dict:
     pm = dfft.perm_indices(m)
     if n % 2 != 0 or pm is None:
         raise ValueError(f"packed chain does not engage at nbins={n}")
-    k = np.arange(m)
-    w = np.exp(-2j * np.pi * k / n)
-    A = 0.5 * (1.0 - 1j * w)
-    B = 0.5 * (1.0 + 1j * w)
-    r = (m - k) % m                      # spectral reversal partner
+    A, B, r = dfft.untangle_coeffs(n)
 
     phi = bank.phi[:, :m + 1]            # [S, M+1] natural half
     dinv = bank.denom_inv[:, :m + 1].real
@@ -451,9 +454,11 @@ def packed_low_table(bank: OF1x1Bank, low_mask_h: np.ndarray,
     pairs and untangles just them (ops/of1x1._residual_chi2_packed).
 
     ``low_mask_h``: natural-order boolean [M+1]
-    (ops/of1x1.lowfreq_mask_half). The Nyquist bin must not be selected
-    (it needs the separate Z_0 combination; lowfreq masks never reach
-    fs/2)."""
+    (ops/of1x1.lowfreq_mask_half). The Nyquist bin (which needs the
+    separate Z_0 combination, not a gather) is carried as a dedicated
+    zero-or-u_M-weighted term so fcutoffs at or above fs/2 — where the
+    low mask covers the whole half axis — work like they do on the
+    half-spectrum chain."""
     from . import fft as dfft
 
     n = bank.nbins
@@ -464,16 +469,12 @@ def packed_low_table(bank: OF1x1Bank, low_mask_h: np.ndarray,
     low_mask_h = np.asarray(low_mask_h, bool)
     if low_mask_h.shape[-1] != m + 1:
         raise ValueError("low_mask_h must be natural half order [M+1]")
-    if low_mask_h[m]:
-        raise ValueError("packed residual gather cannot select the "
-                         "Nyquist bin")
     kl = np.where(low_mask_h[:m])[0]
     unperm = np.argsort(pm)
-    w = np.exp(-2j * np.pi * kl / n)
-    A = 0.5 * (1.0 - 1j * w)
-    B = 0.5 * (1.0 + 1j * w)
+    A, B, _ = dfft.untangle_coeffs(n, kl)
     binw = half_bin_weights(n)
     u = bank.denom_inv[:, :m + 1].real * binw
+    nyq_u = np.where(low_mask_h[m], u[:, m], 0.0)
     return {
         "lw_pos": unperm[kl].astype(np.int32),
         "lw_k": kl.astype(real_dtype),
@@ -481,6 +482,8 @@ def packed_low_table(bank: OF1x1Bank, low_mask_h: np.ndarray,
         "lw_B": split_complex(B, real_dtype),
         "lw_s": split_complex(bank.s_fft[:, kl], real_dtype),
         "lw_u": u[:, kl].astype(real_dtype),
+        "lw_nyq_s": split_complex(bank.s_fft[:, m], real_dtype),
+        "lw_nyq_u": nyq_u.astype(real_dtype),
     }
 
 
@@ -508,14 +511,19 @@ def packed_nxm_coeffs(bank: OFNxMBank, real_dtype=np.float32) -> dict:
     pm = dfft.perm_indices(m)
     if n % 2 != 0 or pm is None:
         raise ValueError(f"packed chain does not engage at nbins={n}")
-    k = np.arange(m)
-    w = np.exp(-2j * np.pi * k / n)
-    A = 0.5 * (1.0 - 1j * w)
-    B = 0.5 * (1.0 + 1j * w)
-    r = (m - k) % m
+    A, B, r = dfft.untangle_coeffs(n)
     binw = half_bin_weights(n)
 
-    phi_h = bank.phi[:, :, :m + 1]            # [C, M, M+1] natural half
+    # exact Hermitian fold from the FULL arrays: the comparator kernels
+    # (ofnxm_nodelay/_withdelay/chi2_base_nxm) sum ALL n bins and take
+    # .real at the end, which for real traces (V_{n−k} = conj V_k)
+    # equals folding with φ_sym = (φ_k + conj φ_{n−k})/2 and
+    # J_sym = (J_k + J_{n−k}ᵀ)/2 — NOT with the half slice alone, which
+    # silently assumes mirror symmetry a user CSD need not have
+    idx = np.arange(m + 1)
+    mir = (n - idx) % n
+    phi_h = 0.5 * (bank.phi[:, :, idx]
+                   + np.conj(bank.phi[:, :, mir]))   # [C, M, M+1]
     P, Q = dfft.packed_multiply_coeffs(phi_h, n)
     P *= n
     Q *= n
@@ -528,8 +536,10 @@ def packed_nxm_coeffs(bank: OFNxMBank, real_dtype=np.float32) -> dict:
     # χ²₀ weights: u_k·J⁻¹[k] over half bins (Nyquist separate — V there
     # is the real combination of Z₀)
     u = binw / (n * bank.fs)
-    icsd_u = bank.icsd[:m] * u[:m, None, None]       # [m, C, C]
-    icsd_nyq = bank.icsd[m] * u[m]                   # [C, C]
+    icsd_sym = 0.5 * (bank.icsd[idx]
+                      + np.transpose(bank.icsd[mir], (0, 2, 1)))
+    icsd_u = icsd_sym[:m] * u[:m, None, None]        # [m, C, C]
+    icsd_nyq = icsd_sym[m] * u[m]                    # [C, C]
 
     return {
         "pk_P": split_complex(P[..., pm], real_dtype),

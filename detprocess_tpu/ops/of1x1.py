@@ -79,6 +79,89 @@ class OF1x1Result(NamedTuple):
     chi2_nopulse: jnp.ndarray
 
 
+class DelayPick(NamedTuple):
+    """Winner of a delay scan (:func:`pick_delay`)."""
+
+    idx: jnp.ndarray    # winning sample index in the series' own order
+    im1: jnp.ndarray    # (idx ± 1) % n — for quadratic amp refits
+    ip1: jnp.ndarray
+    delta: jnp.ndarray  # sub-sample offset (0.0 when not interpolating)
+    gain: jnp.ndarray   # Δχ² at the winner (parabola apex when interp.)
+    shift: jnp.ndarray  # signed t0 in samples, including delta
+
+
+def _take_last(x, i):
+    return jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+
+
+def pick_delay(dchi2: jnp.ndarray, n: int, pretrigger: int, *,
+               delay_order: bool,
+               window_mask=None,
+               interpolate_t0: bool = False) -> DelayPick:
+    """Winner selection shared by every delay-scan kernel (of1x1 full /
+    half / perm / packed and the NxM analogs): window masking, the Δχ²
+    argmax, the index → signed-t0 rule, and the optional parabolic
+    sub-sample refit of the χ² apex.
+
+    ``dchi2`` [..., N]: the χ² gain series, in ABSOLUTE trace order
+    (``delay_order=False`` — the roll-by-pretrigger layout, where the
+    winner index i maps to t0 = i − pretrigger) or DELAY order
+    (``True`` — transform output order, where the static window mask is
+    pre-rolled by −pretrigger and the winner d wraps to
+    d − n for d ≥ n − pretrigger). ``window_mask`` is always the static
+    boolean [N] over absolute trace indices.
+
+    The refit fits a parabola through (Δχ² at idx−1, idx, idx+1);
+    ``gain`` is its apex value, so callers form χ² = χ²₀ − gain in both
+    modes, and amp refits reuse ``delta``/``im1``/``ip1``.
+    """
+    if window_mask is None:
+        masked = dchi2
+    elif delay_order:
+        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
+        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
+    else:
+        masked = jnp.where(window_mask, dchi2, -jnp.inf)
+    idx = jnp.argmax(masked, axis=-1)
+    g0 = _take_last(dchi2, idx)
+    f = idx.astype(dchi2.dtype)
+    if delay_order:
+        shift = jnp.where(idx < n - pretrigger, f, f - n)
+    else:
+        shift = f - pretrigger
+    im1 = (idx - 1) % n
+    ip1 = (idx + 1) % n
+    if not interpolate_t0:
+        return DelayPick(idx, im1, ip1, jnp.zeros_like(g0), g0, shift)
+    delta, gain = parabola_refit(dchi2, idx, im1, ip1)
+    return DelayPick(idx, im1, ip1, delta, gain, shift + delta)
+
+
+def parabola_refit(dchi2, idx, im1, ip1):
+    """Parabolic apex of the Δχ² series through the winner and its two
+    neighbor positions: returns (delta, gain) with delta ∈ [−1, 1] the
+    sub-sample offset and gain the interpolated Δχ² maximum (callers
+    form χ² = χ²₀ − gain)."""
+    ym1 = -_take_last(dchi2, im1)
+    y0 = -_take_last(dchi2, idx)
+    yp1 = -_take_last(dchi2, ip1)
+    denom = ym1 - 2.0 * y0 + yp1
+    delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    return delta, -(y0 - 0.25 * (ym1 - yp1) * delta)
+
+
+def interp_amp(q: jnp.ndarray, norm, pick: DelayPick) -> jnp.ndarray:
+    """Quadratic refit of the scalar amplitude a(d) = q(d)/norm at the
+    winner's sub-sample offset (exactly a(idx) when delta == 0)."""
+    amp = _take_last(q, pick.idx) / norm
+    am1 = _take_last(q, pick.im1) / norm
+    ap1 = _take_last(q, pick.ip1) / norm
+    a_denom = am1 - 2.0 * amp + ap1
+    return (amp + 0.5 * (ap1 - am1) * pick.delta
+            + 0.5 * a_denom * pick.delta * pick.delta)
+
+
 def of1x1_nodelay(
     vfft: jnp.ndarray,
     phi: jnp.ndarray,
@@ -134,37 +217,13 @@ def of1x1_withdelay(
     c0 = chi2_base(vfft, denom_inv)                          # [..., S]
     dchi2 = q_abs * q_abs / norm[..., None]                  # [..., S, N]
 
-    if window_mask is None:
-        masked = dchi2
-    else:
-        masked = jnp.where(window_mask, dchi2, -jnp.inf)
-    imin = jnp.argmax(masked, axis=-1)                       # [..., S]
-
-    q_best = jnp.take_along_axis(q_abs, imin[..., None], axis=-1)[..., 0]
-    amp = q_best / norm
-    chi2 = c0 - q_best * q_best / norm
-    t0_idx = imin.astype(q_abs.dtype) - pretrigger
-    shift = t0_idx  # delay in samples
-
-    if interpolate_t0:
-        # parabolic interpolation of χ²(d) = c0 - dchi2 around the minimum
-        im1 = (imin - 1) % n
-        ip1 = (imin + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
-        y0 = -jnp.take_along_axis(dchi2, imin[..., None], axis=-1)[..., 0]
-        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom, 0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        # interpolated chi2 minimum and matching amplitude magnitude
-        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
-        am1 = jnp.take_along_axis(q_abs, im1[..., None], axis=-1)[..., 0] / norm
-        ap1 = jnp.take_along_axis(q_abs, ip1[..., None], axis=-1)[..., 0] / norm
-        # quadratic interp of amp at the same offset
-        a_denom = am1 - 2.0 * amp + ap1
-        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
-        shift = t0_idx + delta
-
+    pick = pick_delay(dchi2, n, pretrigger, delay_order=False,
+                      window_mask=window_mask,
+                      interpolate_t0=interpolate_t0)
+    chi2 = c0 - pick.gain
+    amp = (interp_amp(q_abs, norm, pick) if interpolate_t0
+           else _take_last(q_abs, pick.idx) / norm)
+    shift = pick.shift
     t0 = shift / fs
 
     if low_mask is None:
@@ -276,34 +335,13 @@ def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     c0 = chi2_base_half(vr, denom_inv_h, bin_w)
     dchi2 = q_abs * q_abs / norm[..., None]
 
-    if window_mask is None:
-        masked = dchi2
-    else:
-        masked = jnp.where(window_mask, dchi2, -jnp.inf)
-    imin = jnp.argmax(masked, axis=-1)
-    q_best = jnp.take_along_axis(q_abs, imin[..., None], axis=-1)[..., 0]
-    amp = q_best / norm
-    chi2 = c0 - q_best * q_best / norm
-    t0_idx = imin.astype(q_abs.dtype) - pretrigger
-    shift = t0_idx
-
-    if interpolate_t0:
-        im1 = (imin - 1) % n
-        ip1 = (imin + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
-        y0 = -jnp.take_along_axis(dchi2, imin[..., None], axis=-1)[..., 0]
-        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
-        am1 = jnp.take_along_axis(q_abs, im1[..., None], axis=-1)[..., 0] / norm
-        ap1 = jnp.take_along_axis(q_abs, ip1[..., None], axis=-1)[..., 0] / norm
-        a_denom = am1 - 2.0 * amp + ap1
-        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
-        shift = t0_idx + delta
-
+    pick = pick_delay(dchi2, n, pretrigger, delay_order=False,
+                      window_mask=window_mask,
+                      interpolate_t0=interpolate_t0)
+    chi2 = c0 - pick.gain
+    amp = (interp_amp(q_abs, norm, pick) if interpolate_t0
+           else _take_last(q_abs, pick.idx) / norm)
+    shift = pick.shift
     t0 = shift / fs
     if low_mask_h is None:
         lowchi2 = jnp.full_like(chi2, -999999.0)
@@ -340,38 +378,13 @@ def of1x1_withdelay_half_perm(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     c0 = chi2_base_half(vr, denom_inv_h, bin_w)
     dchi2 = qt * qt / norm[..., None]
 
-    if window_mask is None:
-        masked = dchi2
-    else:
-        # q_abs[i] = qt[(i − pretrigger) % n]  ⇒  pre-roll the static mask
-        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
-        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
-    d_best = jnp.argmax(masked, axis=-1)                 # delay index
-    q_best = jnp.take_along_axis(qt, d_best[..., None], axis=-1)[..., 0]
-    amp = q_best / norm
-    chi2 = c0 - q_best * q_best / norm
-    # absolute index i = (d + pretrigger) % n; t0_idx = i − pretrigger
-    d_f = d_best.astype(qt.dtype)
-    t0_idx = jnp.where(d_best < n - pretrigger, d_f, d_f - n)
-    shift = t0_idx
-
-    if interpolate_t0:
-        dm1 = (d_best - 1) % n
-        dp1 = (d_best + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, dm1[..., None], axis=-1)[..., 0]
-        y0 = -jnp.take_along_axis(dchi2, d_best[..., None], axis=-1)[..., 0]
-        yp1 = -jnp.take_along_axis(dchi2, dp1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
-        am1 = jnp.take_along_axis(qt, dm1[..., None], axis=-1)[..., 0] / norm
-        ap1 = jnp.take_along_axis(qt, dp1[..., None], axis=-1)[..., 0] / norm
-        a_denom = am1 - 2.0 * amp + ap1
-        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
-        shift = t0_idx + delta
-
+    pick = pick_delay(dchi2, n, pretrigger, delay_order=True,
+                      window_mask=window_mask,
+                      interpolate_t0=interpolate_t0)
+    chi2 = c0 - pick.gain
+    amp = (interp_amp(qt, norm, pick) if interpolate_t0
+           else _take_last(qt, pick.idx) / norm)
+    shift = pick.shift
     t0 = shift / fs
     if low_mask_h is None:
         lowchi2 = jnp.full_like(chi2, -999999.0)
@@ -426,7 +439,13 @@ def _residual_chi2_packed(Z, Zr, amp, shift, low: dict, n: int):
     phase = jnp.exp(-2j * jnp.pi * kl * shift[..., None] / n)
     resid = v - amp[..., None] * join_complex(low["lw_s"]) * phase
     p2 = resid.real ** 2 + resid.imag ** 2
-    return jnp.sum(p2 * low["lw_u"], axis=-1)
+    out = jnp.sum(p2 * low["lw_u"], axis=-1)
+    # Nyquist term (zero-weighted unless the mask reaches fs/2): V_M is
+    # the separate Z_0 combination, not part of the gather
+    vm = Z[..., 0].real - Z[..., 0].imag
+    phm = jnp.exp(-1j * jnp.pi * shift)
+    rm = vm - amp * join_complex(low["lw_nyq_s"]) * phm
+    return out + low["lw_nyq_u"] * (rm.real ** 2 + rm.imag ** 2)
 
 
 def of1x1_nodelay_packed(Z, Zr, pk: DevicePacked1x1, n: int,
@@ -466,38 +485,13 @@ def of1x1_withdelay_packed(Z, Zr, pk: DevicePacked1x1, pretrigger: int,
                      zt.shape[:-1] + (n,))               # delay series
     dchi2 = qt * qt / pk.norm[..., None]
 
-    if window_mask is None:
-        masked = dchi2
-    else:
-        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
-        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
-    d_best = jnp.argmax(masked, axis=-1)
-    q_best = jnp.take_along_axis(qt, d_best[..., None], axis=-1)[..., 0]
-    amp = q_best / pk.norm
-    chi2 = c0 - q_best * q_best / pk.norm
-    d_f = d_best.astype(qt.dtype)
-    t0_idx = jnp.where(d_best < n - pretrigger, d_f, d_f - n)
-    shift = t0_idx
-
-    if interpolate_t0:
-        dm1 = (d_best - 1) % n
-        dp1 = (d_best + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, dm1[..., None], axis=-1)[..., 0]
-        y0 = -jnp.take_along_axis(dchi2, d_best[..., None], axis=-1)[..., 0]
-        yp1 = -jnp.take_along_axis(dchi2, dp1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
-        am1 = jnp.take_along_axis(qt, dm1[..., None], axis=-1)[..., 0] \
-            / pk.norm
-        ap1 = jnp.take_along_axis(qt, dp1[..., None], axis=-1)[..., 0] \
-            / pk.norm
-        a_denom = am1 - 2.0 * amp + ap1
-        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
-        shift = t0_idx + delta
-
+    pick = pick_delay(dchi2, n, pretrigger, delay_order=True,
+                      window_mask=window_mask,
+                      interpolate_t0=interpolate_t0)
+    chi2 = c0 - pick.gain
+    amp = (interp_amp(qt, pk.norm, pick) if interpolate_t0
+           else _take_last(qt, pick.idx) / pk.norm)
+    shift = pick.shift
     t0 = shift / fs
     if low is None:
         lowchi2 = jnp.full_like(chi2, -999999.0)
@@ -580,32 +574,22 @@ def of1x1_windowed_direct_half(vr, phi_h, norm, denom_inv_h, s_fft_h,
     dchi2 = qw * qw / norm[..., None]
     masked = jnp.where(jnp.asarray(valid), dchi2, -jnp.inf)
     p = jnp.argmax(masked, axis=-1)                           # [...]
-    q_best = jnp.take_along_axis(qw, p[..., None], axis=-1)[..., 0]
-    amp = q_best / norm
-    chi2 = c0 - q_best * q_best / norm
     imin = jnp.take(jnp.asarray(eval_idx), p)                 # absolute
     t0_idx = imin.astype(qw.dtype) - pretrigger
-    shift = t0_idx
-
     if interpolate_t0:
         # guard extension guarantees positions p±1 exist and hold the
-        # absolute neighbors imin±1 (mod n) for every valid winner
-        pm1 = p - 1
-        pp1 = p + 1
-        ym1 = -jnp.take_along_axis(dchi2, pm1[..., None], axis=-1)[..., 0]
-        y0 = -jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
-        yp1 = -jnp.take_along_axis(dchi2, pp1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = y0 - 0.25 * (ym1 - yp1) * delta + c0
-        am1 = jnp.take_along_axis(qw, pm1[..., None], axis=-1)[..., 0] / norm
-        ap1 = jnp.take_along_axis(qw, pp1[..., None], axis=-1)[..., 0] / norm
-        a_denom = am1 - 2.0 * amp + ap1
-        amp = amp + 0.5 * (ap1 - am1) * delta + 0.5 * a_denom * delta * delta
-        shift = t0_idx + delta
-
+        # absolute neighbors imin±1 (mod n) for every valid winner —
+        # window-position indexing, so no %n wrap (pick_delay's job)
+        delta, gain = parabola_refit(dchi2, p, p - 1, p + 1)
+        pick = DelayPick(p, p - 1, p + 1, delta, gain, t0_idx + delta)
+        amp = interp_amp(qw, norm, pick)
+    else:
+        gain = _take_last(dchi2, p)
+        pick = DelayPick(p, p - 1, p + 1, jnp.zeros_like(gain), gain,
+                         t0_idx)
+        amp = _take_last(qw, p) / norm
+    chi2 = c0 - pick.gain
+    shift = pick.shift
     t0 = shift / fs
     if low_mask_h is None:
         lowchi2 = jnp.full_like(chi2, -999999.0)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from detprocess_tpu.ops import fft as dfft
+from detprocess_tpu.ops import of1x1
 
 
 class OFNxMResult(NamedTuple):
@@ -39,13 +40,9 @@ class OFNxMResult(NamedTuple):
     chi2: jnp.ndarray   # [...]
 
 
-def _einsum(subs, *ops):
-    """einsum at the trace-context DFT-matmul precision. On TPU a
-    DEFAULT-precision einsum rounds its f32 inputs to bf16 (~2⁻⁸ relative
-    error) — measured 3.5e-3 amplitude error and delay-argmax jitter vs
-    the f64 goldens on chip; every NxM contraction must carry the same
-    precision as the DFT matmuls (ops/fft.matmul_precision)."""
-    return jnp.einsum(subs, *ops, precision=dfft.current_matmul_precision())
+# einsum at the trace-context DFT-matmul precision (bf16-rounding
+# hazard otherwise — see ops/fft.einsum)
+_einsum = dfft.einsum
 
 
 def chi2_base_nxm(vfft: jnp.ndarray, icsd: jnp.ndarray, fs: float) -> jnp.ndarray:
@@ -95,10 +92,9 @@ def _untangle_registers(Z, Zr, n):
     meant to be fused by XLA into the consuming reduction, never
     materialized (the Nyquist bin is handled separately by callers)."""
     m = n // 2
-    pm = dfft.perm_indices(m)
-    w = np.exp(-2j * np.pi * pm / n)
-    a = dfft.const_complex(0.5 * (1.0 - 1j * w), Z.dtype)
-    b = dfft.const_complex(0.5 * (1.0 + 1j * w), Z.dtype)
+    ah, bh, _ = dfft.untangle_coeffs(n, dfft.perm_indices(m))
+    a = dfft.const_complex(ah, Z.dtype)
+    b = dfft.const_complex(bh, Z.dtype)
     return a * Z + b * jnp.conj(Zr)
 
 
@@ -148,33 +144,15 @@ def ofnxm_withdelay_packed(
     branch: mask pre-rolled by −pretrigger, d → t0 via the wrap rule)."""
     q_scan = _q_timeseries_packed(Z, Zr, pk, n)          # [..., M, N]
     dchi2 = _einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
-    if window_mask is not None:
-        mask_d = np.roll(np.asarray(window_mask, bool), -pretrigger)
-        masked = jnp.where(jnp.asarray(mask_d), dchi2, -jnp.inf)
-    else:
-        masked = dchi2
-    imax = jnp.argmax(masked, axis=-1)
+    pick = of1x1.pick_delay(dchi2, n, pretrigger, delay_order=True,
+                            window_mask=window_mask,
+                            interpolate_t0=interpolate_t0)
     q_best = jnp.take_along_axis(
-        q_scan, imax[..., None, None], axis=-1)[..., 0]
+        q_scan, pick.idx[..., None, None], axis=-1)[..., 0]
     amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm_packed(Z, Zr, pk, n)
-    dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
-    chi2 = chi2_0 - dchi2_best
-    d_f = imax.astype(chi2.dtype)
-    shift = jnp.where(imax < n - pretrigger, d_f, d_f - n)
-    if interpolate_t0:
-        im1 = (imax - 1) % n
-        ip1 = (imax + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
-        y0 = -dchi2_best
-        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
-        shift = shift + delta
-    return OFNxMResult(amps, shift / fs, chi2)
+    chi2 = chi2_0 - pick.gain
+    return OFNxMResult(amps, pick.shift / fs, chi2)
 
 
 def _q_timeseries(vfft: jnp.ndarray, phi: jnp.ndarray,
@@ -227,43 +205,16 @@ def ofnxm_withdelay(
     else:
         q_scan = _q_timeseries_delayorder(vfft, phi)
     dchi2 = _einsum("...it,ij,...jt->...t", q_scan, iw_matrix, q_scan)
-    if window_mask is not None:
-        mask = (window_mask if spec_perm is None
-                else jnp.roll(jnp.asarray(window_mask), -pretrigger))
-        masked = jnp.where(mask, dchi2, -jnp.inf)
-    else:
-        masked = dchi2
-    imax = jnp.argmax(masked, axis=-1)                       # [...]
+    pick = of1x1.pick_delay(dchi2, n, pretrigger,
+                            delay_order=spec_perm is not None,
+                            window_mask=window_mask,
+                            interpolate_t0=interpolate_t0)
     q_best = jnp.take_along_axis(
-        q_scan, imax[..., None, None], axis=-1)[..., 0]      # [..., M]
+        q_scan, pick.idx[..., None, None], axis=-1)[..., 0]  # [..., M]
     amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
-    dchi2_best = jnp.take_along_axis(dchi2, imax[..., None], axis=-1)[..., 0]
-    chi2 = chi2_0 - dchi2_best
-
-    if spec_perm is None:
-        shift = imax.astype(chi2.dtype) - pretrigger
-    else:
-        # delay index d → t0 index: i = (d + pretrigger) mod n, shift =
-        # i − pretrigger = d or d − n
-        d_f = imax.astype(chi2.dtype)
-        shift = jnp.where(imax < n - pretrigger, d_f, d_f - n)
-    if interpolate_t0:
-        # same neighbors in either ordering: delay index d±1 corresponds
-        # to absolute index i±1 (both mod n)
-        im1 = (imax - 1) % n
-        ip1 = (imax + 1) % n
-        ym1 = -jnp.take_along_axis(dchi2, im1[..., None], axis=-1)[..., 0]
-        y0 = -dchi2_best
-        yp1 = -jnp.take_along_axis(dchi2, ip1[..., None], axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom, 0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
-        shift = shift + delta
-
-    t0 = shift / fs
-    return OFNxMResult(amps, t0, chi2)
+    chi2 = chi2_0 - pick.gain
+    return OFNxMResult(amps, pick.shift / fs, chi2)
 
 
 def ofnxm_withdelay_direct(
@@ -303,25 +254,16 @@ def ofnxm_withdelay_direct(
         qw, p[..., None, None], axis=-1)[..., 0]             # [..., M]
     amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
-    dchi2_best = jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
-    chi2 = chi2_0 - dchi2_best
     imax = jnp.take(jnp.asarray(eval_idx), p)
-    shift = imax.astype(chi2.dtype) - pretrigger
+    shift = imax.astype(chi2_0.dtype) - pretrigger
     if interpolate_t0:
-        # guard extension guarantees positions p±1 hold imax±1 (mod N)
-        ym1 = -jnp.take_along_axis(dchi2, (p - 1)[..., None],
-                                   axis=-1)[..., 0]
-        y0 = -dchi2_best
-        yp1 = -jnp.take_along_axis(dchi2, (p + 1)[..., None],
-                                   axis=-1)[..., 0]
-        denom = ym1 - 2.0 * y0 + yp1
-        delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (ym1 - yp1) / denom,
-                          0.0)
-        delta = jnp.clip(delta, -1.0, 1.0)
-        chi2 = chi2_0 + y0 - 0.25 * (ym1 - yp1) * delta
+        # guard extension guarantees positions p±1 hold imax±1 (mod N) —
+        # window-position indexing, so no %n wrap
+        delta, gain = of1x1.parabola_refit(dchi2, p, p - 1, p + 1)
         shift = shift + delta
-    t0 = shift / fs
-    return OFNxMResult(amps, t0, chi2)
+    else:
+        gain = jnp.take_along_axis(dchi2, p[..., None], axis=-1)[..., 0]
+    return OFNxMResult(amps, shift / fs, chi2_0 - gain)
 
 
 # ---------------------------------------------------------------------------

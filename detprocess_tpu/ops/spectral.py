@@ -220,10 +220,8 @@ def welch_csd_packed(traces: jnp.ndarray, fs: float,
         zf_rev = dfft._blocked_rev(
             zf.reshape(zf.shape[:-1] + dfft.perm_split(m))
         ).reshape(zf.shape)
-    prec = dfft.current_matmul_precision()
-    p = jnp.einsum("bik,bjk->ijk", zf, jnp.conj(zf),
-                   precision=prec)                      # [C, C, M]
-    q = jnp.einsum("bik,bjk->ijk", zf, zf_rev, precision=prec)
+    p = dfft.einsum("bik,bjk->ijk", zf, jnp.conj(zf))   # [C, C, M]
+    q = dfft.einsum("bik,bjk->ijk", zf, zf_rev)
     if perm is not None:
         pos = jnp.asarray(dfft.unperm_indices(m))
         p = jnp.take(p, pos, axis=-1)
@@ -275,15 +273,13 @@ def welch_csd(traces: jnp.ndarray, fs: float, window: str | None = None):
     pos = dfft.site_unperm_indices(n, "spectral")
     if pos is None:
         vfft = dfft.fft(traces, axis=-1)  # [B, C, N]
-        csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft),
-                         precision=dfft.current_matmul_precision())
+        csd = dfft.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
     else:
         # transpose-free permuted layout; the cross-spectral average is
         # per-frequency, so natural order is restored on the reduced
         # [C, C, N] result instead of the [B, C, N] FFT intermediates
         vfft = dfft.fft_perm(traces)
-        csd = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft),
-                         precision=dfft.current_matmul_precision())
+        csd = dfft.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
         csd = jnp.take(csd, jnp.asarray(pos), axis=-1)
     return csd * (scale / (n * fs * traces.shape[0]))
 

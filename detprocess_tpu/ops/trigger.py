@@ -43,6 +43,10 @@ from scipy import special, stats
 from detprocess_tpu.ops import fft as dfft
 from detprocess_tpu.ops.filterbank import OFNxMBank, split_complex, join_complex
 
+# einsum at the trace-context DFT-matmul precision (bf16-rounding
+# hazard otherwise — see ops/fft.einsum)
+_einsum = dfft.einsum
+
 
 # ---------------------------------------------------------------------------
 # host precompute
@@ -118,9 +122,8 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # two relayout passes over the segment intermediates; plain perm
     # (True) pre-permutes the filter spectra for the transpose-free
     # transform pair instead.
-    site = dfft.PERM_SITES.get("trigger", True)
     g_pk_p = g_pk_q = None
-    if site == "packed" and dfft.half_perm_indices(f_size) is not None:
+    if dfft.site_packed(f_size, "trigger"):
         pk_p, pk_q = dfft.packed_multiply_coeffs(g_fft, f_size)
         pm = dfft.perm_indices(f_size // 2)
         g_pk_p = split_complex(pk_p[..., pm], real_dtype)
@@ -173,7 +176,6 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
     c, l = trace.shape
     nt, p = kernel.nt, kernel.pretrigger
     b, f = kernel.block, kernel.fft_size
-    g_fft = join_complex(jnp.asarray(kernel.g_fft))
 
     # y = conv(x, h); q(T) = y[T + nt−1−p]. Shift the input left by
     # (p − (nt−1)) so that q(T) = conv(xshift)(T) directly: pad with
@@ -213,10 +215,12 @@ def of_fir_blocks(trace: jnp.ndarray, kernel: TriggerKernel,
         elif dfft.site_half_perm_indices(f, "trigger") is not None:
             # transpose-free permuted-layout pair; g_fft was pre-permuted
             # to the matching storage order in make_trigger_kernel
+            g_fft = join_complex(jnp.asarray(kernel.g_fft))
             seg_fft = dfft.rfft_perm(segments)                # [C, nb, F/2+1]
             prod = _einsum("cbf,cmf->mbf", seg_fft, g_fft)
             y_seg = dfft.irfft_fromperm(prod, f)              # [M, nb, F]
         else:
+            g_fft = join_complex(jnp.asarray(kernel.g_fft))
             seg_fft = dfft.rfft(segments, axis=-1)            # [C, nb, F/2+1]
             prod = _einsum("cbf,cmf->mbf", seg_fft, g_fft)
             y_seg = dfft.irfft(prod, f, axis=-1)              # [M, nb, F]
@@ -244,14 +248,6 @@ def of_fir(trace: jnp.ndarray, kernel: TriggerKernel,
     q_blocks, _ = of_fir_blocks(trace, kernel, valid_range=valid_range)
     m = q_blocks.shape[0]
     return q_blocks.reshape(m, -1)[:, :l]
-
-
-def _einsum(subs, *ops):
-    """einsum at the trace-context DFT-matmul precision — a
-    DEFAULT-precision einsum rounds f32 inputs to bf16 on TPU (~2⁻⁸
-    relative error on amplitudes and Δχ² thresholds); same fix as
-    ops/ofnxm.py::_einsum."""
-    return jnp.einsum(subs, *ops, precision=dfft.current_matmul_precision())
 
 
 def delta_chi2(q: jnp.ndarray, iw_matrix: jnp.ndarray):

@@ -140,8 +140,7 @@ def sharded_csd(mesh: Mesh, fs: float, axis_name: str = EVENTS_AXIS):
         pos = dfft.site_unperm_indices(n, "spectral")
         vfft = (dfft.fft(local_traces, axis=-1) if pos is None
                 else dfft.fft_perm(local_traces))
-        local = jnp.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft),
-                           precision=dfft.current_matmul_precision())
+        local = dfft.einsum("bik,bjk->ijk", vfft, jnp.conj(vfft))
         total = jax.lax.psum(local, axis_name)
         count = jax.lax.psum(
             jnp.asarray(local_traces.shape[0], jnp.float32), axis_name)

@@ -541,8 +541,7 @@ class FeatureProcessing:
         # derive the PERMUTED view lazily via ops/fft.untangle_pair
         # (hperm is non-None whenever packed is on, so their wiring is
         # the permuted-layout wiring)
-        packed = (dfft.PERM_SITES.get("feature", True) == "packed"
-                  and dfft.half_perm_indices(n) is not None)
+        packed = dfft.site_packed(n, "feature")
         group.packed_mode = packed
         group.packed_fcutoffs = sorted(
             {float(s.kwargs.get("lowchi2_fcutoff", 10000))
@@ -586,10 +585,9 @@ class FeatureProcessing:
             # compound-channel traces via one matmul
             # precision: a DEFAULT einsum rounds f32 traces to bf16
             # on TPU (ops/ofnxm.py::_einsum) — the mix must be exact
-            traces = jnp.einsum("cr,brn->bcn",
-                                jnp.asarray(mix, raw_traces.dtype),
-                                self._window_cut(raw_traces, group),
-                                precision=dfft.current_matmul_precision())
+            traces = dfft.einsum("cr,brn->bcn",
+                                 jnp.asarray(mix, raw_traces.dtype),
+                                 self._window_cut(raw_traces, group))
             out = {}
             bank_h = (filterbank.device_bank_1x1_half(banks["b1x1"])
                       if "b1x1" in banks else None)
@@ -657,6 +655,8 @@ class FeatureProcessing:
                         low_s = dict(lt)
                         low_s["lw_s"] = lt["lw_s"][sl]
                         low_s["lw_u"] = lt["lw_u"][sl]
+                        low_s["lw_nyq_s"] = lt["lw_nyq_s"][sl]
+                        low_s["lw_nyq_u"] = lt["lw_nyq_u"][sl]
                         zc, zrc = zpair[spec.chan_idx]
                         z1 = zc[:, None, :]
                         zr1 = zrc[:, None, :]

@@ -59,6 +59,13 @@ def _half_bank(dev):
     return filterbank.device_bank_1x1_half(dev)
 
 
+def _slot_low(low, s):
+    low_s = dict(low)
+    for key in ("lw_s", "lw_u", "lw_nyq_s", "lw_nyq_u"):
+        low_s[key] = low[key][s]
+    return low_s
+
+
 def _cmp(res_p, res_h, t0_exact=True):
     np.testing.assert_allclose(np.asarray(res_p.amp), np.asarray(res_h.amp),
                                rtol=1e-10)
@@ -86,9 +93,7 @@ def test_nodelay_packed_equals_half(setup, slot):
                                      n=N)
     pk_s = of1x1.DevicePacked1x1(pk.P[s], pk.Q[s], pk.alpha[s], pk.g[s],
                                  pk.H[s], pk.norm[s])
-    low_s = dict(low)
-    low_s["lw_s"] = low["lw_s"][s]
-    low_s["lw_u"] = low["lw_u"][s]
+    low_s = _slot_low(low, s)
     res_p = of1x1.of1x1_nodelay_packed(Z, Zr, pk_s, N, low=low_s)
     _cmp(res_p, res_h)
 
@@ -110,9 +115,7 @@ def test_withdelay_packed_equals_half(setup, mode):
         interpolate_t0=(mode == "interp"), n=N)
     pk_s = of1x1.DevicePacked1x1(pk.P[s], pk.Q[s], pk.alpha[s], pk.g[s],
                                  pk.H[s], pk.norm[s])
-    low_s = dict(low)
-    low_s["lw_s"] = low["lw_s"][s]
-    low_s["lw_u"] = low["lw_u"][s]
+    low_s = _slot_low(low, s)
     res_p = of1x1.of1x1_withdelay_packed(
         Z, Zr, pk_s, PRETRIG, FS, N, window_mask=wmask, low=low_s,
         interpolate_t0=(mode == "interp"))
@@ -154,9 +157,24 @@ def test_packed_spectrum_matches_rfft(setup):
                                atol=1e-9 * np.max(np.abs(vr)))
 
 
-def test_low_table_rejects_nyquist(setup):
-    traces, bank, *_ = setup
-    mask = np.zeros(N // 2 + 1, bool)
-    mask[-1] = True
-    with pytest.raises(ValueError, match="Nyquist"):
-        filterbank.packed_low_table(bank, mask)
+def test_low_table_nyquist_bin(setup):
+    """lowchi2_fcutoff ≥ fs/2 selects the Nyquist bin — the packed low
+    table must carry it (as the separate Z_0 combination) and match the
+    half-spectrum residual χ² over the same full mask (this crashed at
+    plan build before the lw_nyq_* term existed)."""
+    traces, bank, dev, pk, low, lmask, vr, Z, Zr = setup
+    bh = _half_bank(dev)
+    mask = of1x1.lowfreq_mask_half(N, FS, FS)      # all bins incl. Nyquist
+    assert mask[-1]
+    lt = jax.tree.map(jnp.asarray,
+                      filterbank.packed_low_table(bank, mask, np.float64))
+    s = slice(0, 1)
+    res_h = of1x1.of1x1_withdelay_half(
+        vr, bh.phi[s], bh.norm[s], bh.denom_inv[s], bh.s_fft[s], bh.bin_w,
+        PRETRIG, FS, low_mask_h=jnp.asarray(mask), n=N)
+    pk_s = of1x1.DevicePacked1x1(pk.P[s], pk.Q[s], pk.alpha[s], pk.g[s],
+                                 pk.H[s], pk.norm[s])
+    res_p = of1x1.of1x1_withdelay_packed(
+        Z, Zr, pk_s, PRETRIG, FS, N, low=_slot_low(lt, s))
+    np.testing.assert_allclose(np.asarray(res_p.lowchi2),
+                               np.asarray(res_h.lowchi2), rtol=1e-9)

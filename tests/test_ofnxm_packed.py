@@ -98,3 +98,53 @@ def test_withdelay_packed(setup, mode):
     np.testing.assert_allclose(np.asarray(rp.t0), np.asarray(rf.t0),
                                rtol=0, atol=1e-9 / FS if mode != "interp"
                                else 1e-6 / FS)
+
+
+def test_packed_exact_on_asymmetric_bank(setup):
+    """The packed fold must equal the full-spectrum kernels even when
+    phi / icsd break the J(−f) = J(f)* mirror symmetry (asymmetric
+    notching or a user-supplied CSD): packed_nxm_coeffs folds from the
+    FULL arrays with φ_sym = (φ_k + conj φ_{n−k})/2 and
+    J_sym = (J_k + J_{n−k}ᵀ)/2 — exactly the projection the comparator
+    kernels' trailing .real applies. Before that fold the packed chain
+    silently assumed symmetry and diverged here."""
+    bank, nb, pk, vfft, Z, Zr = setup
+    k0 = 1234                       # positive-frequency bin, mirror kept
+    phi2 = bank.phi.copy()
+    phi2[..., k0] = 0.0
+    icsd2 = bank.icsd.copy()
+    icsd2[k0] *= 0.35
+    bank2 = bank._replace(phi=phi2, icsd=icsd2)
+    dev2 = jax.tree.map(jnp.asarray, bank2.to_device(np.float64))
+    nb2 = filterbank.device_bank_nxm(dev2)
+    pk2 = ofnxm.device_packed_nxm(jax.tree.map(
+        jnp.asarray, filterbank.packed_nxm_coeffs(bank2, np.float64)))
+    rf = ofnxm.ofnxm_withdelay(vfft, nb2.phi, nb2.w_matrix, nb2.iw_matrix,
+                               nb2.icsd, PRETRIG, FS)
+    rp = ofnxm.ofnxm_withdelay_packed(Z, Zr, pk2, nb2.iw_matrix,
+                                      PRETRIG, FS, N)
+    np.testing.assert_allclose(np.asarray(rp.amps), np.asarray(rf.amps),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(rp.chi2), np.asarray(rf.chi2),
+                               rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(rp.t0), np.asarray(rf.t0))
+    r0f = ofnxm.ofnxm_nodelay(vfft, nb2.phi, nb2.iw_matrix, nb2.icsd, FS)
+    r0p = ofnxm.ofnxm_nodelay_packed(Z, Zr, pk2, nb2.iw_matrix, N)
+    np.testing.assert_allclose(np.asarray(r0p.amps), np.asarray(r0f.amps),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r0p.chi2), np.asarray(r0f.chi2),
+                               rtol=1e-9)
+
+
+def test_notch_mask_symmetric_drops():
+    """notch_bin_mask drops both ±f partners of every notched bin, so
+    the mask keeps the Hermitian symmetry the half-spectrum and packed
+    chains fold over — including when the target frequency falls exactly
+    between bins and the per-side argmin tie-breaks differ."""
+    n, fs = 4096, 1.25e6
+    df = fs / n
+    # exactly between two bins: f = (k + 1/2)·df
+    peaks = [10.5 * df, 700.25 * df, 60.0]
+    keep = filterbank.notch_bin_mask(n, fs, peaks, ignore_harmonics=True)
+    mirrored = keep[(n - np.arange(n)) % n]
+    np.testing.assert_array_equal(keep, mirrored)
