@@ -86,7 +86,14 @@ class DelayPick(NamedTuple):
     im1: jnp.ndarray    # (idx ± 1) % n — for quadratic amp refits
     ip1: jnp.ndarray
     delta: jnp.ndarray  # sub-sample offset (0.0 when not interpolating)
-    gain: jnp.ndarray   # Δχ² at the winner (parabola apex when interp.)
+    gain: jnp.ndarray | None
+    # Δχ² parabola apex at the winner — ONLY set when interpolating.
+    # Without interpolation it is None ON PURPOSE: gathering the winner
+    # value out of dchi2 would force XLA to materialize the whole Δχ²
+    # series that otherwise fuses into the argmax reduction (measured
+    # ~5% of the feature step at 32k) — callers recompute the winner's
+    # gain from values they gather anyway (q_best²/norm, or the NxM
+    # einsum output that is materialized regardless).
     shift: jnp.ndarray  # signed t0 in samples, including delta
 
 
@@ -123,7 +130,6 @@ def pick_delay(dchi2: jnp.ndarray, n: int, pretrigger: int, *,
     else:
         masked = jnp.where(window_mask, dchi2, -jnp.inf)
     idx = jnp.argmax(masked, axis=-1)
-    g0 = _take_last(dchi2, idx)
     f = idx.astype(dchi2.dtype)
     if delay_order:
         shift = jnp.where(idx < n - pretrigger, f, f - n)
@@ -132,7 +138,7 @@ def pick_delay(dchi2: jnp.ndarray, n: int, pretrigger: int, *,
     im1 = (idx - 1) % n
     ip1 = (idx + 1) % n
     if not interpolate_t0:
-        return DelayPick(idx, im1, ip1, jnp.zeros_like(g0), g0, shift)
+        return DelayPick(idx, im1, ip1, jnp.zeros_like(f), None, shift)
     delta, gain = parabola_refit(dchi2, idx, im1, ip1)
     return DelayPick(idx, im1, ip1, delta, gain, shift + delta)
 
@@ -220,9 +226,13 @@ def of1x1_withdelay(
     pick = pick_delay(dchi2, n, pretrigger, delay_order=False,
                       window_mask=window_mask,
                       interpolate_t0=interpolate_t0)
-    chi2 = c0 - pick.gain
-    amp = (interp_amp(q_abs, norm, pick) if interpolate_t0
-           else _take_last(q_abs, pick.idx) / norm)
+    if interpolate_t0:
+        chi2 = c0 - pick.gain
+        amp = interp_amp(q_abs, norm, pick)
+    else:
+        q_best = _take_last(q_abs, pick.idx)
+        amp = q_best / norm
+        chi2 = c0 - q_best * q_best / norm
     shift = pick.shift
     t0 = shift / fs
 
@@ -338,9 +348,13 @@ def of1x1_withdelay_half(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     pick = pick_delay(dchi2, n, pretrigger, delay_order=False,
                       window_mask=window_mask,
                       interpolate_t0=interpolate_t0)
-    chi2 = c0 - pick.gain
-    amp = (interp_amp(q_abs, norm, pick) if interpolate_t0
-           else _take_last(q_abs, pick.idx) / norm)
+    if interpolate_t0:
+        chi2 = c0 - pick.gain
+        amp = interp_amp(q_abs, norm, pick)
+    else:
+        q_best = _take_last(q_abs, pick.idx)
+        amp = q_best / norm
+        chi2 = c0 - q_best * q_best / norm
     shift = pick.shift
     t0 = shift / fs
     if low_mask_h is None:
@@ -381,9 +395,13 @@ def of1x1_withdelay_half_perm(vr, phi_h, norm, denom_inv_h, s_fft_h, bin_w,
     pick = pick_delay(dchi2, n, pretrigger, delay_order=True,
                       window_mask=window_mask,
                       interpolate_t0=interpolate_t0)
-    chi2 = c0 - pick.gain
-    amp = (interp_amp(qt, norm, pick) if interpolate_t0
-           else _take_last(qt, pick.idx) / norm)
+    if interpolate_t0:
+        chi2 = c0 - pick.gain
+        amp = interp_amp(qt, norm, pick)
+    else:
+        q_best = _take_last(qt, pick.idx)
+        amp = q_best / norm
+        chi2 = c0 - q_best * q_best / norm
     shift = pick.shift
     t0 = shift / fs
     if low_mask_h is None:
@@ -488,9 +506,13 @@ def of1x1_withdelay_packed(Z, Zr, pk: DevicePacked1x1, pretrigger: int,
     pick = pick_delay(dchi2, n, pretrigger, delay_order=True,
                       window_mask=window_mask,
                       interpolate_t0=interpolate_t0)
-    chi2 = c0 - pick.gain
-    amp = (interp_amp(qt, pk.norm, pick) if interpolate_t0
-           else _take_last(qt, pick.idx) / pk.norm)
+    if interpolate_t0:
+        chi2 = c0 - pick.gain
+        amp = interp_amp(qt, pk.norm, pick)
+    else:
+        q_best = _take_last(qt, pick.idx)
+        amp = q_best / pk.norm
+        chi2 = c0 - q_best * q_best / pk.norm
     shift = pick.shift
     t0 = shift / fs
     if low is None:
@@ -583,13 +605,13 @@ def of1x1_windowed_direct_half(vr, phi_h, norm, denom_inv_h, s_fft_h,
         delta, gain = parabola_refit(dchi2, p, p - 1, p + 1)
         pick = DelayPick(p, p - 1, p + 1, delta, gain, t0_idx + delta)
         amp = interp_amp(qw, norm, pick)
+        chi2 = c0 - gain
+        shift = pick.shift
     else:
-        gain = _take_last(dchi2, p)
-        pick = DelayPick(p, p - 1, p + 1, jnp.zeros_like(gain), gain,
-                         t0_idx)
-        amp = _take_last(qw, p) / norm
-    chi2 = c0 - pick.gain
-    shift = pick.shift
+        q_best = _take_last(qw, p)
+        amp = q_best / norm
+        chi2 = c0 - q_best * q_best / norm
+        shift = t0_idx
     t0 = shift / fs
     if low_mask_h is None:
         lowchi2 = jnp.full_like(chi2, -999999.0)

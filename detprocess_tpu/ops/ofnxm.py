@@ -151,8 +151,9 @@ def ofnxm_withdelay_packed(
         q_scan, pick.idx[..., None, None], axis=-1)[..., 0]
     amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm_packed(Z, Zr, pk, n)
-    chi2 = chi2_0 - pick.gain
-    return OFNxMResult(amps, pick.shift / fs, chi2)
+    gain = (pick.gain if interpolate_t0
+            else _einsum("...i,...i->...", amps, q_best))
+    return OFNxMResult(amps, pick.shift / fs, chi2_0 - gain)
 
 
 def _q_timeseries(vfft: jnp.ndarray, phi: jnp.ndarray,
@@ -213,8 +214,9 @@ def ofnxm_withdelay(
         q_scan, pick.idx[..., None, None], axis=-1)[..., 0]  # [..., M]
     amps = _einsum("ij,...j->...i", iw_matrix, q_best)
     chi2_0 = chi2_base_nxm(vfft, icsd, fs)
-    chi2 = chi2_0 - pick.gain
-    return OFNxMResult(amps, pick.shift / fs, chi2)
+    gain = (pick.gain if interpolate_t0
+            else _einsum("...i,...i->...", amps, q_best))
+    return OFNxMResult(amps, pick.shift / fs, chi2_0 - gain)
 
 
 def ofnxm_withdelay_direct(
