@@ -557,11 +557,31 @@ class FeatureProcessing:
         # outright for wide windows (HTTP 413 measured at W≈2000) and
         # every local compile has to re-hash.
         group.direct_windows.clear()
+        # the direct windowed-DFT evaluation only pays when the full
+        # delay series is NOT already being computed for the same OF
+        # filter: if an unconstrained (or too-wide constrained) spec
+        # shares the slot, XLA CSEs the inverse-chain q series across
+        # specs and the masked argmax is nearly free — the direct
+        # path's extra untangle + matmuls then only ADD time (measured:
+        # config 2's unconstrained+constrained pair runs at the cost of
+        # ONE chain, 75.6k ev/s, while forcing direct drops it to 60.6k)
+        inverse_slots = set()
+        inverse_nxm = set()
+        for spec in specs:
+            wm = (window_mask_for(spec)
+                  if spec.base in ("of1x1_constrained", "ofnxm") else None)
+            wide = wm is None or int(wm.sum()) > DIRECT_WINDOW_MAX
+            if spec.base == "of1x1_unconstrained" or (
+                    spec.base == "of1x1_constrained" and wide):
+                inverse_slots.add(spec.slot)
+            elif spec.base == "ofnxm" and wide:
+                inverse_nxm.add(spec.nxm_key)
         for spec_i, spec in enumerate(specs):
             if spec.base == "of1x1_constrained":
                 wmask = window_mask_for(spec)
                 if (wmask is not None
-                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX
+                        and spec.slot not in inverse_slots):
                     eidx, valid, cmat, smat = of1x1.prepare_delay_window(
                         wmask, of_pretrig, n, filterbank.half_bin_weights(n))
                     if hperm is not None:
@@ -573,7 +593,8 @@ class FeatureProcessing:
             elif spec.base == "ofnxm":
                 wmask = window_mask_for(spec)
                 if (wmask is not None
-                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX):
+                        and int(wmask.sum()) <= DIRECT_WINDOW_MAX
+                        and spec.nxm_key not in inverse_nxm):
                     eidx, valid, cmat, smat = of1x1.prepare_delay_window(
                         wmask, of_pretrig, n)
                     if fperm is not None:
