@@ -477,8 +477,10 @@ def bench_trigger_modes(quick=False):
 
     Same workload as config 5 (1.25 Msample continuous events, Nt=4096
     template); reports Msamples/s for: base tiled path, +residual
-    re-trigger (K×2Nt−1 scatter + second threshold pass,
-    ops/trigger.py::residual_subtract), and dynamic-window mode
+    re-trigger via the spike+FFT-convolution subtraction the pipeline
+    ships (ops/trigger.py::residual_subtract_conv), the older
+    sequential-loop subtraction for comparison
+    (ops/trigger.py::residual_subtract), and dynamic-window mode
     (lax.scan over above-threshold candidates,
     ops/trigger.py::find_triggers_dynamic_kernel).
     """
@@ -510,7 +512,23 @@ def bench_trigger_modes(quick=False):
             return ts.indices, ts.count
         return jax.vmap(one)(x)
 
+    basis = trigger.make_residual_basis(kernel)
+
     def with_residual(x):
+        # the pipeline's residual path: tiled merge + conv subtraction
+        def one(t):
+            qb, _ = trigger.of_fir_blocks(t, kernel)
+            d = trigger.delta_chi2_from_q(qb, iw)
+            ts = trigger.find_triggers_tiled(d, qb, thr, window, 512,
+                                             amps_transform=iw)
+            resid = trigger.residual_subtract_conv(d, ts, kernel, basis)
+            ts2 = trigger.find_triggers_tiled(resid, qb, thr, window, 512,
+                                              amps_transform=iw)
+            return ts.indices, ts2.indices
+        return jax.vmap(one)(x)
+
+    def with_residual_loop(x):
+        # the pre-round-3 sequential-loop subtraction, kept for the A/B
         def one(t):
             qb, _ = trigger.of_fir_blocks(t, kernel)
             d, a = trigger.delta_chi2_blocks(qb, iw)
@@ -548,6 +566,8 @@ def bench_trigger_modes(quick=False):
     out = {"config": "trigger optional modes (Msamples/s)"}
     for name, fn in (("base_tiled", jax.jit(base)),
                      ("residual_retrigger", jax.jit(with_residual)),
+                     ("residual_retrigger_loop",
+                      jax.jit(with_residual_loop)),
                      ("dynamic_window", jax.jit(dynamic))):
         dt = timeit_pipelined(fn, [(x,)] * k, (x,))
         out[name + "_msamples_per_sec"] = round(k * e * l / dt / 1e6, 1)

@@ -80,6 +80,47 @@ class TriggerKernel(NamedTuple):
     resolution: np.ndarray     # per-amplitude σ
 
 
+def _fir_layout(g: np.ndarray, block: int, real_dtype):
+    """Overlap-save FIR precompute for time-domain kernels g [C, M, Nt].
+
+    Sizing: the FFT size F is a power of two ≥ ``block``; the
+    inter-segment overlap H is Nt−1 rounded up to a lane multiple (128),
+    and each segment contributes B = F − H valid samples. A symmetric
+    F = 2B split would FFT every sample twice; this wastes only H/F.
+
+    Layout of the device FIR, decided here and carried by the kernel
+    (of_fir_blocks dispatches on g_pk_p): "packed" folds the rfft
+    untangle and the irfft retangle into the per-filter combine
+    coefficients (ops/fft.packed_multiply_coeffs) — the FIR becomes
+    stages → one channel-mix einsum pair → inverse stages, dropping two
+    relayout passes over the segment intermediates; plain perm
+    pre-permutes the filter spectra for the transpose-free transform
+    pair instead.
+
+    Returns (g_fft split re/im, g_pk_p, g_pk_q, block B, fft_size F).
+    """
+    c, m, n = g.shape
+    overlap = max(128 * int(np.ceil((n - 1) / 128)), 128)
+    f_size = int(2 ** np.ceil(np.log2(max(block, 2 * overlap))))
+    block = f_size - overlap
+    g_pad = np.zeros((c, m, f_size))
+    g_pad[..., :n] = g
+    # half-spectrum: segments are real, so the FIR runs rfft→multiply→irfft
+    # (half the FFT work and HBM traffic of the full complex path)
+    g_fft = np.fft.rfft(g_pad, axis=-1)
+    g_pk_p = g_pk_q = None
+    if dfft.site_packed(f_size, "trigger"):
+        pk_p, pk_q = dfft.packed_multiply_coeffs(g_fft, f_size)
+        pm = dfft.perm_indices(f_size // 2)
+        g_pk_p = split_complex(pk_p[..., pm], real_dtype)
+        g_pk_q = split_complex(pk_q[..., pm], real_dtype)
+    else:
+        hp = dfft.site_half_perm_indices(f_size, "trigger")
+        if hp is not None:
+            g_fft = g_fft[..., hp]
+    return split_complex(g_fft, real_dtype), g_pk_p, g_pk_q, block, f_size
+
+
 def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
                         real_dtype=np.float32) -> TriggerKernel:
     """Build the continuous-trigger kernel from an NxM OF bank.
@@ -87,14 +128,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     The linear matched filter for amplitude i, channel c is
     ``w[c,i,τ] = N·ifft(Phi[c,i])(τ mod N)`` re-rolled so τ is measured
     from the window start; convolution uses the flipped kernel.
-
-    Overlap-save sizing: the FFT size F is a power of two ≥ ``block``;
-    the inter-segment overlap H is Nt−1 rounded up to a lane multiple
-    (128), and each segment contributes B = F − H valid samples. Segments
-    are one B-block plus the first H samples of the next — built by
-    reshape + aligned slice + concat, no gathers (TPU layout-friendly).
-    A symmetric F = 2B split would FFT every sample twice; this wastes
-    only H/F (e.g. 25% at Nt=4096, F=16384 instead of 50%).
+    Overlap-save sizing and spectral layout: :func:`_fir_layout`.
     """
     c, m, n = bank.templates.shape
     p = bank.pretrigger
@@ -106,32 +140,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
     # oftrigger.py:659-664, :1005; alignment tested in test_trigger.py)
     w_circ = np.real(np.fft.ifft(bank.phi, axis=-1)) * n    # [C, M, N]
     g = np.roll(w_circ, n - 1, axis=-1)
-    overlap = max(128 * int(np.ceil((n - 1) / 128)), 128)
-    f_size = int(2 ** np.ceil(np.log2(max(block, 2 * overlap))))
-    block = f_size - overlap
-    g_pad = np.zeros((c, m, f_size))
-    g_pad[..., :n] = g
-    # half-spectrum: segments are real, so the FIR runs rfft→multiply→irfft
-    # (half the FFT work and HBM traffic of the full complex path)
-    g_fft = np.fft.rfft(g_pad, axis=-1)
-    # layout of the device FIR, decided here and carried by the kernel
-    # (of_fir_blocks dispatches on g_pk_p): "packed" folds the rfft
-    # untangle and the irfft retangle into the per-filter combine
-    # coefficients (ops/fft.packed_multiply_coeffs) — the FIR becomes
-    # stages → one channel-mix einsum pair → inverse stages, dropping
-    # two relayout passes over the segment intermediates; plain perm
-    # (True) pre-permutes the filter spectra for the transpose-free
-    # transform pair instead.
-    g_pk_p = g_pk_q = None
-    if dfft.site_packed(f_size, "trigger"):
-        pk_p, pk_q = dfft.packed_multiply_coeffs(g_fft, f_size)
-        pm = dfft.perm_indices(f_size // 2)
-        g_pk_p = split_complex(pk_p[..., pm], real_dtype)
-        g_pk_q = split_complex(pk_q[..., pm], real_dtype)
-    else:
-        hp = dfft.site_half_perm_indices(f_size, "trigger")
-        if hp is not None:
-            g_fft = g_fft[..., hp]
+    g_fft, g_pk_p, g_pk_q, block, f_size = _fir_layout(g, block, real_dtype)
 
     # Δχ² subtraction responses: filter i applied to a unit pulse of
     # template j, as a function of lag d around the pulse position:
@@ -143,7 +152,7 @@ def make_trigger_kernel(bank: OFNxMBank, block: int = 16384,
                           axis=-1)
 
     return TriggerKernel(
-        g_fft=split_complex(g_fft, real_dtype),
+        g_fft=g_fft,
         g_pk_p=g_pk_p, g_pk_q=g_pk_q,
         iw_matrix=bank.iw_matrix.astype(real_dtype),
         response=resp.astype(real_dtype),
@@ -1139,3 +1148,114 @@ def residual_subtract(dchi2: jnp.ndarray, triggers: TriggerSet,
 
     out_pad = jax.lax.fori_loop(0, k, body, out_pad)
     return out_pad[seg: seg + l]
+
+
+class ResidualBasis(NamedTuple):
+    """Fixed convolution basis for the residual re-trigger subtraction.
+
+    The Δχ² shape subtracted for a trigger with best-fit amplitudes â is
+    the bilinear form  d(t) = Σ_{j,j'} â_j·â_j'·G_{jj'}(t − start), with
+    G_{jj'}(d) = Σ_{i,i'} resp[i,j,d]·W⁻¹[i,i']·resp[i',j',d] a FIXED
+    basis of M(M+1)/2 kernels (symmetric pairs folded, off-diagonal
+    doubled). The whole K-trigger subtraction is therefore K scalar
+    spikes per pair + ONE overlap-save FFT convolution
+    (:func:`residual_subtract_conv`) instead of a serial K-segment loop.
+    """
+
+    fir: TriggerKernel   # P-channel, single-output overlap-save FIR over
+                         # the G basis (nt = 2Nt−1, pretrigger = nt−1 so
+                         # of_fir_blocks returns the plain convolution)
+    j1: np.ndarray       # [P] int32 template-pair indices, j1 ≤ j2
+    j2: np.ndarray
+
+
+def make_residual_basis(kernel: TriggerKernel,
+                        block: Optional[int] = None) -> ResidualBasis:
+    """Precompute the Δχ²-subtraction convolution basis for a trigger
+    kernel (host side, once per channel).
+
+    Default overlap-save sizing: the basis kernel is 2Nt−1 long, so a
+    2×-overlap FFT would spend half its work on the overlap; F = 4×
+    overlap (25% waste) measured fastest on chip (844 vs 690 Ms/s at
+    Nt=4096 — BASELINE.md config 7)."""
+    resp = np.asarray(kernel.response, np.float64)          # [M, M, seg]
+    iw = np.asarray(kernel.iw_matrix, np.float64)
+    m, _, seg = resp.shape
+    if block is None:
+        overlap = max(128 * int(np.ceil((seg - 1) / 128)), 128)
+        block = max(16384, 4 * overlap)
+    gfull = np.einsum("abl,ac,cdl->bdl", resp, iw, resp)    # [M, M, seg]
+    j1, j2 = np.triu_indices(m)
+    basis = gfull[j1, j2] * np.where(j1 == j2, 1.0, 2.0)[:, None]
+    real_dtype = np.asarray(kernel.response).dtype
+    g_fft, pk_p, pk_q, blk, f_size = _fir_layout(
+        basis[:, None, :], block, real_dtype)
+    fir = TriggerKernel(
+        g_fft=g_fft, g_pk_p=pk_p, g_pk_q=pk_q,
+        iw_matrix=np.eye(1, dtype=real_dtype),
+        response=np.zeros((1, 1, 1), real_dtype),
+        nt=seg, pretrigger=seg - 1, fs=kernel.fs, block=blk,
+        fft_size=f_size, resolution=np.ones(1, real_dtype))
+    return ResidualBasis(fir=fir, j1=j1.astype(np.int32),
+                         j2=j2.astype(np.int32))
+
+
+def residual_subtract_conv(dchi2: jnp.ndarray, triggers: TriggerSet,
+                           kernel: TriggerKernel, basis: ResidualBasis,
+                           saturated: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    """FFT-convolution residual subtraction — the fast default path.
+
+    Mathematically identical to :func:`residual_subtract` (same
+    responses, same peak alignment, same edge clipping), but instead of
+    K sequential segment updates the subtraction runs as a sparse-
+    impulse convolution over the fixed basis carried by ``basis`` (see
+    :class:`ResidualBasis`): per basis pair, each valid trigger
+    contributes one scalar spike â_j1·â_j2 at its aligned start, and one
+    overlap-save FFT convolution pass produces the full subtraction
+    trace. Cost is O(L·log F) with NO serial K-loop — the full residual
+    re-trigger runs at 844 vs 317 Ms/s for the dynamic-slice loop at
+    Nt=4096, L=1.25 Ms (BASELINE.md config 7, 2.7×).
+
+    The one semantic difference from the loop: FFT roundoff scatters
+    ~eps × the largest subtraction peak over the whole trace instead of
+    staying inside the touched segments (f32: ~1e-7·max Δχ²_subtracted —
+    negligible against any physical threshold; the saturation veto
+    removes the pathological huge-pulse case before subtraction).
+
+    ``dchi2`` may be flat [L] or block-layout [R, B] (row-major time
+    order); the result has the same layout.
+    """
+    shp = dchi2.shape
+    d_flat = dchi2.reshape(-1)
+    l = d_flat.shape[0]
+    seg = kernel.response.shape[-1]                        # 2·Nt − 1
+    resp = jnp.asarray(kernel.response)
+    iw = jnp.asarray(kernel.iw_matrix)
+    amps = triggers.amplitudes                             # [M, K]
+
+    # peak alignment: argmax of each trigger's own response shape
+    # (small: K × M² × seg flops)
+    q_resp = _einsum("ijl,jk->kil", resp, amps)
+    d_resp = _einsum("kil,ij,kjl->kl", q_resp, iw, q_resp)
+    peak = jnp.argmax(d_resp, axis=-1).astype(jnp.int32)   # [K]
+
+    valid = triggers.indices >= 0
+    if saturated is not None:
+        valid = valid & ~saturated[jnp.clip(triggers.indices, 0)]
+
+    j1 = jnp.asarray(basis.j1)
+    j2 = jnp.asarray(basis.j2)
+    coeff = (amps[j1, :] * amps[j2, :]
+             * valid[None, :].astype(d_flat.dtype))        # [P, K]
+    # spike positions on a seg-left-padded axis so starts as low as
+    # −(seg−1) (peak beyond the trigger index) stay in bounds; the final
+    # slice drops out-of-trace contributions exactly like the loop path
+    pos = jnp.clip(triggers.indices - peak + seg, 0, l + seg - 1)
+    spikes = jnp.zeros((coeff.shape[0], l + seg), d_flat.dtype)
+    spikes = spikes.at[:, pos].add(coeff)
+    # basis.fir has pretrigger = nt−1 ⇒ q(T) = conv(spikes, G)(T); the
+    # subtraction at trace index t is q(t + seg)
+    qb, _ = of_fir_blocks(spikes, basis.fir, valid_range=(0, l + seg))
+    sub = qb[0].reshape(-1)[seg: seg + l]
+    return (d_flat - sub).reshape(shp)

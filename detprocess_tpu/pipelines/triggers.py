@@ -329,6 +329,10 @@ class _TriggerChannel:
     sat_amps: Optional[list]
     edge_exclusion_msec: Optional[float]
     positive_pulses: bool = True
+    # Δχ²-subtraction convolution basis (built when run_residual):
+    # the residual pass runs as spikes + one overlap-save FFT conv
+    # (ops/trigger.residual_subtract_conv) instead of a serial K-loop
+    residual_basis: Optional[trig_ops.ResidualBasis] = None
     # dynamic-pileup-window mode (reference oftrigger.py dynamic=True):
     # jax-traceable fn(running-max Δχ²) → merge window in samples; set
     # programmatically via set_dynamic_threshold (functions can't come
@@ -441,6 +445,7 @@ class TriggerProcessing:
             pileup = (int(pileup_msec * self._fs / 1000)
                       if pileup_msec is not None
                       else int(tcfg.get("pileup_window_samples", 0)))
+            run_residual = bool(tcfg.get("run_residual", False))
             self._channels.append(_TriggerChannel(
                 name=trig_name,
                 channel_name=chan,
@@ -450,10 +455,12 @@ class TriggerProcessing:
                 threshold_sigma=thresh,
                 pileup_window=pileup,
                 chi2_threshold=trig_ops.chi2_threshold(thresh, bank.ntmps),
-                run_residual=bool(tcfg.get("run_residual", False)),
+                run_residual=run_residual,
                 sat_amps=tcfg.get("saturation_amplitudes"),
                 edge_exclusion_msec=tcfg.get("edge_exclusion_msec"),
                 positive_pulses=bool(tcfg.get("positive_pulses", True)),
+                residual_basis=(trig_ops.make_residual_basis(kernel)
+                                if run_residual else None),
             ))
 
     # ------------------------------------------------------------------
@@ -461,23 +468,40 @@ class TriggerProcessing:
                          mesh=None):
         kernel = tc.kernel
 
+        def saturation(trace):
+            if tc.sat_amps is None:
+                return None
+            lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
+            return trig_ops.saturation_mask(
+                lpf, tc.sat_amps, kernel.nt // 4,
+                positive_pulses=tc.positive_pulses)
+
         def run_one(trace):
             q_blocks, _ = trig_ops.of_fir_blocks(trace, kernel)
             iw = jnp.asarray(kernel.iw_matrix)
-            # fast path: no residual/dynamic mode and a tileable pileup
-            # window → fused Δχ² + two-level tiled merge; the full
-            # amplitude series a(t) is never materialized (round-3
-            # roofline work, see find_triggers_tiled)
+            # fast path: no dynamic mode and a tileable pileup window →
+            # fused Δχ² + two-level tiled merge; the full amplitude
+            # series a(t) is never materialized (round-3 roofline work,
+            # see find_triggers_tiled). The residual pass stays on this
+            # path: subtraction is a spike scatter + one FFT convolution
+            # (residual_subtract_conv) in the same block layout.
             if (tc.dynamic_threshold_function is None
-                    and not tc.run_residual
                     and trig_ops._tile_size(tc.pileup_window) >= 8):
                 dchi2_b = trig_ops.delta_chi2_from_q(q_blocks, iw)
                 ts = trig_ops.find_triggers_tiled(
                     dchi2_b, q_blocks, tc.chi2_threshold,
                     tc.pileup_window, capacity, amps_transform=iw)
-                return ts, None
+                if not tc.run_residual:
+                    return ts, None
+                resid_b = trig_ops.residual_subtract_conv(
+                    dchi2_b, ts, kernel, tc.residual_basis,
+                    saturation(trace))
+                ts2 = trig_ops.find_triggers_tiled(
+                    resid_b, q_blocks, tc.chi2_threshold,
+                    tc.pileup_window, capacity, amps_transform=iw)
+                return ts, ts2
             dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
-            # flat views (residual path + dynamic mode)
+            # flat views (dynamic mode + sub-tile pileup windows)
             l = trace.shape[-1]
             dchi2 = dchi2_b.reshape(-1)[:l]
             amps = amps_b.reshape(amps_b.shape[0], -1)[:, :l]
@@ -491,14 +515,9 @@ class TriggerProcessing:
                     dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
                     capacity)
             if tc.run_residual:
-                if tc.sat_amps is not None:
-                    lpf = spectral.lowpass_filter(trace, 50e3, kernel.fs)
-                    sat = trig_ops.saturation_mask(
-                        lpf, tc.sat_amps, kernel.nt // 4,
-                        positive_pulses=tc.positive_pulses)
-                else:
-                    sat = None
-                resid = trig_ops.residual_subtract(dchi2, ts, kernel, sat)
+                resid = trig_ops.residual_subtract_conv(
+                    dchi2, ts, kernel, tc.residual_basis,
+                    saturation(trace))
                 if tc.dynamic_threshold_function is not None:
                     # the residual pass must merge with the same dynamic
                     # window as the primary pass

@@ -242,6 +242,63 @@ def test_residual_subtraction_removes_trigger():
     assert float(resid[i0]) < 0.02 * float(dchi2[i0])
 
 
+def test_residual_subtract_conv_matches_loop():
+    """The FFT-convolution subtraction (spikes over the G basis) equals
+    the sequential dynamic-slice loop in float64, including multi-template
+    banks, overlapping responses, edge-straddling triggers, saturation
+    skips, and flat-vs-block layouts."""
+    rng = np.random.default_rng(7)
+    # two templates on one channel → M=2, basis P=3 with off-diag doubling
+    t1 = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=20e-6,
+                             tau_f1=200e-6)
+    t2 = pulse.make_template(FS, NT, PRETRIG, A=1.0, tau_r=10e-6,
+                             tau_f1=500e-6)
+    tmpl = np.stack([t1, t2])[None, :, :]                  # [1, 2, NT]
+    csd = np.full((1, 1, NT), 4e-18, complex)
+    bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, PRETRIG)
+    kernel = trigger.make_trigger_kernel(bank, block=8192,
+                                         real_dtype=np.float64)
+    basis = trigger.make_residual_basis(kernel, block=8192)
+
+    l = 40_000
+    dchi2 = np.abs(rng.standard_normal(l)) * 2.0
+    cap = 16
+    # triggers at interior, overlapping (closer than 2NT−1), and both
+    # edges (responses straddle the trace boundaries); trailing slots
+    # empty (-1)
+    idx = np.full(cap, -1, np.int32)
+    idx[:6] = [120, 5000, 5600, 20000, 39000, 39900]
+    amps = np.zeros((2, cap))
+    amps[:, :6] = rng.standard_normal((2, 6)) * 3.0
+    ts = trigger.TriggerSet(indices=jnp.asarray(idx),
+                            dchi2=jnp.asarray(np.zeros(cap)),
+                            amplitudes=jnp.asarray(amps),
+                            count=jnp.int32(6),
+                            count_total=jnp.int32(6))
+    sat = np.zeros(l, bool)
+    sat[20000] = True                                      # veto one
+    d = jnp.asarray(dchi2)
+    loop = np.asarray(trigger.residual_subtract(d, ts, kernel,
+                                                jnp.asarray(sat)))
+    conv = np.asarray(trigger.residual_subtract_conv(
+        d, ts, kernel, basis, jnp.asarray(sat)))
+    # FFT convolution scatters roundoff ~machine-eps × the subtraction
+    # peak over the whole trace (the loop touches exact segments only) —
+    # compare at that scale
+    tol = 1e-12 * np.max(np.abs(loop - dchi2))
+    np.testing.assert_allclose(conv, loop, rtol=1e-9, atol=tol)
+    # the vetoed trigger's neighborhood is untouched
+    np.testing.assert_allclose(conv[19000:21000], dchi2[19000:21000],
+                               atol=tol)
+
+    # block layout round-trips: [R, B] in → [R, B] out, same values
+    r, b = 40, 1000
+    conv_b = np.asarray(trigger.residual_subtract_conv(
+        d.reshape(r, b), ts, kernel, basis, jnp.asarray(sat)))
+    np.testing.assert_allclose(conv_b.reshape(-1), loop, rtol=1e-9,
+                               atol=tol)
+
+
 def test_combine_trigger_sets_dedup():
     """combine_trigger_data semantics (oftrigger.py:262-321): original
     entries all kept; new-pass entries appended only at new indices."""
