@@ -543,16 +543,17 @@ def bench_trigger_modes(quick=False):
         return jax.vmap(one)(x)
 
     def dynamic(x):
+        # mirrors the pipeline dispatch: flat Δχ² from q, raw filter
+        # outputs through the kernel, winners transformed by iw inside
         def one(t):
             qb, _ = trigger.of_fir_blocks(t, kernel)
-            d, a = trigger.delta_chi2_blocks(qb, iw)
             l_ = t.shape[-1]
-            d_flat = d.reshape(-1)[:l_]
-            a_flat = a.reshape(a.shape[0], -1)[:, :l_]
+            d_flat = trigger.delta_chi2_from_q(qb, iw).reshape(-1)[:l_]
+            q_flat = qb.reshape(qb.shape[0], -1)[:, :l_]
             ts = trigger.find_triggers_dynamic_kernel(
-                d_flat, a_flat, thr,
+                d_flat, q_flat, thr,
                 lambda m: 125.0 + 0.1 * jnp.sqrt(m), 512,
-                candidate_capacity=4096)
+                candidate_capacity=4096, amps_transform=iw)
             return ts.indices, ts.count
         return jax.vmap(one)(x)
 

@@ -864,22 +864,99 @@ def find_triggers_sharded(dchi2: jnp.ndarray, amps: jnp.ndarray,
     )
 
 
+def _compact_above(dchi2: jnp.ndarray, threshold: float,
+                   candidate_capacity: int, tile: int = 512):
+    """First-K above-threshold samples (index AND value) in time order.
+
+    The obvious compaction (``jnp.sort`` of index-or-sentinel keys) costs
+    a full [L]-element sort — measured 22 ms of the dynamic trigger's
+    31 ms per 10 Msamples on chip — and every gather-based replacement
+    (binary search over an [L] prefix count, or [K] tile-row gathers)
+    still pays ~5-7 ms because gathers lower poorly on this backend.
+    This version is GATHER-FREE: per-tile above counts (one bandwidth
+    pass), the tile of the s-th candidate by a broadcast compare-sum
+    against the tiny [T] count prefix, tile rows fetched by a one-hot
+    [K, T]×[T, G] MXU matmul (0/1 values — exact at any precision; the
+    value rows ride the HIGHEST-precision einsum, f32-exact), and the
+    in-tile rank resolved by a row cumsum + one-hot select.
+
+    Returns (cand_idx int32 [K] with sentinel l, cand_val [K] with
+    sentinel −inf, valid bool [K], n_above int32).
+    """
+    l = dchi2.shape[-1]
+    pad = (-l) % tile
+    # pad with zeros, NOT -inf: the one-hot row fetch below is a matmul,
+    # and 0 x (-inf) = NaN would poison every fetched row whose in-tile
+    # column also exists in the final (padded) tile
+    d = jnp.pad(dchi2, (0, pad)) if pad else dchi2
+    d2 = d.reshape(-1, tile)                              # [T, G]
+    at = d2 > threshold
+    if pad:
+        # mask the pad tail out of the above-mask (iota, no HBM pass)
+        at = at & (jnp.arange(d.shape[-1]).reshape(-1, tile) < l)
+    t = at.shape[0]
+    cnt = jnp.sum(at, axis=-1, dtype=jnp.int32)           # [T] (tiny)
+    ccum = jnp.cumsum(cnt)                                # inclusive
+    n_above = ccum[-1]
+    targets = jnp.arange(1, candidate_capacity + 1, dtype=jnp.int32)
+    # tile of the s-th above sample: first t with ccum[t] ≥ s+1, i.e.
+    # #(ccum < s+1) — a [K, T] broadcast compare, no searchsorted gathers
+    t_idx = jnp.sum((ccum[None, :] < targets[:, None]).astype(jnp.int32),
+                    axis=-1)
+    t_idx = jnp.clip(t_idx, 0, t - 1)
+    tiles = jnp.arange(t, dtype=jnp.int32)
+    onehot_t = (t_idx[:, None] == tiles[None, :])         # [K, T]
+    # above-count in tiles strictly before t_idx → 1-based in-tile rank
+    before = jnp.sum(jnp.where(tiles[None, :] < t_idx[:, None],
+                               cnt[None, :], 0), axis=-1)
+    rank = (targets - before).astype(d2.dtype)
+    oh = onehot_t.astype(d2.dtype)
+    rows_a = jnp.einsum("kt,tg->kg", oh, at.astype(d2.dtype),
+                        precision=jax.lax.Precision.DEFAULT)  # 0/1 exact
+    rows_d = _einsum("kt,tg->kg", oh, d2)                 # f32-exact
+    rc = jnp.cumsum(rows_a, axis=-1)
+    # the rank-th above sample in the row: first position that is above
+    # AND whose running count equals rank (counts ≤ G are f32-exact)
+    hit = (rc == rank[:, None]) & (rows_a > 0.5)
+    pos = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    cand_idx = t_idx * tile + pos
+    cand_val = jnp.sum(jnp.where(hit, rows_d, 0.0), axis=-1)
+    valid = targets <= n_above
+    return (jnp.where(valid, cand_idx, l),
+            jnp.where(valid, cand_val, -jnp.inf), valid, n_above)
+
+
 def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                                  threshold: float, window_fn,
                                  capacity: int,
-                                 candidate_capacity: int = 4096):
+                                 candidate_capacity: int = 4096,
+                                 amps_transform: Optional[jnp.ndarray]
+                                 = None):
     """Dynamic-pileup-window triggering ON DEVICE.
 
     Device counterpart of :func:`find_triggers_dynamic` (the reference's
     ``dynamic=True`` mode, oftrigger.py:78-142): the merge window
     between successive above-threshold samples is ``window_fn(m)`` of the
     running maximum Δχ² of the current group — including the candidate
-    being considered, matching the reference loop. The sequential
-    dependence runs as a ``lax.scan`` over the first
-    ``candidate_capacity`` above-threshold samples (compacted in time
-    order), so the scan length is the candidate count, not the trace
-    length. ``window_fn`` must be jax-traceable (scalar → scalar, in
-    samples); use the host version for arbitrary Python callables.
+    being considered, matching the reference loop. ``window_fn`` must be
+    jax-traceable (scalar → scalar, in samples); use the host version
+    for arbitrary Python callables.
+
+    Structure (the round-3 rewrite; semantics unchanged, pinned by the
+    host-oracle property test): candidates compact WITHOUT a trace-length
+    sort (:func:`_compact_above`); the inherently sequential part — the
+    split decisions — runs as a ``lax.scan`` whose carry is ONE scalar
+    (the running group max; the previous candidate's index is data, not
+    state) emitting a group-start flag per candidate; winners then come
+    from a vectorized segmented max/first-achiever pass over the [K]
+    candidate arrays. The scan length is ``candidate_capacity``, never
+    the trace length.
+
+    ``amps_transform`` (optional [M, M']): when given, ``amps`` is the
+    raw filter output q [M', L] and per-trigger amplitudes are
+    ``amps_transform @ q[:, winners]`` — the trace-length amplitude
+    series is never materialized (same contract as
+    :func:`find_triggers_tiled`).
 
     Returns a :class:`TriggerSet`; ``count_total`` counts ALL merged
     groups (including those beyond ``capacity``), and ``n_above`` the
@@ -889,64 +966,51 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     (pipelines/triggers.py warns loudly).
     """
     l = dchi2.shape[-1]
-    above = dchi2 > threshold
-    n_above = jnp.sum(above.astype(jnp.int32))
-    # first K above-sample indices in time order (sentinel l = missing)
-    key = jnp.where(above, jnp.arange(l, dtype=jnp.int32), jnp.int32(l))
-    cand_idx = jnp.sort(key)[:candidate_capacity]
-    valid = cand_idx < l
-    safe = jnp.clip(cand_idx, 0, l - 1)
-    cand_val = jnp.where(valid, dchi2[safe], -jnp.inf)
+    cand_idx, cand_val, valid, n_above = _compact_above(
+        dchi2, threshold, candidate_capacity)
+    # gap to the previous candidate; the first candidate gets a gap no
+    # window can cover, so it always starts a group
+    prev = jnp.concatenate([jnp.full((1,), jnp.int32(-(1 << 30))),
+                            cand_idx[:-1]])
+    gaps = (cand_idx - prev).astype(dchi2.dtype)
 
-    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
-    buf_i = jnp.full((capacity,), -1, jnp.int32)
-    buf_v = jnp.zeros((capacity,), dchi2.dtype)
-
-    def body(carry, x):
-        buf_i, buf_v, nout, ngroups, gmax, gmax_i, last = carry
-        i, v, ok = x
+    def body(gmax, x):
+        gap, v, ok = x
         # window from the running max INCLUDING this candidate
         # (oftrigger.py:_getchangeslessthandynamicthresh semantics)
         probe = jnp.maximum(gmax, v)
         window = jnp.asarray(window_fn(probe), dchi2.dtype)
-        gap = (i - last).astype(dchi2.dtype)
-        splits = ok & (last >= 0) & (gap > window)
-        # close the previous group: emit its winner
-        emit = splits & (nout < capacity)
-        buf_i = jnp.where(
-            emit, buf_i.at[jnp.clip(nout, 0, capacity - 1)].set(gmax_i),
-            buf_i)
-        buf_v = jnp.where(
-            emit, buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
-            buf_v)
-        nout = nout + emit.astype(jnp.int32)
-        ngroups = ngroups + splits.astype(jnp.int32)
-        # start new group or extend the current one
-        new_gmax = jnp.where(splits, v, jnp.maximum(gmax, v))
-        new_gmax_i = jnp.where(
-            splits | (v > gmax), i, gmax_i)
-        gmax = jnp.where(ok, new_gmax, gmax)
-        gmax_i = jnp.where(ok, new_gmax_i, gmax_i)
-        last = jnp.where(ok, i, last)
-        return (buf_i, buf_v, nout, ngroups, gmax, gmax_i, last), None
+        start = ok & (gap > window)
+        gmax = jnp.where(ok, jnp.where(start, v, probe), gmax)
+        return gmax, start
 
-    init = (buf_i, buf_v, jnp.int32(0), jnp.int32(0), neg, jnp.int32(-1),
-            jnp.int32(-1))
-    (buf_i, buf_v, nout, ngroups, gmax, gmax_i, last), _ = jax.lax.scan(
-        body, init, (cand_idx, cand_val, valid))
-    # final group
-    emit = (last >= 0) & (nout < capacity)
-    buf_i = jnp.where(emit,
-                      buf_i.at[jnp.clip(nout, 0, capacity - 1)].set(gmax_i),
-                      buf_i)
-    buf_v = jnp.where(emit,
-                      buf_v.at[jnp.clip(nout, 0, capacity - 1)].set(gmax),
-                      buf_v)
-    nout = nout + emit.astype(jnp.int32)
-    ngroups = ngroups + (last >= 0).astype(jnp.int32)
+    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
+    _, starts = jax.lax.scan(body, neg, (gaps, cand_val, valid),
+                             unroll=8)
 
-    amp_out = jnp.where(buf_i[None, :] >= 0,
-                        amps[:, jnp.clip(buf_i, 0, l - 1)], 0.0)
+    # winners per group, vectorized: group id = running start count;
+    # group max via segment_max; winner = FIRST candidate achieving it
+    # (matching the loop's strict-improvement update)
+    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    ngroups = jnp.sum(starts.astype(jnp.int32))
+    in_cap = valid & (gid >= 0) & (gid < capacity)
+    seg = jnp.clip(gid, 0, capacity - 1)
+    val_m = jnp.where(in_cap, cand_val, -jnp.inf)
+    gmax_g = jax.ops.segment_max(val_m, seg, num_segments=capacity)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    achieves = in_cap & (cand_val == gmax_g[seg])
+    win_i = jax.ops.segment_min(jnp.where(achieves, cand_idx, big), seg,
+                                num_segments=capacity)
+    has_g = win_i < big
+    buf_i = jnp.where(has_g, win_i, -1)
+    buf_v = jnp.where(has_g, gmax_g, 0.0)
+    nout = jnp.minimum(ngroups, jnp.int32(capacity))
+
+    amp_cols = amps[:, jnp.clip(buf_i, 0, l - 1)]
+    if amps_transform is not None:
+        amp_cols = _einsum("ij,jk->ik", jnp.asarray(amps_transform),
+                           amp_cols)
+    amp_out = jnp.where(buf_i[None, :] >= 0, amp_cols, 0.0)
     return TriggerSet(indices=buf_i, dchi2=buf_v, amplitudes=amp_out,
                       count=nout, count_total=ngroups, n_above=n_above)
 

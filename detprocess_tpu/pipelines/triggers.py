@@ -500,35 +500,46 @@ class TriggerProcessing:
                     resid_b, q_blocks, tc.chi2_threshold,
                     tc.pileup_window, capacity, amps_transform=iw)
                 return ts, ts2
-            dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
-            # flat views (dynamic mode + sub-tile pileup windows)
             l = trace.shape[-1]
+            if tc.dynamic_threshold_function is not None:
+                # dynamic mode: flat Δχ² + raw filter outputs q; the
+                # amplitude series is never materialized (winners are
+                # transformed by iw inside the kernel)
+                dchi2 = trig_ops.delta_chi2_from_q(
+                    q_blocks, iw).reshape(-1)[:l]
+                q_flat = q_blocks.reshape(q_blocks.shape[0], -1)[:, :l]
+                ts = trig_ops.find_triggers_dynamic_kernel(
+                    dchi2, q_flat, tc.chi2_threshold,
+                    tc.dynamic_threshold_function, capacity,
+                    candidate_capacity=tc.dynamic_candidate_capacity,
+                    amps_transform=iw)
+                if not tc.run_residual:
+                    return ts, None
+                resid = trig_ops.residual_subtract_conv(
+                    dchi2, ts, kernel, tc.residual_basis,
+                    saturation(trace))
+                # the residual pass must merge with the same dynamic
+                # window as the primary pass
+                ts2 = trig_ops.find_triggers_dynamic_kernel(
+                    resid, q_flat, tc.chi2_threshold,
+                    tc.dynamic_threshold_function, capacity,
+                    candidate_capacity=tc.dynamic_candidate_capacity,
+                    amps_transform=iw)
+                return ts, ts2
+            # sub-tile pileup windows: flat segmented-scan path
+            dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
             dchi2 = dchi2_b.reshape(-1)[:l]
             amps = amps_b.reshape(amps_b.shape[0], -1)[:, :l]
-            if tc.dynamic_threshold_function is not None:
-                ts = trig_ops.find_triggers_dynamic_kernel(
-                    dchi2, amps, tc.chi2_threshold,
-                    tc.dynamic_threshold_function, capacity,
-                    candidate_capacity=tc.dynamic_candidate_capacity)
-            else:
-                ts = trig_ops.find_triggers_blocks(
-                    dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
-                    capacity)
+            ts = trig_ops.find_triggers_blocks(
+                dchi2_b, amps_b, tc.chi2_threshold, tc.pileup_window,
+                capacity)
             if tc.run_residual:
                 resid = trig_ops.residual_subtract_conv(
                     dchi2, ts, kernel, tc.residual_basis,
                     saturation(trace))
-                if tc.dynamic_threshold_function is not None:
-                    # the residual pass must merge with the same dynamic
-                    # window as the primary pass
-                    ts2 = trig_ops.find_triggers_dynamic_kernel(
-                        resid, amps, tc.chi2_threshold,
-                        tc.dynamic_threshold_function, capacity,
-                        candidate_capacity=tc.dynamic_candidate_capacity)
-                else:
-                    ts2 = trig_ops.find_triggers_kernel(
-                        resid, amps, tc.chi2_threshold, tc.pileup_window,
-                        capacity)
+                ts2 = trig_ops.find_triggers_kernel(
+                    resid, amps, tc.chi2_threshold, tc.pileup_window,
+                    capacity)
                 return ts, ts2
             return ts, None
 

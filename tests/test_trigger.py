@@ -615,6 +615,45 @@ def test_dynamic_kernel_matches_host():
                                rtol=1e-6)
 
 
+def test_dynamic_kernel_fuzz_vs_host():
+    """Property test: the gather-free kernel == host reference loop for
+    random traces over lengths that are / are not compaction-tile
+    multiples (the zero-pad masking regression lives in the tail tile),
+    with the winner amplitudes optionally routed through amps_transform."""
+    thr = 9.0
+
+    def window_fn(m):
+        return 30.0 + 1.5 * jnp.sqrt(m)
+
+    def window_host(m):
+        return 30.0 + 1.5 * np.sqrt(m)
+
+    for seed, l in [(0, 4096), (1, 4097), (2, 12_345), (3, 50_000),
+                    (4, 65_536), (5, 700)]:
+        rng = np.random.default_rng(seed)
+        dchi2 = np.abs(rng.standard_normal(l)) * 3.0
+        # excursions everywhere, including inside the final partial tile
+        hot = rng.integers(0, l, size=40)
+        dchi2[hot] = 10.0 + 80.0 * rng.random(40)
+        amps = rng.standard_normal((2, l))
+        h_idx, h_val, h_amp = trigger.find_triggers_dynamic(
+            dchi2, amps, thr, window_host)
+        iw = np.array([[2.0, 0.5], [-1.0, 3.0]])
+        ts = trigger.find_triggers_dynamic_kernel(
+            jnp.asarray(dchi2), jnp.asarray(amps), thr, window_fn,
+            capacity=256, amps_transform=jnp.asarray(iw))
+        cnt = int(ts.count)
+        assert int(ts.count_total) == len(h_idx), (seed, l, len(h_idx))
+        assert cnt == min(len(h_idx), 256), (seed, l, cnt, len(h_idx))
+        h_idx, h_val, h_amp = h_idx[:cnt], h_val[:cnt], h_amp[:, :cnt]
+        np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt], h_idx)
+        np.testing.assert_allclose(np.asarray(ts.dchi2)[:cnt], h_val,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ts.amplitudes)[:, :cnt],
+                                   iw @ h_amp, rtol=1e-5)
+        assert int(ts.n_above) == int(np.sum(dchi2 > thr))
+
+
 def test_dynamic_kernel_empty_and_capacity():
     dchi2 = np.zeros(1024)
     amps = np.zeros((1, 1024))
