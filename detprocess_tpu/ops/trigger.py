@@ -926,12 +926,115 @@ def _compact_above(dchi2: jnp.ndarray, threshold: float,
             jnp.where(valid, cand_val, -jnp.inf), valid, n_above)
 
 
+def _static_premerge_window(window_fn, threshold) -> int:
+    """floor(window_fn(threshold)) when it is statically known, else 0.
+
+    The pre-merge reduction below is only valid (and only buildable —
+    the tile size is a shape) for a static minimum window; a traced
+    threshold or a window_fn closing over traced values disables it.
+    """
+    if isinstance(threshold, jax.core.Tracer):
+        return 0
+    try:
+        # escape any enclosing jit trace: ops on concrete values must
+        # evaluate NOW (inside jit even constants stage as tracers)
+        with jax.ensure_compile_time_eval():
+            w = window_fn(threshold)
+        if isinstance(w, jax.core.Tracer):
+            return 0       # window_fn closes over traced values
+        return int(np.floor(float(w)))
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError, ValueError):
+        return 0
+
+
+def _premerge_candidates(dchi2: jnp.ndarray, threshold: float, w0: int,
+                         kpg: int):
+    """Compress above-threshold samples into runs that PROVABLY merge.
+
+    For a monotonic non-decreasing ``window_fn``, any two successive
+    above-threshold samples with gap ≤ w0 = window_fn(threshold) always
+    end up in one dynamic group: the running probe max is ≥ threshold,
+    so the merge window is ≥ window_fn(threshold) ≥ gap. Pre-merging
+    those runs (the STATIC merge with window w0) turns the dynamic
+    scan's candidate units from samples into runs — a high-SNR pulse
+    whose Δχ² bump is thousands of samples wide becomes ONE candidate,
+    so ``candidate_capacity`` counts pulses, not samples.
+
+    Per run the dynamic scan needs exactly: the first sample's index and
+    value (the reference loop decides the boundary split at the run's
+    FIRST sample), the last sample's index (the next boundary's gap),
+    the run max (the carry update), and the first sample achieving that
+    max (the winner). All five reduce tile-by-tile exactly like
+    :func:`find_triggers_tiled`.
+
+    Returns (first_idx, last_idx, first_val, max_v, win_idx, valid,
+    n_runs) — [kpg] arrays in time order, sentinel l / −inf past
+    ``n_runs``; runs beyond kpg are DROPPED (callers compare n_runs to
+    the capacity).
+    """
+    l = dchi2.shape[-1]
+    g = _tile_size(w0)
+    pad = (-l) % g
+    d_flat = (jnp.pad(dchi2, (0, pad), constant_values=-jnp.inf)
+              if pad else dchi2)
+    nt_ = (l + pad) // g
+    d = d_flat.reshape(nt_, g)
+    col = jnp.arange(g, dtype=jnp.int32)[None, :]
+    above = d > threshold
+    d_eff = jnp.where(above, d, -jnp.inf)
+    tile_max = jnp.max(d_eff, axis=-1)                        # [T]
+    tile_arg = jnp.argmax(d_eff, axis=-1).astype(jnp.int32)   # first max
+    first_in = jnp.min(jnp.where(above, col, g), axis=-1)
+    last_in = jnp.max(jnp.where(above, col, -1), axis=-1)
+    has = last_in >= 0
+    # value at the tile's first above sample (one-hot select, no gather)
+    tile_first_val = jnp.sum(
+        jnp.where(col == first_in[:, None], d_eff, 0.0), axis=-1)
+    base = jnp.arange(nt_, dtype=jnp.int32) * g
+    first_idx = base + first_in
+    last_idx = jnp.where(has, base + last_in, -1)
+
+    # tile-level static merge with window w0 (find_triggers_tiled form)
+    prev_last = _excl_runmax_1d(last_idx)
+    start = has & ((prev_last < 0) | (first_idx - prev_last > w0))
+    gid = jnp.cumsum(start.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    ok = has & (gid >= 0) & (gid < kpg)
+    seg = jnp.clip(gid, 0, kpg - 1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    tile_no = jnp.arange(nt_, dtype=jnp.int32)
+    pg_max = jax.ops.segment_max(jnp.where(ok, tile_max, -jnp.inf), seg,
+                                 num_segments=kpg)
+    achieves = ok & (tile_max == pg_max[seg])
+    wt = jax.ops.segment_min(jnp.where(achieves, tile_no, big), seg,
+                             num_segments=kpg)
+    ft = jax.ops.segment_min(jnp.where(ok, tile_no, big), seg,
+                             num_segments=kpg)
+    pg_last = jax.ops.segment_max(jnp.where(ok, last_idx, -1), seg,
+                                  num_segments=kpg)
+    valid = jnp.arange(kpg, dtype=jnp.int32) < n_runs
+    wt_s = jnp.clip(wt, 0, nt_ - 1)
+    ft_s = jnp.clip(ft, 0, nt_ - 1)
+    pg_win = wt_s * g + tile_arg[wt_s]                    # [kpg] gathers
+    pg_first = ft_s * g + first_in[ft_s]
+    pg_first_val = tile_first_val[ft_s]
+    neg = jnp.asarray(-jnp.inf, dchi2.dtype)
+    return (jnp.where(valid, pg_first, l),
+            jnp.where(valid, pg_last, l),
+            jnp.where(valid, pg_first_val, neg),
+            jnp.where(valid, pg_max, neg),
+            jnp.where(valid, pg_win, l),
+            valid, n_runs)
+
+
 def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
                                  threshold: float, window_fn,
                                  capacity: int,
                                  candidate_capacity: int = 4096,
                                  amps_transform: Optional[jnp.ndarray]
-                                 = None):
+                                 = None,
+                                 premerge_window: Optional[int] = None):
     """Dynamic-pileup-window triggering ON DEVICE.
 
     Device counterpart of :func:`find_triggers_dynamic` (the reference's
@@ -943,14 +1046,26 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     for arbitrary Python callables.
 
     Structure (the round-3 rewrite; semantics unchanged, pinned by the
-    host-oracle property test): candidates compact WITHOUT a trace-length
-    sort (:func:`_compact_above`); the inherently sequential part — the
-    split decisions — runs as a ``lax.scan`` whose carry is ONE scalar
-    (the running group max; the previous candidate's index is data, not
+    host-oracle property test): candidate units compact WITHOUT a
+    trace-length sort; the inherently sequential part — the split
+    decisions — runs as a ``lax.scan`` whose carry is ONE scalar (the
+    running group max; the previous candidate's index is data, not
     state) emitting a group-start flag per candidate; winners then come
     from a vectorized segmented max/first-achiever pass over the [K]
     candidate arrays. The scan length is ``candidate_capacity``, never
     the trace length.
+
+    ``premerge_window``: for a MONOTONIC NON-DECREASING ``window_fn``
+    (the reference's use case — wider windows for bigger pulses),
+    successive above-threshold samples with gaps ≤ window_fn(threshold)
+    provably always merge, so they compress EXACTLY into runs before the
+    scan (:func:`_premerge_candidates`) and ``candidate_capacity``
+    counts runs (≈ pulses), not samples — a high-SNR stream whose Δχ²
+    bumps are thousands of samples wide no longer overflows the cap.
+    Default ``None`` derives the run window from ``window_fn(threshold)``
+    when that is statically known; pass ``0`` to force sample-level
+    candidates (REQUIRED for a non-monotonic ``window_fn``), or an
+    explicit int to override.
 
     ``amps_transform`` (optional [M, M']): when given, ``amps`` is the
     raw filter output q [M', L] and per-trigger amplitudes are
@@ -960,32 +1075,47 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
 
     Returns a :class:`TriggerSet`; ``count_total`` counts ALL merged
     groups (including those beyond ``capacity``), and ``n_above`` the
-    above-threshold samples. **If n_above > candidate_capacity, later
-    candidates were dropped and winners inside truncated groups can be
-    wrong** — consumers must check and raise ``candidate_capacity``
-    (pipelines/triggers.py warns loudly).
+    candidate units consumed (above-threshold samples, or pre-merged
+    runs when the pre-merge engages). **If n_above > candidate_capacity,
+    later candidates were dropped and winners inside truncated groups
+    can be wrong** — consumers must check and raise
+    ``candidate_capacity`` (pipelines/triggers.py warns loudly).
     """
     l = dchi2.shape[-1]
-    cand_idx, cand_val, valid, n_above = _compact_above(
-        dchi2, threshold, candidate_capacity)
-    # gap to the previous candidate; the first candidate gets a gap no
-    # window can cover, so it always starts a group
+    w0 = (_static_premerge_window(window_fn, threshold)
+          if premerge_window is None else int(premerge_window))
+    if w0 >= 8:  # below 8 the run tiles degenerate; samples are as good
+        (first_i, last_i, first_v, max_v, win_idx, valid,
+         n_above) = _premerge_candidates(dchi2, threshold, w0,
+                                         candidate_capacity)
+    else:
+        first_i, max_v, valid, n_above = _compact_above(
+            dchi2, threshold, candidate_capacity)
+        last_i = win_idx = first_i
+        first_v = max_v
+    # gap to the previous candidate's LAST sample; the first candidate
+    # gets a gap no window can cover, so it always starts a group
     prev = jnp.concatenate([jnp.full((1,), jnp.int32(-(1 << 30))),
-                            cand_idx[:-1]])
-    gaps = (cand_idx - prev).astype(dchi2.dtype)
+                            last_i[:-1]])
+    gaps = (first_i - prev).astype(dchi2.dtype)
 
     def body(gmax, x):
-        gap, v, ok = x
-        # window from the running max INCLUDING this candidate
-        # (oftrigger.py:_getchangeslessthandynamicthresh semantics)
-        probe = jnp.maximum(gmax, v)
+        gap, fv, mv, ok = x
+        # the reference loop decides each boundary at the unit's FIRST
+        # sample with the window from the running max INCLUDING it
+        # (oftrigger.py:_getchangeslessthandynamicthresh semantics);
+        # the rest of the unit then merges unconditionally and only
+        # lifts the carry to the unit max
+        probe = jnp.maximum(gmax, fv)
         window = jnp.asarray(window_fn(probe), dchi2.dtype)
         start = ok & (gap > window)
-        gmax = jnp.where(ok, jnp.where(start, v, probe), gmax)
+        neg_ = jnp.asarray(-jnp.inf, dchi2.dtype)
+        gmax = jnp.where(
+            ok, jnp.maximum(jnp.where(start, neg_, gmax), mv), gmax)
         return gmax, start
 
     neg = jnp.asarray(-jnp.inf, dchi2.dtype)
-    _, starts = jax.lax.scan(body, neg, (gaps, cand_val, valid),
+    _, starts = jax.lax.scan(body, neg, (gaps, first_v, max_v, valid),
                              unroll=8)
 
     # winners per group, vectorized: group id = running start count;
@@ -995,11 +1125,11 @@ def find_triggers_dynamic_kernel(dchi2: jnp.ndarray, amps: jnp.ndarray,
     ngroups = jnp.sum(starts.astype(jnp.int32))
     in_cap = valid & (gid >= 0) & (gid < capacity)
     seg = jnp.clip(gid, 0, capacity - 1)
-    val_m = jnp.where(in_cap, cand_val, -jnp.inf)
+    val_m = jnp.where(in_cap, max_v, -jnp.inf)
     gmax_g = jax.ops.segment_max(val_m, seg, num_segments=capacity)
     big = jnp.int32(np.iinfo(np.int32).max)
-    achieves = in_cap & (cand_val == gmax_g[seg])
-    win_i = jax.ops.segment_min(jnp.where(achieves, cand_idx, big), seg,
+    achieves = in_cap & (max_v == gmax_g[seg])
+    win_i = jax.ops.segment_min(jnp.where(achieves, win_idx, big), seg,
                                 num_segments=capacity)
     has_g = win_i < big
     buf_i = jnp.where(has_g, win_i, -1)

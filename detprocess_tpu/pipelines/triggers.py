@@ -569,9 +569,10 @@ class TriggerProcessing:
         if (ts.n_above is not None
                 and int(ts.n_above) > tc.dynamic_candidate_capacity):
             print(f"WARNING: dynamic-trigger candidate capacity exceeded "
-                  f"on {tc.name}: {int(ts.n_above)} above-threshold "
-                  f"samples > {tc.dynamic_candidate_capacity} — triggers "
-                  f"after the cap are unreliable; raise "
+                  f"on {tc.name}: {int(ts.n_above)} candidate units "
+                  f"(above-threshold runs) > "
+                  f"{tc.dynamic_candidate_capacity} — triggers after the "
+                  f"cap are unreliable; raise "
                   f"set_dynamic_threshold(candidate_capacity=...)")
         if count == 0:
             return pd.DataFrame()

@@ -600,19 +600,23 @@ def test_dynamic_kernel_matches_host():
 
     h_idx, h_val, h_amp = trigger.find_triggers_dynamic(
         dchi2, amps, thr, window_host)
-    ts = jax.jit(
-        lambda d, a: trigger.find_triggers_dynamic_kernel(
-            d, a, thr, window_fn, capacity=64))(
-        jnp.asarray(dchi2), jnp.asarray(amps))
-    d_idx, d_val, d_amp = ts.indices, ts.dchi2, ts.amplitudes
-    cnt = int(ts.count)
-    assert int(ts.count_total) == cnt      # no truncation here
-    assert int(ts.n_above) == int(np.sum(dchi2 > thr))
-    assert cnt == len(h_idx), (cnt, len(h_idx))
-    np.testing.assert_array_equal(np.asarray(d_idx)[:cnt], h_idx)
-    np.testing.assert_allclose(np.asarray(d_val)[:cnt], h_val, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(d_amp)[:, :cnt], h_amp,
-                               rtol=1e-6)
+    # both candidate layouts: pre-merged runs (auto) and raw samples
+    for pw in (None, 0):
+        ts = jax.jit(
+            lambda d, a: trigger.find_triggers_dynamic_kernel(
+                d, a, thr, window_fn, capacity=64, premerge_window=pw))(
+            jnp.asarray(dchi2), jnp.asarray(amps))
+        d_idx, d_val, d_amp = ts.indices, ts.dchi2, ts.amplitudes
+        cnt = int(ts.count)
+        assert int(ts.count_total) == cnt      # no truncation here
+        if pw == 0:
+            assert int(ts.n_above) == int(np.sum(dchi2 > thr))
+        assert cnt == len(h_idx), (pw, cnt, len(h_idx))
+        np.testing.assert_array_equal(np.asarray(d_idx)[:cnt], h_idx)
+        np.testing.assert_allclose(np.asarray(d_val)[:cnt], h_val,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_amp)[:, :cnt], h_amp,
+                                   rtol=1e-6)
 
 
 def test_dynamic_kernel_fuzz_vs_host():
@@ -639,19 +643,34 @@ def test_dynamic_kernel_fuzz_vs_host():
         h_idx, h_val, h_amp = trigger.find_triggers_dynamic(
             dchi2, amps, thr, window_host)
         iw = np.array([[2.0, 0.5], [-1.0, 3.0]])
-        ts = trigger.find_triggers_dynamic_kernel(
-            jnp.asarray(dchi2), jnp.asarray(amps), thr, window_fn,
-            capacity=256, amps_transform=jnp.asarray(iw))
-        cnt = int(ts.count)
-        assert int(ts.count_total) == len(h_idx), (seed, l, len(h_idx))
-        assert cnt == min(len(h_idx), 256), (seed, l, cnt, len(h_idx))
-        h_idx, h_val, h_amp = h_idx[:cnt], h_val[:cnt], h_amp[:, :cnt]
-        np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt], h_idx)
-        np.testing.assert_allclose(np.asarray(ts.dchi2)[:cnt], h_val,
-                                   rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(ts.amplitudes)[:, :cnt],
-                                   iw @ h_amp, rtol=1e-5)
-        assert int(ts.n_above) == int(np.sum(dchi2 > thr))
+        for pw in (None, 0):   # pre-merged runs (auto) and raw samples
+            ts = trigger.find_triggers_dynamic_kernel(
+                jnp.asarray(dchi2), jnp.asarray(amps), thr, window_fn,
+                capacity=256, amps_transform=jnp.asarray(iw),
+                premerge_window=pw)
+            cnt = int(ts.count)
+            assert int(ts.count_total) == len(h_idx), (pw, seed, l,
+                                                       len(h_idx))
+            assert cnt == min(len(h_idx), 256), (pw, seed, l, cnt,
+                                                 len(h_idx))
+            hi, hv, ha = h_idx[:cnt], h_val[:cnt], h_amp[:, :cnt]
+            np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt],
+                                          hi)
+            np.testing.assert_allclose(np.asarray(ts.dchi2)[:cnt], hv,
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(ts.amplitudes)[:, :cnt],
+                                       iw @ ha, rtol=1e-5)
+            if pw == 0:
+                assert int(ts.n_above) == int(np.sum(dchi2 > thr))
+            else:
+                # pre-merge: n_above counts runs of above samples with
+                # gaps <= floor(window_fn(threshold)), computed here
+                # independently of the kernel
+                w0 = int(np.floor(window_host(thr)))
+                ab = np.where(dchi2 > thr)[0]
+                n_runs = (1 + int(np.sum(np.diff(ab) > w0))
+                          if ab.size else 0)
+                assert int(ts.n_above) == n_runs, (seed, l, n_runs)
 
 
 def test_dynamic_kernel_empty_and_capacity():
@@ -674,8 +693,9 @@ def test_dynamic_kernel_empty_and_capacity():
 
 def test_dynamic_kernel_candidate_overflow_reported():
     """A dense above-threshold cluster wider than candidate_capacity:
-    n_above exposes the overflow so consumers can warn/raise the cap
-    (winners past the cap are unreliable by construction)."""
+    sample-level candidates overflow (n_above exposes it so consumers
+    can warn/raise the cap); the default pre-merged path compresses the
+    whole cluster into ONE candidate run and stays exact."""
     l = 10_000
     dchi2 = np.zeros(l)
     dchi2[200:5200] = 30.0       # 5000 above-threshold samples
@@ -683,15 +703,24 @@ def test_dynamic_kernel_candidate_overflow_reported():
     amps = np.zeros((1, l))
     ts = trigger.find_triggers_dynamic_kernel(
         jnp.asarray(dchi2), jnp.asarray(amps), 10.0, lambda m: 50.0,
-        capacity=8, candidate_capacity=1024)
+        capacity=8, candidate_capacity=1024, premerge_window=0)
     assert int(ts.n_above) == 5000 > 1024     # overflow detectable
-    # with a sufficient cap the winner is exact
+    # sample-level with a sufficient cap: the winner is exact
     ts2 = trigger.find_triggers_dynamic_kernel(
         jnp.asarray(dchi2), jnp.asarray(amps), 10.0, lambda m: 50.0,
-        capacity=8, candidate_capacity=8192)
+        capacity=8, candidate_capacity=8192, premerge_window=0)
     assert int(ts2.n_above) == 5000 <= 8192
     assert int(np.asarray(ts2.indices)[0]) == 4700
     assert float(np.asarray(ts2.dchi2)[0]) == 100.0
+    # pre-merge (default): the 5000-sample cluster is ONE candidate, so
+    # even the small cap is exact and reports no overflow
+    ts3 = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0, lambda m: 50.0,
+        capacity=8, candidate_capacity=1024)
+    assert int(ts3.n_above) == 1
+    assert int(np.asarray(ts3.indices)[0]) == 4700
+    assert float(np.asarray(ts3.dchi2)[0]) == 100.0
+    assert int(ts3.count) == 1 == int(ts3.count_total)
 
 
 def test_combine_trigger_data_alias():
