@@ -542,20 +542,26 @@ def bench_trigger_modes(quick=False):
             return ts.indices, ts2.indices
         return jax.vmap(one)(x)
 
-    def dynamic(x):
+    def _dynamic(pw):
         # mirrors the pipeline dispatch: flat Δχ² from q, raw filter
         # outputs through the kernel, winners transformed by iw inside
-        def one(t):
-            qb, _ = trigger.of_fir_blocks(t, kernel)
-            l_ = t.shape[-1]
-            d_flat = trigger.delta_chi2_from_q(qb, iw).reshape(-1)[:l_]
-            q_flat = qb.reshape(qb.shape[0], -1)[:, :l_]
-            ts = trigger.find_triggers_dynamic_kernel(
-                d_flat, q_flat, thr,
-                lambda m: 125.0 + 0.1 * jnp.sqrt(m), 512,
-                candidate_capacity=4096, amps_transform=iw)
-            return ts.indices, ts.count
-        return jax.vmap(one)(x)
+        def run(x):
+            def one(t):
+                qb, _ = trigger.of_fir_blocks(t, kernel)
+                l_ = t.shape[-1]
+                d_flat = trigger.delta_chi2_from_q(qb, iw).reshape(-1)[:l_]
+                q_flat = qb.reshape(qb.shape[0], -1)[:, :l_]
+                ts = trigger.find_triggers_dynamic_kernel(
+                    d_flat, q_flat, thr,
+                    lambda m: 125.0 + 0.1 * jnp.sqrt(m), 512,
+                    candidate_capacity=4096, amps_transform=iw,
+                    premerge_window=pw)
+                return ts.indices, ts.count
+            return jax.vmap(one)(x)
+        return run
+
+    dynamic = _dynamic(None)          # shipping default: pre-merged runs
+    dynamic_samples = _dynamic(0)     # sample-level candidates
 
     @jax.jit
     def make_x(key):
@@ -569,7 +575,9 @@ def bench_trigger_modes(quick=False):
                      ("residual_retrigger", jax.jit(with_residual)),
                      ("residual_retrigger_loop",
                       jax.jit(with_residual_loop)),
-                     ("dynamic_window", jax.jit(dynamic))):
+                     ("dynamic_window", jax.jit(dynamic)),
+                     ("dynamic_window_samples",
+                      jax.jit(dynamic_samples))):
         dt = timeit_pipelined(fn, [(x,)] * k, (x,))
         out[name + "_msamples_per_sec"] = round(k * e * l / dt / 1e6, 1)
     return out

@@ -290,11 +290,14 @@ class TriggerSet(NamedTuple):
     count_total: jnp.ndarray  # scalar int32 — merged groups found; if
                               # > count the capacity truncated the output
     n_above: Optional[jnp.ndarray] = None
-                              # scalar int32 (dynamic kernel only): total
-                              # above-threshold samples; if it exceeds the
-                              # kernel's candidate_capacity, later
-                              # candidates were DROPPED and winners may be
-                              # wrong — raise candidate_capacity
+                              # scalar int32 (dynamic kernel only):
+                              # candidate units consumed — above-threshold
+                              # SAMPLES with premerge_window=0, pre-merged
+                              # RUNS of them when the pre-merge engages
+                              # (the default); if it exceeds the kernel's
+                              # candidate_capacity, later candidates were
+                              # DROPPED and winners may be wrong — raise
+                              # candidate_capacity
 
 
 def _seg_cummax_rows(x: jnp.ndarray, reset: jnp.ndarray):
@@ -909,18 +912,23 @@ def _compact_above(dchi2: jnp.ndarray, threshold: float,
     # above-count in tiles strictly before t_idx → 1-based in-tile rank
     before = jnp.sum(jnp.where(tiles[None, :] < t_idx[:, None],
                                cnt[None, :], 0), axis=-1)
-    rank = (targets - before).astype(d2.dtype)
-    oh = onehot_t.astype(d2.dtype)
-    rows_a = jnp.einsum("kt,tg->kg", oh, at.astype(d2.dtype),
+    # counting arithmetic runs in f32 REGARDLESS of the data dtype:
+    # bf16 cannot represent odd integers above 256, so a bf16 rank /
+    # cumsum would match zero or multiple positions (silent corruption)
+    cdt = jnp.float32
+    rank = (targets - before).astype(cdt)
+    oh = onehot_t.astype(cdt)
+    rows_a = jnp.einsum("kt,tg->kg", oh, at.astype(cdt),
                         precision=jax.lax.Precision.DEFAULT)  # 0/1 exact
-    rows_d = _einsum("kt,tg->kg", oh, d2)                 # f32-exact
+    rows_d = _einsum("kt,tg->kg", oh, d2)   # value upcast is exact
     rc = jnp.cumsum(rows_a, axis=-1)
     # the rank-th above sample in the row: first position that is above
     # AND whose running count equals rank (counts ≤ G are f32-exact)
     hit = (rc == rank[:, None]) & (rows_a > 0.5)
     pos = jnp.argmax(hit, axis=-1).astype(jnp.int32)
     cand_idx = t_idx * tile + pos
-    cand_val = jnp.sum(jnp.where(hit, rows_d, 0.0), axis=-1)
+    cand_val = jnp.sum(jnp.where(hit, rows_d, 0.0),
+                       axis=-1).astype(dchi2.dtype)
     valid = targets <= n_above
     return (jnp.where(valid, cand_idx, l),
             jnp.where(valid, cand_val, -jnp.inf), valid, n_above)
@@ -937,14 +945,17 @@ def _static_premerge_window(window_fn, threshold) -> int:
         return 0
     try:
         # escape any enclosing jit trace: ops on concrete values must
-        # evaluate NOW (inside jit even constants stage as tracers)
+        # evaluate NOW (inside jit even constants stage as tracers);
+        # pass an array, not a float — traceable window_fns may use
+        # array methods (.clip etc.) the scan would also hand them
         with jax.ensure_compile_time_eval():
-            w = window_fn(threshold)
+            w = window_fn(jnp.asarray(threshold))
         if isinstance(w, jax.core.Tracer):
             return 0       # window_fn closes over traced values
         return int(np.floor(float(w)))
     except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError, TypeError, ValueError):
+            jax.errors.ConcretizationTypeError, TypeError, ValueError,
+            AttributeError):
         return 0
 
 

@@ -339,6 +339,7 @@ class _TriggerChannel:
     # from YAML)
     dynamic_threshold_function: Optional[object] = None
     dynamic_candidate_capacity: int = 4096
+    dynamic_premerge_window: Optional[int] = None
 
 
 class TriggerProcessing:
@@ -394,21 +395,28 @@ class TriggerProcessing:
         self._salt_injector = injector
 
     def set_dynamic_threshold(self, channel: str, window_fn,
-                              candidate_capacity: int = 4096):
+                              candidate_capacity: int = 4096,
+                              premerge_window: Optional[int] = None):
         """Enable the dynamic-pileup-window mode for one trigger channel
         (reference find_triggers(dynamic=True, dynamic_threshold_function=…),
         oftrigger.py:684-688): ``window_fn`` maps the running maximum Δχ²
         of the current group to a merge window in samples. It must be
         jax-traceable — the merge then runs on device as a lax.scan over
-        the first ``candidate_capacity`` above-threshold samples
-        (ops.trigger.find_triggers_dynamic_kernel). If an event's
-        above-threshold count exceeds the capacity the pipeline warns
-        loudly (results past the cap are unreliable) — raise
-        ``candidate_capacity`` for high thresholds-crossing rates."""
+        the first ``candidate_capacity`` candidate units
+        (ops.trigger.find_triggers_dynamic_kernel). By default candidates
+        are pre-merged RUNS of above-threshold samples, which is exact
+        only for a MONOTONIC NON-DECREASING ``window_fn`` (the usual
+        bigger-pulses-merge-wider case); for a non-monotonic ``window_fn``
+        you MUST pass ``premerge_window=0`` (sample-level candidates,
+        exact for any function, but wide high-SNR Δχ² bumps then eat the
+        capacity fast). If an event's candidate count exceeds the
+        capacity the pipeline warns loudly (results past the cap are
+        unreliable) — raise ``candidate_capacity``."""
         for tc in self._channels:
             if tc.name == channel or tc.channel_name == channel:
                 tc.dynamic_threshold_function = window_fn
                 tc.dynamic_candidate_capacity = candidate_capacity
+                tc.dynamic_premerge_window = premerge_window
                 return
         raise ValueError(f"no trigger channel named {channel}")
 
@@ -512,7 +520,8 @@ class TriggerProcessing:
                     dchi2, q_flat, tc.chi2_threshold,
                     tc.dynamic_threshold_function, capacity,
                     candidate_capacity=tc.dynamic_candidate_capacity,
-                    amps_transform=iw)
+                    amps_transform=iw,
+                    premerge_window=tc.dynamic_premerge_window)
                 if not tc.run_residual:
                     return ts, None
                 resid = trig_ops.residual_subtract_conv(
@@ -524,7 +533,8 @@ class TriggerProcessing:
                     resid, q_flat, tc.chi2_threshold,
                     tc.dynamic_threshold_function, capacity,
                     candidate_capacity=tc.dynamic_candidate_capacity,
-                    amps_transform=iw)
+                    amps_transform=iw,
+                    premerge_window=tc.dynamic_premerge_window)
                 return ts, ts2
             # sub-tile pileup windows: flat segmented-scan path
             dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
@@ -570,7 +580,8 @@ class TriggerProcessing:
                 and int(ts.n_above) > tc.dynamic_candidate_capacity):
             print(f"WARNING: dynamic-trigger candidate capacity exceeded "
                   f"on {tc.name}: {int(ts.n_above)} candidate units "
-                  f"(above-threshold runs) > "
+                  f"(above-threshold samples, or pre-merged runs when "
+                  f"the pre-merge engages) > "
                   f"{tc.dynamic_candidate_capacity} — triggers after the "
                   f"cap are unreliable; raise "
                   f"set_dynamic_threshold(candidate_capacity=...)")

@@ -673,6 +673,67 @@ def test_dynamic_kernel_fuzz_vs_host():
                 assert int(ts.n_above) == n_runs, (seed, l, n_runs)
 
 
+def test_dynamic_kernel_non_monotonic_window():
+    """Non-monotonic window_fn (narrower windows for big pulses):
+    sample-level candidates (premerge_window=0) stay exact vs the host
+    loop — the pre-merge shortcut is only valid for monotonic fns."""
+    l = 2048
+    dchi2 = np.zeros(l)
+    dchi2[500] = 200.0
+    dchi2[540] = 200.0    # gap 40: merged at window 50, split at 5
+    amps = np.ones((1, l))
+
+    def window_fn(m):
+        return jnp.where(m > 100.0, 5.0, 50.0)
+
+    def window_host(m):
+        return 5.0 if m > 100.0 else 50.0
+
+    h_idx, _, _ = trigger.find_triggers_dynamic(
+        dchi2, amps, 10.0, window_host)
+    ts = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0, window_fn,
+        capacity=8, premerge_window=0)
+    cnt = int(ts.count)
+    assert cnt == len(h_idx) == 2
+    np.testing.assert_array_equal(np.asarray(ts.indices)[:cnt], h_idx)
+
+
+def test_dynamic_kernel_array_method_window_fn():
+    """window_fn using jax array methods (.clip) satisfies the
+    jax-traceable contract; the premerge auto-detection must hand it an
+    array, not a bare float (regression: AttributeError at trace)."""
+    l = 4096
+    dchi2 = np.zeros(l)
+    dchi2[100] = 50.0
+    dchi2[3000] = 80.0
+    amps = np.ones((1, l))
+    ts = trigger.find_triggers_dynamic_kernel(
+        jnp.asarray(dchi2), jnp.asarray(amps), 10.0,
+        lambda m: (0.1 * m).clip(100.0, 5000.0), capacity=8)
+    assert int(ts.count) == 2
+    assert int(ts.n_above) == 2     # premerge engaged: 2 runs
+    np.testing.assert_array_equal(np.asarray(ts.indices)[:2],
+                                  [100, 3000])
+
+
+def test_compact_above_bf16_exact():
+    """bf16 Δχ² input: the compaction's rank/cumsum bookkeeping must run
+    in f32 — bf16 cannot represent odd integers above 256, so a dense
+    >256-sample cluster in one tile previously returned a wrong winner
+    index and a summed (tripled) value."""
+    l = 2048
+    d = np.zeros(l, np.float32)
+    d[0:400] = 20.0                  # dense cluster inside one 512-tile
+    ci, cv, valid, n = trigger._compact_above(
+        jnp.asarray(d, jnp.bfloat16), 10.0, 512)
+    assert int(n) == 400
+    np.testing.assert_array_equal(np.asarray(ci)[:400], np.arange(400))
+    np.testing.assert_allclose(np.asarray(cv)[:400].astype(np.float32),
+                               20.0)
+    assert not bool(np.asarray(valid)[400])
+
+
 def test_dynamic_kernel_empty_and_capacity():
     dchi2 = np.zeros(1024)
     amps = np.zeros((1, 1024))
