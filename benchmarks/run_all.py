@@ -543,21 +543,23 @@ def bench_trigger_modes(quick=False):
         return jax.vmap(one)(x)
 
     def _dynamic(pw):
-        # mirrors the pipeline dispatch: flat Δχ² from q, raw filter
-        # outputs through the kernel, winners transformed by iw inside
+        # mirrors the pipeline dispatch: the FIR/Δχ² stage vmaps per
+        # event, the sequential walk runs once with the batch-shared
+        # early-exit counter (find_triggers_dynamic_batched), winners
+        # transformed by iw inside
         def run(x):
-            def one(t):
+            def pre(t):
                 qb, _ = trigger.of_fir_blocks(t, kernel)
                 l_ = t.shape[-1]
                 d_flat = trigger.delta_chi2_from_q(qb, iw).reshape(-1)[:l_]
                 q_flat = qb.reshape(qb.shape[0], -1)[:, :l_]
-                ts = trigger.find_triggers_dynamic_kernel(
-                    d_flat, q_flat, thr,
-                    lambda m: 125.0 + 0.1 * jnp.sqrt(m), 512,
-                    candidate_capacity=4096, amps_transform=iw,
-                    premerge_window=pw)
-                return ts.indices, ts.count
-            return jax.vmap(one)(x)
+                return d_flat, q_flat
+            d, q = jax.vmap(pre)(x)
+            ts = trigger.find_triggers_dynamic_batched(
+                d, q, thr, lambda m: 125.0 + 0.1 * jnp.sqrt(m), 512,
+                candidate_capacity=4096, amps_transform=iw,
+                premerge_window=pw)
+            return ts.indices, ts.count
         return run
 
     dynamic = _dynamic(None)          # shipping default: pre-merged runs

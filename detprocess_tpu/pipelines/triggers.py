@@ -509,33 +509,6 @@ class TriggerProcessing:
                     tc.pileup_window, capacity, amps_transform=iw)
                 return ts, ts2
             l = trace.shape[-1]
-            if tc.dynamic_threshold_function is not None:
-                # dynamic mode: flat Δχ² + raw filter outputs q; the
-                # amplitude series is never materialized (winners are
-                # transformed by iw inside the kernel)
-                dchi2 = trig_ops.delta_chi2_from_q(
-                    q_blocks, iw).reshape(-1)[:l]
-                q_flat = q_blocks.reshape(q_blocks.shape[0], -1)[:, :l]
-                ts = trig_ops.find_triggers_dynamic_kernel(
-                    dchi2, q_flat, tc.chi2_threshold,
-                    tc.dynamic_threshold_function, capacity,
-                    candidate_capacity=tc.dynamic_candidate_capacity,
-                    amps_transform=iw,
-                    premerge_window=tc.dynamic_premerge_window)
-                if not tc.run_residual:
-                    return ts, None
-                resid = trig_ops.residual_subtract_conv(
-                    dchi2, ts, kernel, tc.residual_basis,
-                    saturation(trace))
-                # the residual pass must merge with the same dynamic
-                # window as the primary pass
-                ts2 = trig_ops.find_triggers_dynamic_kernel(
-                    resid, q_flat, tc.chi2_threshold,
-                    tc.dynamic_threshold_function, capacity,
-                    candidate_capacity=tc.dynamic_candidate_capacity,
-                    amps_transform=iw,
-                    premerge_window=tc.dynamic_premerge_window)
-                return ts, ts2
             # sub-tile pileup windows: flat segmented-scan path
             dchi2_b, amps_b = trig_ops.delta_chi2_blocks(q_blocks, iw)
             dchi2 = dchi2_b.reshape(-1)[:l]
@@ -553,10 +526,59 @@ class TriggerProcessing:
                 return ts, ts2
             return ts, None
 
+        def run_batch_dynamic(traces):
+            # dynamic mode, batched: the FIR/Δχ² stage vmaps per event,
+            # but the inherently sequential candidate walk runs ONCE
+            # with a batch-shared early-exit counter — at realistic
+            # trigger rates it stops after a few candidate blocks
+            # instead of paying candidate_capacity scan steps per event
+            # (ops.trigger.find_triggers_dynamic_batched)
+            iw = jnp.asarray(kernel.iw_matrix)
+
+            def pre(trace):
+                q_blocks, _ = trig_ops.of_fir_blocks(trace, kernel)
+                l = trace.shape[-1]
+                dchi2 = trig_ops.delta_chi2_from_q(
+                    q_blocks, iw).reshape(-1)[:l]
+                q_flat = q_blocks.reshape(q_blocks.shape[0], -1)[:, :l]
+                if tc.sat_amps is None:
+                    return dchi2, q_flat
+                return dchi2, q_flat, saturation(trace)
+
+            outs = jax.vmap(pre)(traces)
+            dchi2, q_flat = outs[0], outs[1]
+            sat = outs[2] if tc.sat_amps is not None else None
+            kw = dict(candidate_capacity=tc.dynamic_candidate_capacity,
+                      amps_transform=iw,
+                      premerge_window=tc.dynamic_premerge_window)
+            ts = trig_ops.find_triggers_dynamic_batched(
+                dchi2, q_flat, tc.chi2_threshold,
+                tc.dynamic_threshold_function, capacity, **kw)
+            if not tc.run_residual:
+                return ts, None
+            if sat is None:
+                resid = jax.vmap(
+                    lambda d, t_: trig_ops.residual_subtract_conv(
+                        d, t_, kernel, tc.residual_basis, None)
+                )(dchi2, ts)
+            else:
+                resid = jax.vmap(
+                    lambda d, t_, s: trig_ops.residual_subtract_conv(
+                        d, t_, kernel, tc.residual_basis, s)
+                )(dchi2, ts, sat)
+            # the residual pass must merge with the same dynamic window
+            # as the primary pass
+            ts2 = trig_ops.find_triggers_dynamic_batched(
+                resid, q_flat, tc.chi2_threshold,
+                tc.dynamic_threshold_function, capacity, **kw)
+            return ts, ts2
+
         # batched over continuous events: [E, C, L] → TriggerSets with a
         # leading E axis (the reference loops events in Python,
         # triggers.py:559-834)
-        batched = jax.vmap(run_one)
+        batched = (run_batch_dynamic
+                   if tc.dynamic_threshold_function is not None
+                   else jax.vmap(run_one))
         if mesh is None:
             return jax.jit(batched)
         # SPMD over the mesh: events are independent, so the batch shards

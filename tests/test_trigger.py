@@ -673,6 +673,44 @@ def test_dynamic_kernel_fuzz_vs_host():
                 assert int(ts.n_above) == n_runs, (seed, l, n_runs)
 
 
+def test_dynamic_batched_vs_vmapped():
+    """find_triggers_dynamic_batched == jax.vmap(single-trace kernel)
+    field-for-field on a batch with wildly uneven candidate counts
+    (zero-candidate lane, dense lane, candidate-capacity-exceeded lane)
+    — the batch-shared early-exit walk must not change any lane."""
+    thr = 9.0
+    l, e = 20_000, 5
+
+    def window_fn(m):
+        return 30.0 + 1.5 * jnp.sqrt(m)
+
+    rng = np.random.default_rng(7)
+    dchi2 = np.abs(rng.standard_normal((e, l))) * 3.0
+    # lane 0: stays all-below-threshold; lane 3: dense candidate block
+    for ev, nhot in [(1, 12), (2, 60), (4, 200)]:
+        hot = rng.integers(0, l, size=nhot)
+        dchi2[ev, hot] = 10.0 + 80.0 * rng.random(nhot)
+    dchi2[3, 2000:2600] = 10.0 + 80.0 * rng.random(600)
+    amps = rng.standard_normal((e, 2, l))
+    iw = jnp.asarray([[2.0, 0.5], [-1.0, 3.0]])
+
+    for pw, ccap in [(None, 512), (0, 512), (0, 128)]:  # 128: exceeded
+        ts_v = jax.vmap(
+            lambda d, a: trigger.find_triggers_dynamic_kernel(
+                d, a, thr, window_fn, capacity=64,
+                candidate_capacity=ccap, amps_transform=iw,
+                premerge_window=pw))(jnp.asarray(dchi2),
+                                     jnp.asarray(amps))
+        ts_b = trigger.find_triggers_dynamic_batched(
+            jnp.asarray(dchi2), jnp.asarray(amps), thr, window_fn,
+            capacity=64, candidate_capacity=ccap, amps_transform=iw,
+            premerge_window=pw)
+        for name in trigger.TriggerSet._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ts_v, name)),
+                np.asarray(getattr(ts_b, name)), err_msg=(name, pw, ccap))
+
+
 def test_dynamic_kernel_non_monotonic_window():
     """Non-monotonic window_fn (narrower windows for big pulses):
     sample-level candidates (premerge_window=0) stay exact vs the host
