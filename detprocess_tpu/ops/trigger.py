@@ -1130,6 +1130,25 @@ def _dynamic_candidates(dchi2, threshold, w0, candidate_capacity):
     return gaps, first_v, max_v, valid, win_idx, n_above
 
 
+def _per_lane_window_fn(window_fn, dtype):
+    """Lift a scalar→scalar ``window_fn`` to batched probes.
+
+    The batched walk's running-max probe is [E]-shaped; calling a
+    user function written against the documented scalar contract with
+    it would break scalar-only primitives (``lax.cond`` raises on a
+    batched predicate). Per-lane vmap keeps the contract; the
+    ``+ 0·s`` term forces the output to depend on the lane input so
+    constant-window functions (which return unbatched values) still
+    batch. Elementwise functions lower to the same HLO either way.
+    """
+    def wf(m):
+        if getattr(m, "ndim", 0) == 0:
+            return window_fn(m)
+        return jax.vmap(
+            lambda s: jnp.asarray(window_fn(s), dtype) + 0 * s)(m)
+    return wf
+
+
 def _dynamic_body(window_fn, dtype):
     """Scan body for the sequential split walk: carry is ONE scalar per
     lane (the running group max); emits a group-start flag per unit."""
@@ -1206,10 +1225,16 @@ def find_triggers_dynamic_batched(dchi2: jnp.ndarray, amps: jnp.ndarray,
     ``dchi2``: [E, L]; ``amps``: [E, M', L]. Returns a TriggerSet of
     [E, ...]-shaped fields (the batched analog of the single-trace
     kernel's output).
+
+    ``window_fn`` keeps the scalar→scalar contract of the single-trace
+    kernel: the walk's probe is a [E] batch here, so the function is
+    vmapped per lane (scalar-only primitives like ``lax.cond`` stay
+    legal; elementwise functions lower to identical HLO).
     """
     e, l = dchi2.shape
     w0 = (_static_premerge_window(window_fn, threshold)
           if premerge_window is None else int(premerge_window))
+    window_fn = _per_lane_window_fn(window_fn, dchi2.dtype)
     gaps, first_v, max_v, valid, win_idx, n_above = jax.vmap(
         lambda d: _dynamic_candidates(d, threshold, w0,
                                       candidate_capacity))(dchi2)

@@ -556,16 +556,11 @@ class TriggerProcessing:
                 tc.dynamic_threshold_function, capacity, **kw)
             if not tc.run_residual:
                 return ts, None
-            if sat is None:
-                resid = jax.vmap(
-                    lambda d, t_: trig_ops.residual_subtract_conv(
-                        d, t_, kernel, tc.residual_basis, None)
-                )(dchi2, ts)
-            else:
-                resid = jax.vmap(
-                    lambda d, t_, s: trig_ops.residual_subtract_conv(
-                        d, t_, kernel, tc.residual_basis, s)
-                )(dchi2, ts, sat)
+            resid = jax.vmap(
+                lambda d, t_, s: trig_ops.residual_subtract_conv(
+                    d, t_, kernel, tc.residual_basis, s),
+                in_axes=(0, 0, None if sat is None else 0),
+            )(dchi2, ts, sat)
             # the residual pass must merge with the same dynamic window
             # as the primary pass
             ts2 = trig_ops.find_triggers_dynamic_batched(

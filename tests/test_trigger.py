@@ -694,7 +694,9 @@ def test_dynamic_batched_vs_vmapped():
     amps = rng.standard_normal((e, 2, l))
     iw = jnp.asarray([[2.0, 0.5], [-1.0, 3.0]])
 
-    for pw, ccap in [(None, 512), (0, 512), (0, 128)]:  # 128: exceeded
+    # ccap 128: capacity exceeded; ccap 100: not a block multiple, so
+    # the pad>0 path of the batched walk is exercised
+    for pw, ccap in [(None, 512), (0, 512), (0, 128), (0, 100)]:
         ts_v = jax.vmap(
             lambda d, a: trigger.find_triggers_dynamic_kernel(
                 d, a, thr, window_fn, capacity=64,
@@ -709,6 +711,42 @@ def test_dynamic_batched_vs_vmapped():
             np.testing.assert_array_equal(
                 np.asarray(getattr(ts_v, name)),
                 np.asarray(getattr(ts_b, name)), err_msg=(name, pw, ccap))
+
+
+def test_dynamic_batched_scalar_only_window_fn():
+    """window_fn keeps the documented scalar→scalar contract in the
+    batched kernel: a lax.cond-based function (illegal on a batched
+    predicate) and a constant-returning function (unbatched output)
+    must both work and match the vmapped single-trace kernel."""
+    thr = 9.0
+    l, e = 8_000, 3
+    rng = np.random.default_rng(3)
+    dchi2 = np.abs(rng.standard_normal((e, l))) * 3.0
+    for ev, nhot in [(0, 20), (1, 80), (2, 5)]:
+        hot = rng.integers(0, l, size=nhot)
+        dchi2[ev, hot] = 10.0 + 60.0 * rng.random(nhot)
+    amps = rng.standard_normal((e, 1, l))
+
+    def cond_fn(m):
+        return jax.lax.cond(m > 50.0, lambda: 400.0, lambda: 40.0)
+
+    def const_fn(m):
+        return 60.0
+
+    for wf in (cond_fn, const_fn):
+        ts_v = jax.vmap(
+            lambda d, a: trigger.find_triggers_dynamic_kernel(
+                d, a, thr, wf, capacity=64, candidate_capacity=256,
+                premerge_window=0))(jnp.asarray(dchi2),
+                                    jnp.asarray(amps))
+        ts_b = trigger.find_triggers_dynamic_batched(
+            jnp.asarray(dchi2), jnp.asarray(amps), thr, wf,
+            capacity=64, candidate_capacity=256, premerge_window=0)
+        for name in trigger.TriggerSet._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ts_v, name)),
+                np.asarray(getattr(ts_b, name)),
+                err_msg=(name, wf.__name__))
 
 
 def test_dynamic_kernel_non_monotonic_window():
