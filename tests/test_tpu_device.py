@@ -449,3 +449,82 @@ def test_windowed_direct_equals_masked_on_device(bank_and_template):
     np.testing.assert_allclose(dt0, mt0, atol=1e-9)
     np.testing.assert_allclose(da[:, 0], 3e-6, rtol=1e-3)
     assert np.all(np.abs(dt0 - 21 / FS) < 1.5 / FS)
+
+
+def test_dynamic_batched_on_device():
+    """The batch-shared early-exit dynamic-window walk
+    (find_triggers_dynamic_batched) matches vmap of the single-trace
+    kernel field-for-field on the real chip, with a constant window
+    reproducing the static tiled merge's trigger indices."""
+    from detprocess_tpu.models import pulse
+    from detprocess_tpu.ops import filterbank, trigger as trig
+
+    nt, pre = 4096, 1024
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    psd = np.full(nt, 4e-18)
+    bank = filterbank.make_ofnxm_bank(tmpl, psd.astype(complex), FS, pre)
+    kernel = trig.make_trigger_kernel(bank)
+    thr = trig.chi2_threshold(6.0, 1)
+    iw = jnp.asarray(kernel.iw_matrix)
+
+    rng = np.random.default_rng(11)
+    e, l = 3, 2**18
+    x = (rng.standard_normal((e, 1, l)) * np.sqrt(psd[0] * FS)).astype(
+        np.float32)
+    inj = list(range(30_000, l - 30_000, 41_113))
+    for ev in range(e):
+        for t0 in inj:
+            x[ev, 0, t0 - pre: t0 - pre + nt] += 3e-6 * tmpl
+
+    def window_fn(m):
+        return 125.0 + 0.0 * m          # constant == static merge
+
+    def pre_stage(t):
+        qb, _ = trig.of_fir_blocks(t, kernel)
+        d = trig.delta_chi2_from_q(qb, iw).reshape(-1)[:l]
+        q = qb.reshape(qb.shape[0], -1)[:, :l]
+        return d, q
+
+    @jax.jit
+    def batched(x):
+        d, q = jax.vmap(pre_stage)(x[:, 0:1])
+        return trig.find_triggers_dynamic_batched(
+            d, q, thr, window_fn, 64, candidate_capacity=1024,
+            amps_transform=iw)
+
+    @jax.jit
+    def vmapped(x):
+        d, q = jax.vmap(pre_stage)(x[:, 0:1])
+        return jax.vmap(lambda dd, qq: trig.find_triggers_dynamic_kernel(
+            dd, qq, thr, window_fn, 64, candidate_capacity=1024,
+            amps_transform=iw))(d, q)
+
+    @jax.jit
+    def static(x):
+        def one(t):
+            qb, _ = trig.of_fir_blocks(t, kernel)
+            d = trig.delta_chi2_from_q(qb, iw)
+            return trig.find_triggers_tiled(d, qb, thr, 125, 64,
+                                            amps_transform=iw)
+        return jax.vmap(one)(x[:, 0:1])
+
+    ts_b = batched(jnp.asarray(x))
+    ts_v = vmapped(jnp.asarray(x))
+    ts_s = static(jnp.asarray(x))
+    for name in trig.TriggerSet._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ts_b, name)),
+            np.asarray(getattr(ts_v, name)), err_msg=name)
+    cnt_b = np.asarray(ts_b.count)
+    cnt_s = np.asarray(ts_s.count)
+    np.testing.assert_array_equal(cnt_b, cnt_s)
+    for ev in range(e):
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ts_b.indices)[ev, :cnt_b[ev]]),
+            np.sort(np.asarray(ts_s.indices)[ev, :cnt_s[ev]]))
+        # every injection present (argmax of the noisy unconstrained
+        # delta-chi2 lands within ~1 rise time of the injection point)
+        idx = np.asarray(ts_b.indices)[ev, :cnt_b[ev]]
+        for t0 in inj:
+            assert np.any(np.abs(idx - t0) <= 30), (ev, t0)
