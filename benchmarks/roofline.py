@@ -142,6 +142,65 @@ def psd_build():
             "input_gb_per_s": round(in_gb / dt, 1)}
 
 
+def nxm_chain():
+    """NxM withdelay chain at the BASELINE config-4 shape (1024×4×8k).
+
+    Bytes accounting for the packed chain (per dispatch, complex64
+    spectra), used in BASELINE.md's roofline table:
+      forward half-size FFT    : r 0.134 + w 0.134 GB (Z [B,C,N/2] c64)
+      channel mix P·Z+Q·conj(Zr): r 0.268 (Z fwd+rev) + w 0.067 (zp, M=2)
+      inverse FFT + retangle   : r 0.067 + w 0.067 (q_scan [B,M,N] f32)
+      dchi2 einsum             : r 0.067 + w 0.034
+      pick/argmax + q_best     : r 0.034 + r 0.067(gather)
+      chi2_base (re-reads Z,Zr): r 0.268
+    ≈ 1.2 GB/dispatch ⇒ ~12.5 ms at the measured 96 GB/s bound.
+    """
+    c, m, n, pretrig, b = 4, 2, 8192, 4096, 1024
+    t1 = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=10e-6,
+                             tau_f1=80e-6)
+    t2 = pulse.make_template(FS, n, pretrig, A=1.0, tau_r=20e-6,
+                             tau_f1=300e-6)
+    tmpl = np.zeros((c, m, n))
+    for ch in range(c):
+        tmpl[ch, 0] = t1 * (1.0 if ch % 2 == 0 else 0.3)
+        tmpl[ch, 1] = t2 * (1.0 if ch % 2 == 1 else 0.3)
+    csd = np.zeros((c, c, n), dtype=complex)
+    for ch in range(c):
+        csd[ch, ch] = 1e-20
+    bank = filterbank.make_ofnxm_bank(tmpl, csd, FS, pretrig)
+    from detprocess_tpu.ops import fft as dfft
+    from detprocess_tpu.ops import ofnxm
+    packed = dfft.site_packed(n, "feature")
+    host = dict(bank.to_device(np.float32))
+    if packed:
+        host["pk"] = filterbank.packed_nxm_coeffs(bank, np.float32)
+    dev = jax.tree.map(jnp.asarray, host)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b, c, n)).astype(np.float32))
+
+    def withdelay(x, d):
+        nb = filterbank.device_bank_nxm(d)
+        if packed:
+            z, zr = dfft.packed_spectrum(x)
+            r = ofnxm.ofnxm_withdelay_packed(z, zr,
+                                             ofnxm.device_packed_nxm(
+                                                 d["pk"]),
+                                             nb.iw_matrix, pretrig, FS, n)
+        else:
+            vfft = of1x1.signal_fft(x)
+            r = ofnxm.ofnxm_withdelay(vfft, nb.phi, nb.w_matrix,
+                                      nb.iw_matrix, nb.icsd, pretrig, FS)
+        return r.amps, r.t0
+
+    dt = timeit(jax.jit(withdelay), (x, dev))
+    moved_gb = 1.2 if packed else 2.2       # accounting above
+    return {"row": "nxm_withdelay" + ("_packed" if packed else ""),
+            "ms": round(dt * 1e3, 2),
+            "events_per_s": round(b / dt, 1),
+            "accounted_gb": moved_gb,
+            "achieved_gb_per_s": round(moved_gb / dt, 1)}
+
+
 def trigger_stages():
     nt, pretrig = 4096, 1024
     l = 1_250_000
@@ -192,6 +251,7 @@ def main():
     for r in feature_of1x1():
         print(json.dumps(r), flush=True)
     print(json.dumps(psd_build()), flush=True)
+    print(json.dumps(nxm_chain()), flush=True)
     for r in trigger_stages():
         print(json.dumps(r), flush=True)
 

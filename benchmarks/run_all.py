@@ -718,6 +718,28 @@ def bench_end_to_end(quick=False):
             t_trig = min(t_trig, time.perf_counter() - t0)
         n_trig = len(trig_df)
 
+        # --- int16 ADC-code storage: the same data stored as codes
+        # (real pytesdaq layout). The pipeline uploads the int16 codes —
+        # HALF the host→device bytes — and converts to amps on device.
+        w16 = RawWriter(os.path.join(tmp, "raw16"),
+                        "I1_D20260817_T120000", FS, ["chan1"],
+                        detector_config={"chan1": {"close_loop_norm": 1.0}},
+                        adc_conversion_factor=2e-9)
+        w16.write_dump(traces.astype(np.float64), dump_num=1)
+        raw16 = sorted(
+            os.path.join(tmp, "raw16", f)
+            for f in os.listdir(os.path.join(tmp, "raw16"))
+            if f.endswith(".hdf5"))
+        tp16 = TriggerProcessing(raw16, tpath, filter_data=fpath,
+                                 verbose=False)
+        trig16_df = tp16.process(capacity=512)        # compile/warm
+        t_trig16 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            trig16_df = tp16.process(capacity=512)
+            t_trig16 = min(t_trig16, time.perf_counter() - t0)
+        n_trig16 = len(trig16_df)
+
         # --- feature pipeline end-to-end on the trigger dataframe
         fp = FeatureProcessing(raw_files, cpath, filter_data=fpath,
                                trigger_dataframe=trig_df, verbose=False)
@@ -748,6 +770,10 @@ def bench_end_to_end(quick=False):
             "feature_e2e_sec": round(t_feat, 3),
             "trigger_e2e_msamples_per_sec": round(
                 total_samples / t_trig / 1e6, 2),
+            "trigger_e2e_int16_sec": round(t_trig16, 3),
+            "trigger_e2e_int16_msamples_per_sec": round(
+                total_samples / t_trig16 / 1e6, 2),
+            "n_triggers_int16": n_trig16,
             "device_only_msamples_per_sec": round(
                 total_samples / dt_dev / 1e6, 2),
             "feature_e2e_events_per_sec": round(

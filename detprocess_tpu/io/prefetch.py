@@ -35,10 +35,11 @@ class EventPrefetcher:
 
     def __init__(self, reader, depth: int = 32,
                  channels: Optional[Sequence[str]] = None,
-                 dtype=None):
+                 dtype=None, raw: bool = False):
         self._reader = reader
         self._channels = channels
         self._dtype = dtype
+        self._raw = raw
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._error: Optional[BaseException] = None
         self._done = False
@@ -49,7 +50,13 @@ class EventPrefetcher:
     def _run(self):
         try:
             while not self._stop.is_set():
-                kw = {} if self._dtype is None else {"dtype": self._dtype}
+                if self._raw:
+                    # stored-dtype reads (int16 ADC codes stay int16);
+                    # admin carries "adc_conv" for on-device conversion
+                    kw = {"dtype": None, "adctoamp": False}
+                else:
+                    kw = ({} if self._dtype is None
+                          else {"dtype": self._dtype})
                 traces, admin = self._reader.read_next_event(
                     channels=self._channels, **kw)
                 if traces is None:
@@ -114,8 +121,10 @@ class EventPrefetcher:
 
 def prefetch_events(reader, depth: int = 32,
                     channels: Optional[Sequence[str]] = None,
-                    dtype=None) -> EventPrefetcher:
+                    dtype=None, raw: bool = False) -> EventPrefetcher:
     """Wrap a RawReader in a background prefetcher. ``dtype`` forwards
-    to ``read_next_event`` (None = the reader's float64 default)."""
+    to ``read_next_event`` (None = the reader's float64 default);
+    ``raw=True`` reads stored-dtype traces with no host ADC conversion
+    (``adctoamp=False, dtype=None`` — see RawReader.read_next_event)."""
     return EventPrefetcher(reader, depth=depth, channels=channels,
-                           dtype=dtype)
+                           dtype=dtype, raw=raw)

@@ -86,7 +86,8 @@ class RawWriter:
                  fridge_run: Optional[int] = None,
                  series_start_time: Optional[int] = None,
                  group_start_time: Optional[int] = None,
-                 fridge_run_start_time: Optional[int] = None):
+                 fridge_run_start_time: Optional[int] = None,
+                 adc_conversion_factor: Optional[float] = None):
         self.path = path
         self.series_name = series_name
         self.sample_rate = float(sample_rate)
@@ -102,7 +103,23 @@ class RawWriter:
         self.series_start_time = series_start_time
         self.group_start_time = group_start_time
         self.fridge_run_start_time = fridge_run_start_time
+        # int16 ADC-code storage (real pytesdaq layout): traces are
+        # quantized as codes = rint(amps · close_loop_norm / cal) with
+        # cal = adc_conversion_factor (volts/bit) and per-channel
+        # close_loop_norm from detector_config. Readers recover
+        # amps = codes · cal / close_loop_norm — and pipelines can upload
+        # the int16 codes and convert on device (half the bytes).
+        self.adc_conversion_factor = adc_conversion_factor
         os.makedirs(path, exist_ok=True)
+
+    def _channel_conv(self) -> np.ndarray:
+        """Per-channel ADC→amps factor cal/close_loop_norm [C]."""
+        cal = float(self.adc_conversion_factor)
+        cln = np.array([
+            float((self.detector_config.get(c) or {}).get(
+                "close_loop_norm", 1.0)) or 1.0
+            for c in self.channels])
+        return cal / cln
 
     def file_name(self, dump_num: int) -> str:
         return os.path.join(
@@ -144,11 +161,34 @@ class RawWriter:
                 g.attrs["nb_pretrigger_samples"] = int(
                     self.nb_pretrigger_samples)
             g.attrs["channel_list"] = self.channels
-            g.attrs["adc_conversion_factor"] = 1.0  # stored in amps
+            if self.adc_conversion_factor is None:
+                # float mode: cal=1, but readers ALWAYS recover
+                # amps = stored·cal/close_loop_norm (real pytesdaq files
+                # are ADC codes, the reader cannot distinguish), so store
+                # amps·close_loop_norm for an exact round trip when the
+                # detector_config carries a real close_loop_norm
+                g.attrs["adc_conversion_factor"] = 1.0
+                cln = np.array([
+                    float((self.detector_config.get(c) or {}).get(
+                        "close_loop_norm", 1.0)) or 1.0
+                    for c in self.channels])
+                stored = (traces * cln[None, :, None]).astype(np.float32)
+            else:
+                g.attrs["adc_conversion_factor"] = float(
+                    self.adc_conversion_factor)
+                conv = self._channel_conv()
+                codes = np.rint(traces / conv[None, :, None])
+                if np.abs(codes).max(initial=0) > np.iinfo(np.int16).max:
+                    raise ValueError(
+                        "int16 ADC overflow: max |code| "
+                        f"{np.abs(codes).max():.0f} > 32767 — raise "
+                        "adc_conversion_factor (volts/bit) or "
+                        "close_loop_norm")
+                stored = codes.astype(np.int16)
             g.attrs["dataset_prefix"] = "event_"
             for i in range(nb_events):
                 ds = g.create_dataset(f"event_{i + 1}",
-                                      data=traces[i].astype(np.float32))
+                                      data=stored[i])
                 ds.attrs["event_id"] = i + 1
                 ds.attrs["event_num"] = i + 1
                 ds.attrs["event_time"] = (
@@ -241,6 +281,16 @@ class RawReader:
         return md
 
     @property
+    def raw_path(self):
+        """Directory holding the raw files (one path when they share a
+        directory, else the sorted unique list) — the reference exposes
+        the equivalent via ProcessingData.get_raw_path
+        (processing_data.py:500-503)."""
+        dirs = sorted({os.path.dirname(os.path.abspath(f))
+                       for f in self.files})
+        return dirs[0] if len(dirs) == 1 else dirs
+
+    @property
     def sample_rate(self) -> float:
         return float(self.get_metadata()["sample_rate"])
 
@@ -270,14 +320,23 @@ class RawReader:
             self._ra_ds = {}
 
     def read_next_event(self, channels: Optional[Sequence[str]] = None,
-                        dtype=np.float64):
+                        dtype=np.float64, adctoamp: bool = True):
         """Returns (traces [C, N] amps, admin dict) or (None, None) at end.
 
         ``dtype``: host dtype of the returned traces. float64 default
         (analysis pipelines compare against float64 goldens); the
         trigger pipeline requests float32 — its device math is float32
         anyway, and converting at read time halves the host copies and
-        the stack before upload."""
+        the stack before upload.
+
+        ``adctoamp=False, dtype=None``: RAW mode — traces come back in
+        the STORED dtype with no host conversion at all (int16 ADC codes
+        for real pytesdaq data), and the admin dict carries the
+        per-channel conversion factors as ``admin["adc_conv"]``
+        (amps = stored · conv). Pipelines upload the codes and convert
+        ON DEVICE: half the host→device bytes and one fewer host copy
+        per event (the reference always converts on host via pytesio,
+        processing_data.py:520-526)."""
         while True:
             if self._file_idx >= len(self.files):
                 return None, None
@@ -294,7 +353,8 @@ class RawReader:
                 continue
             self._event_idx += 1
             return self._read_event(self._h5, fname, self._event_idx,
-                                    channels, dtype=dtype)
+                                    channels, dtype=dtype,
+                                    adctoamp=adctoamp)
 
     def read_single_event(self, event_index: int,
                           file_name: Optional[str] = None,
@@ -389,7 +449,15 @@ class RawReader:
             arr = ds[:, start:start + int(length)]
         else:
             arr = ds[...]
-        traces = arr.astype(dtype)
+        if dtype is None:
+            if adctoamp:
+                raise ValueError(
+                    "dtype=None (stored-dtype raw mode) requires "
+                    "adctoamp=False — converting to amps needs a float "
+                    "dtype; pass e.g. dtype=np.float32")
+            traces = arr                        # stored dtype, no copy
+        else:
+            traces = arr.astype(dtype)
         if adctoamp:
             traces = traces * fc["conv"][:, None].astype(dtype)
         if channels is not None:
@@ -408,6 +476,13 @@ class RawReader:
             self._event_admin_cache[ekey] = ev
         admin = dict(fc["admin"])
         admin.update(ev)
+        if not adctoamp:
+            # raw mode: hand the caller the per-(selected-)channel
+            # ADC→amps factors so the conversion can run ON DEVICE
+            conv = fc["conv"]
+            if channels is not None:
+                conv = conv[idx]
+            admin["adc_conv"] = conv.astype(np.float32)
         return traces, admin
 
     def get_detector_config(self, file_name: Optional[str] = None) -> dict:

@@ -179,6 +179,33 @@ class FeatureProcessing:
         self._salt_injector = injector
 
     # ------------------------------------------------------------------
+    # ProcessingData-style accessors (the reference exposes these on its
+    # ProcessingData event-access object, processing_data.py:130, :500,
+    # :1230-1279; here event access is folded into this pipeline, so the
+    # accessors live on it for migrating users)
+    # ------------------------------------------------------------------
+    def get_filter_data_inst(self):
+        """The FilterData store in use (processing_data.py:130-131)."""
+        return self._filter_data
+
+    def get_raw_path(self):
+        """Raw-data path(s) backing the reader (processing_data.py:500-503)."""
+        return self._reader.raw_path
+
+    def get_sample_rate(self):
+        """Trace sampling rate in Hz (processing_data.py:1207-1227)."""
+        return self._fs
+
+    def get_nb_samples(self) -> int:
+        """Raw-trace sample count from metadata (processing_data.py:1230),
+        or the trigger-window length in trigger-dataframe mode."""
+        return self._raw_nb_samples()
+
+    def get_nb_pretrigger_samples(self) -> int:
+        """Pretrigger sample count (processing_data.py:1253)."""
+        return self._raw_pretrigger()
+
+    # ------------------------------------------------------------------
     # plan compilation
     # ------------------------------------------------------------------
     def _raw_nb_samples(self) -> int:
@@ -994,9 +1021,17 @@ class FeatureProcessing:
             if start < 0 or start + n > raw_n:
                 dropped += 1
                 continue
-            traces, admin = self._reader.read_single_event(
-                int(row["event_number"]), file_name=fname,
-                trace_window=(start, n))
+            if getattr(self, "_raw_reads", False):
+                # stored-dtype windowed read: int16 ADC codes upload
+                # as-is and convert on device (process() applies
+                # admin["adc_conv"]) — half the host→device bytes
+                traces, admin = self._reader.read_single_event(
+                    int(row["event_number"]), file_name=fname,
+                    trace_window=(start, n), adctoamp=False, dtype=None)
+            else:
+                traces, admin = self._reader.read_single_event(
+                    int(row["event_number"]), file_name=fname,
+                    trace_window=(start, n))
             if self._salt_injector is not None:
                 traces = self._salt_injector(traces, admin,
                                              window_start=start)
@@ -1021,9 +1056,11 @@ class FeatureProcessing:
     def _iter_full_batches(self, batch_size: int, nevents: int,
                            prefetch_depth: int = 64):
         self._reader.rewind()
+        raw = getattr(self, "_raw_reads", False)
         if prefetch_depth > 0:
             from detprocess_tpu.io.prefetch import prefetch_events
-            source = prefetch_events(self._reader, depth=prefetch_depth)
+            source = prefetch_events(self._reader, depth=prefetch_depth,
+                                     raw=raw)
         else:
             source = self._reader
         total = 0
@@ -1033,7 +1070,11 @@ class FeatureProcessing:
                 want = batch_size if nevents < 0 else min(batch_size,
                                                           nevents - total)
                 for _ in range(want):
-                    tr, admin = source.read_next_event()
+                    if prefetch_depth > 0 or not raw:
+                        tr, admin = source.read_next_event()
+                    else:
+                        tr, admin = source.read_next_event(
+                            dtype=None, adctoamp=False)
                     if tr is None:
                         break
                     if self._salt_injector is not None:
@@ -1175,6 +1216,14 @@ class FeatureProcessing:
                               f"{skip_events} events "
                               f"(dump {state['dump']})")
 
+        # RAW (stored-dtype) reads when unsalted and computing in
+        # float32: int16 ADC codes upload as stored — half the
+        # host→device bytes — and the ADC→amps conversion runs on device
+        # (admin["adc_conv"]). float64 runs keep host-converted reads
+        # (they are the golden-precision path); salting injects float
+        # templates on the host.
+        self._raw_reads = (self._salt_injector is None
+                           and np.dtype(dtype) == np.float32)
         batches = (self._iter_trigger_batches(batch_size, nevents)
                    if self._trigger_df is not None
                    else self._iter_full_batches(batch_size, nevents))
@@ -1204,25 +1253,44 @@ class FeatureProcessing:
         group_fns = self._group_fns_for(mesh)
         for raw_np, admins in batches:
             nb = raw_np.shape[0]
+            convs = None
+            if self._raw_reads:
+                convs = np.stack([
+                    np.asarray(a.pop("adc_conv",
+                                     np.ones(raw_np.shape[1])),
+                               np.float32)
+                    for a in admins])
+            upload = raw_np
+            if not np.issubdtype(upload.dtype, np.integer):
+                # float-stored data uploads as the compute dtype (as
+                # before); integer ADC codes upload AS STORED
+                upload = upload.astype(dtype, copy=False)
             if mesh is not None:
                 n_dev = mesh.devices.size
                 padn = (-nb) % n_dev
                 if padn:
                     # repeat the last event so B divides the device
                     # count; emit() trims back to nb
-                    raw_np = np.concatenate(
-                        [raw_np, np.repeat(raw_np[-1:], padn, axis=0)])
+                    upload = np.concatenate(
+                        [upload, np.repeat(upload[-1:], padn, axis=0)])
+                    if convs is not None:
+                        convs = np.concatenate(
+                            [convs, np.repeat(convs[-1:], padn, axis=0)])
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
                 # device_put on the HOST array uploads each shard to its
                 # device directly; jnp.asarray first would stage the full
                 # batch on device 0 and reshard (double transfer)
-                raw = jax.device_put(
-                    np.asarray(raw_np).astype(dtype, copy=False),
-                    NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
+                sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
+                raw = jax.device_put(upload, sharding)
+                if convs is not None:
+                    raw = _adc_convert(raw, jax.device_put(convs,
+                                                           sharding))
             else:
-                raw = jnp.asarray(raw_np, dtype)
+                raw = jnp.asarray(upload)
+                if convs is not None:
+                    raw = _adc_convert(raw, jnp.asarray(convs))
             bp = raw_np.shape[0]
             dev_feats: Dict[str, jnp.ndarray] = {}
             for group_fn, bank in zip(group_fns, banks):
@@ -1373,6 +1441,19 @@ class FeatureProcessing:
             state["dump"],
             "parquet" if output_format == "parquet" else "hdf5")
         tables.write_table(df, path, fmt=output_format)
+
+
+def _adc_convert(raw, conv):
+    """On-device ADC→amps conversion: ``raw`` [B, C, N] in the stored
+    dtype (int16 codes for real pytesdaq data), ``conv`` [B, C] the
+    per-event/channel cal/close_loop_norm factors. One fused elementwise
+    pass — exactly what the float path's upload staging already cost."""
+    if not hasattr(_adc_convert, "_fn"):
+        import jax as _jax
+
+        _adc_convert._fn = _jax.jit(
+            lambda r, c: r.astype(jnp.float32) * c[:, :, None])
+    return _adc_convert._fn(raw, conv)
 
 
 def _parse_memory_limit(limit):

@@ -574,15 +574,27 @@ class TriggerProcessing:
         batched = (run_batch_dynamic
                    if tc.dynamic_threshold_function is not None
                    else jax.vmap(run_one))
+
+        def with_conv(sub, conv):
+            # on-device ADC→amps conversion: ``sub`` arrives in the
+            # STORED dtype (int16 codes for real pytesdaq data — half
+            # the host→device bytes of float32) and ``conv`` [E, C] is
+            # the per-event/channel cal/close_loop_norm factor (1.0 when
+            # the host already converted, e.g. the salted path). The
+            # multiply fuses into the FIR chain's first pass.
+            x = sub.astype(jnp.float32) * conv[:, :, None]
+            return batched(x)
+
         if mesh is None:
-            return jax.jit(batched)
+            return jax.jit(with_conv)
         # SPMD over the mesh: events are independent, so the batch shards
         # along the events axis with no collectives (process() pads the
         # batch to a device-count multiple)
         from jax.sharding import PartitionSpec as P
         from detprocess_tpu.parallel import mesh as pmesh
         spec = P(pmesh.EVENTS_AXIS)
-        return jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
+        return jax.jit(jax.shard_map(with_conv, mesh=mesh,
+                                     in_specs=(spec, spec),
                                      out_specs=spec))
 
     def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
@@ -849,30 +861,36 @@ class TriggerProcessing:
         # events per dispatch, ``pipeline_depth`` dispatches in flight;
         # a reader thread keeps ``prefetch_depth`` events decoded ahead so
         # HDF5 IO overlaps device compute (io.prefetch)
-        # float32 reads when no salt injector: the device math is
-        # float32 anyway, and converting at read time halves the host
-        # copies and the pre-upload stack (salting injects float64
-        # templates, which would silently upcast the stack — keep the
-        # reader's float64 default in that case)
-        read_dtype = (np.float32 if self._salt_injector is None
-                      else np.float64)
+        # RAW (stored-dtype) reads when no salt injector: traces upload
+        # in the stored dtype — int16 ADC codes for real pytesdaq data,
+        # HALF the host→device bytes of float32 — and the ADC→amps
+        # conversion runs on device, fused into the FIR chain (the
+        # reference always converts on host, processing_data.py:520-526).
+        # Salting injects float64 templates on the host, so that path
+        # keeps host-converted float64 reads.
+        raw_mode = self._salt_injector is None
+        nchan_all = len(self._available_channels)
         if prefetch_depth > 0:
             from detprocess_tpu.io.prefetch import prefetch_events
-            source = prefetch_events(self._reader, depth=prefetch_depth,
-                                     dtype=read_dtype)
+            source = prefetch_events(
+                self._reader, depth=prefetch_depth, raw=raw_mode,
+                dtype=None if raw_mode else np.float64)
         else:
             source = self._reader
         inflight = []
         while nevents < 0 or total < nevents:
-            batch_traces, batch_admins = [], []
+            batch_traces, batch_admins, batch_convs = [], [], []
             want = event_batch if nevents < 0 else min(
                 event_batch, nevents - total)
             for _ in range(want):
                 if prefetch_depth > 0:
                     traces, admin = source.read_next_event()
+                elif raw_mode:
+                    traces, admin = source.read_next_event(
+                        dtype=None, adctoamp=False)
                 else:
                     traces, admin = source.read_next_event(
-                        dtype=read_dtype)
+                        dtype=np.float64)
                 if traces is None:
                     break
                 if resume_after is not None and (
@@ -881,6 +899,10 @@ class TriggerProcessing:
                     continue
                 if self._salt_injector is not None:
                     traces = self._salt_injector(traces, admin)
+                conv = admin.pop("adc_conv", None)
+                batch_convs.append(
+                    np.ones(nchan_all, np.float32) if conv is None
+                    else np.asarray(conv, np.float32))
                 batch_traces.append(traces)
                 batch_admins.append(admin)
             if not batch_traces:
@@ -889,6 +911,11 @@ class TriggerProcessing:
                 break
             total += len(batch_traces)
             host_stack = np.stack(batch_traces)
+            if not np.issubdtype(host_stack.dtype, np.integer):
+                # float-stored data uploads as float32 (as before);
+                # integer ADC codes upload AS STORED — half the bytes
+                host_stack = host_stack.astype(np.float32, copy=False)
+            conv_stack = np.stack(batch_convs)
             if mesh is not None:
                 n_dev = mesh.devices.size
                 pad = (-len(batch_traces)) % n_dev
@@ -898,21 +925,26 @@ class TriggerProcessing:
                     host_stack = np.concatenate(
                         [host_stack, np.repeat(host_stack[-1:], pad,
                                                axis=0)])
+                    conv_stack = np.concatenate(
+                        [conv_stack, np.repeat(conv_stack[-1:], pad,
+                                               axis=0)])
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
                 # device_put on the HOST array uploads each shard to its
                 # device directly; jnp.asarray first would stage the full
                 # batch on device 0 and reshard (double transfer)
-                stacked = jax.device_put(
-                    host_stack.astype(np.float32, copy=False),
-                    NamedSharding(mesh, P(pmesh.EVENTS_AXIS)))
+                sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
+                stacked = jax.device_put(host_stack, sharding)
+                conv_dev = jax.device_put(conv_stack, sharding)
             else:
-                stacked = jnp.asarray(host_stack, jnp.float32)
+                stacked = jnp.asarray(host_stack)
+                conv_dev = jnp.asarray(conv_stack)
             batch_sets = {}
             for tc in self._channels:
-                sub = stacked[:, jnp.asarray(tc.chan_indices), :]
-                batch_sets[tc.name] = fns[tc.name](sub)
+                idx = jnp.asarray(tc.chan_indices)
+                sub = stacked[:, idx, :]
+                batch_sets[tc.name] = fns[tc.name](sub, conv_dev[:, idx])
             inflight.append((batch_traces, batch_admins, batch_sets))
             while len(inflight) > max(pipeline_depth, 0):
                 btr, badm, bsets = inflight.pop(0)

@@ -104,9 +104,11 @@ class TestRawDataAccessors:
         snum = series_to_number(ser)
         tr = rd.get_traces([snum, snum], [1, 3])
         assert tr.shape == (2, 2, N)
-        # traces stored in amps with cal=1; amps = adc / close_loop_norm
-        want0 = rawgroup["traces"][ser][0] / np.array([[2.0], [4.0]])
-        np.testing.assert_allclose(tr[0], want0, rtol=1e-6)
+        # write_dump(amps) → get_traces returns amps: the writer stores
+        # amps·close_loop_norm (cal=1) so the reader's universal
+        # amps = stored·cal/close_loop_norm round-trips exactly
+        np.testing.assert_allclose(tr[0], rawgroup["traces"][ser][0],
+                                   rtol=1e-6)
 
     def test_get_traces_broadcast_series_and_channels(self, rawgroup):
         rd = RawData(rawgroup["root"])

@@ -357,6 +357,20 @@ def test_memory_limit_dumping(dataset, tmp_path):
     assert sum(tables.count_rows(f) for f in files) == 24
 
 
+def test_processing_data_accessors(dataset, result):
+    # the reference's ProcessingData accessor tail
+    # (processing_data.py:130, :500, :1207-1279) lives on the pipeline
+    proc, _ = result
+    import os
+
+    assert proc.get_sample_rate() == FS
+    assert proc.get_nb_samples() == N
+    assert proc.get_nb_pretrigger_samples() == PRETRIG
+    assert proc.get_filter_data_inst() is not None
+    assert proc.get_raw_path() == os.path.dirname(
+        os.path.abspath(dataset["raw_files"][0]))
+
+
 def test_feature_job_summary_written(tmp_path, dataset):
     import glob
     import json

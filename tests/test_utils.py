@@ -223,8 +223,12 @@ def test_find_psd_peaks_host():
 
 
 def test_reader_applies_close_loop_norm(tmp_path):
-    """amps = adc·cal/close_loop_norm: per-channel normalization from
-    /detconfig1 (real pytesdaq data; synthetic amps files default to 1)."""
+    """amps = stored·cal/close_loop_norm: per-channel normalization from
+    /detconfig1 (real pytesdaq data stores ADC codes). The float-mode
+    writer stores amps·close_loop_norm so write_dump(amps) round-trips
+    for any detector_config."""
+    import h5py
+
     from detprocess_tpu.io.rawdata import RawWriter, RawReader
 
     rng = np.random.default_rng(0)
@@ -235,10 +239,16 @@ def test_reader_applies_close_loop_norm(tmp_path):
                                    "c2": {"tes_bias": 1e-4}})
     w.write_dump(traces, dump_num=1)
     files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    # the reader DIVIDES the stored values by close_loop_norm …
+    with h5py.File(files[0], "r") as f:
+        stored = f["adc1"]["event_1"][...]
+    np.testing.assert_allclose(stored[0], traces[0, 0] * 4.0, rtol=1e-6)
+    np.testing.assert_allclose(stored[1], traces[0, 1], rtol=1e-6)
+    # … so reading returns the amps that were written, both channels
     r = RawReader(files)
     tr, admin = r.read_next_event()
-    np.testing.assert_allclose(tr[0], traces[0, 0] / 4.0, rtol=1e-6)
-    np.testing.assert_allclose(tr[1], traces[0, 1], rtol=1e-6)  # cln=1
+    np.testing.assert_allclose(tr[0], traces[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(tr[1], traces[0, 1], rtol=1e-6)
 
 
 def test_reader_resolves_global_event_numbers(tmp_path):
