@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salting_energies", type=float, nargs="+",
                    default=None)
     p.add_argument("--nsalt", type=int, default=100)
+    p.add_argument("--device-salting", "--device_salting",
+                   dest="device_salting", action="store_true",
+                   help="inject salts ON DEVICE (host only plans "
+                        "index/amplitude arrays): salted runs keep the "
+                        "raw int16 upload path — half the host->device "
+                        "bytes. Default: host injection (reference "
+                        "parity path)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--verbose", action="store_true", default=True,
                    help="verbose output (default; see --quiet)")
@@ -275,8 +282,10 @@ def main(argv=None) -> int:
                                  facility=args.facility,
                                  verbose=args.verbose)
         if salting is not None:
-            proc.set_salting(salting.make_injector(
-                RawReader(raw_files).channels))
+            chans = RawReader(raw_files).channels
+            proc.set_salting(
+                salting.make_device_injector(chans)
+                if args.device_salting else salting.make_injector(chans))
         out_dir = os.path.join(out_base, "trigger")
         trigger_df = proc.process(nevents=args.nevents, lgc_save=True,
                                   output_path=out_dir,
@@ -323,8 +332,10 @@ def main(argv=None) -> int:
         if salting is not None:
             # salts live only in the injector, not in the raw files — the
             # feature reads must re-inject them (processing_data.py:539-553)
-            proc.set_salting(salting.make_injector(
-                RawReader(raw_files).channels))
+            chans = RawReader(raw_files).channels
+            proc.set_salting(
+                salting.make_device_injector(chans)
+                if args.device_salting else salting.make_injector(chans))
         out_dir = os.path.join(out_base, "feature")
         proc.process(nevents=args.nevents, batch_size=args.batch_size,
                      lgc_save=True, output_path=out_dir,

@@ -169,14 +169,28 @@ class FeatureProcessing:
         self._groups: List[TraceGroup] = []
         self._group_fns = []
         self._salt_injector = None
+        self._device_injector = None
         self._build_plan()
         self._compile()
 
     def set_salting(self, injector):
-        """Attach a salting injector (Salting.make_injector): salts are
-        re-injected into every trace read, mirroring the reference's
-        on-the-fly injection (processing_data.py:539-553, :613-640)."""
-        self._salt_injector = injector
+        """Attach a salting injector: salts are re-injected into every
+        trace read (full or trigger-windowed), mirroring the reference's
+        on-the-fly injection (processing_data.py:539-553, :613-640).
+
+        Either a HOST injector (``Salting.make_injector``) or a DEVICE
+        injector (``Salting.make_device_injector(channel_list)``) — the
+        latter plans tiny [B, K] arrays on the host and adds templates
+        on device after the ADC conversion, keeping the raw int16
+        upload path for float32 runs."""
+        from detprocess_tpu.ops.saltinject import DeviceInjector
+
+        if isinstance(injector, DeviceInjector):
+            self._salt_injector = None
+            self._device_injector = injector
+        else:
+            self._salt_injector = injector
+            self._device_injector = None
 
     # ------------------------------------------------------------------
     # ProcessingData-style accessors (the reference exposes these on its
@@ -1036,6 +1050,10 @@ class FeatureProcessing:
                 traces = self._salt_injector(traces, admin,
                                              window_start=start)
             admin = dict(admin)
+            if self._device_injector is not None:
+                # device re-injection needs the window offset
+                # (process() pops this into the batch SaltPlan)
+                admin["_window_start"] = start
             for col in ("trigger_index", "trigger_time",
                         "trigger_delta_chi2", "trigger_amplitude",
                         "trigger_type", "trigger_prod_id",
@@ -1251,6 +1269,8 @@ class FeatureProcessing:
                              group_name)
 
         group_fns = self._group_fns_for(mesh)
+        salt_templates = (jnp.asarray(self._device_injector.templates)
+                          if self._device_injector is not None else None)
         for raw_np, admins in batches:
             nb = raw_np.shape[0]
             convs = None
@@ -1260,6 +1280,11 @@ class FeatureProcessing:
                                      np.ones(raw_np.shape[1])),
                                np.float32)
                     for a in admins])
+            plan = None
+            if self._device_injector is not None:
+                starts = [a.pop("_window_start", 0) for a in admins]
+                plan = self._device_injector.plan(admins,
+                                                  window_starts=starts)
             upload = raw_np
             if not np.issubdtype(upload.dtype, np.integer):
                 # float-stored data uploads as the compute dtype (as
@@ -1271,11 +1296,14 @@ class FeatureProcessing:
                 if padn:
                     # repeat the last event so B divides the device
                     # count; emit() trims back to nb
-                    upload = np.concatenate(
-                        [upload, np.repeat(upload[-1:], padn, axis=0)])
+                    def _padrep(a):
+                        return np.concatenate(
+                            [a, np.repeat(a[-1:], padn, axis=0)])
+                    upload = _padrep(upload)
                     if convs is not None:
-                        convs = np.concatenate(
-                            [convs, np.repeat(convs[-1:], padn, axis=0)])
+                        convs = _padrep(convs)
+                    if plan is not None:
+                        plan = type(plan)(*(_padrep(f) for f in plan))
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
@@ -1283,14 +1311,17 @@ class FeatureProcessing:
                 # device directly; jnp.asarray first would stage the full
                 # batch on device 0 and reshard (double transfer)
                 sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
-                raw = jax.device_put(upload, sharding)
-                if convs is not None:
-                    raw = _adc_convert(raw, jax.device_put(convs,
-                                                           sharding))
+                put = lambda a: jax.device_put(a, sharding)  # noqa: E731
             else:
-                raw = jnp.asarray(upload)
-                if convs is not None:
-                    raw = _adc_convert(raw, jnp.asarray(convs))
+                put = jnp.asarray
+            raw = put(upload)
+            if convs is not None:
+                raw = _adc_convert(raw, put(convs))
+            if plan is not None:
+                from detprocess_tpu.ops import saltinject
+                raw = saltinject.inject_salts(
+                    raw, put(plan.idx), put(plan.chan), put(plan.tid),
+                    put(plan.amp), salt_templates)
             bp = raw_np.shape[0]
             dev_feats: Dict[str, jnp.ndarray] = {}
             for group_fn, bank in zip(group_fns, banks):
@@ -1444,16 +1475,9 @@ class FeatureProcessing:
 
 
 def _adc_convert(raw, conv):
-    """On-device ADC→amps conversion: ``raw`` [B, C, N] in the stored
-    dtype (int16 codes for real pytesdaq data), ``conv`` [B, C] the
-    per-event/channel cal/close_loop_norm factors. One fused elementwise
-    pass — exactly what the float path's upload staging already cost."""
-    if not hasattr(_adc_convert, "_fn"):
-        import jax as _jax
+    from detprocess_tpu.ops.saltinject import adc_convert
 
-        _adc_convert._fn = _jax.jit(
-            lambda r, c: r.astype(jnp.float32) * c[:, :, None])
-    return _adc_convert._fn(raw, conv)
+    return adc_convert(raw, conv)
 
 
 def _parse_memory_limit(limit):

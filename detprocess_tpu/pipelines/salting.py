@@ -445,6 +445,24 @@ class Salting:
                                         window_start=window_start)
         return injector
 
+    def make_device_injector(self, channel_list: Sequence[str],
+                             max_salts_per_event: int = 16):
+        """ON-DEVICE injector for ``set_salting(..., device=True)``.
+
+        The host injector converts every event to float64 and adds
+        templates on the CPU; this one only PLANS on the host (tiny
+        [E, K] index/amplitude arrays per batch) and the add runs on
+        device after the ADC conversion — so salted runs keep the raw
+        int16 upload path (half the host→device bytes, BASELINE.md
+        "int16 ADC-code upload")."""
+        from detprocess_tpu.ops.saltinject import DeviceInjector
+
+        if self._df is None or len(self._df) == 0:
+            raise ValueError("no salting dataframe — generate_salt or "
+                             "set_dataframe first")
+        return DeviceInjector(self._df, self._template_for, channel_list,
+                              max_salts_per_event=max_salts_per_event)
+
     # ------------------------------------------------------------------
     def save(self, output_path: str, group_name: str = "salting",
              series_name: Optional[str] = None, facility: int = 1,

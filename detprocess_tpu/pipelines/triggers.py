@@ -31,7 +31,8 @@ from detprocess_tpu.config import YamlConfig
 from detprocess_tpu.io import tables
 from detprocess_tpu.io.filterfile import FilterData
 from detprocess_tpu.io.rawdata import RawReader
-from detprocess_tpu.ops import filterbank, spectral, trigger as trig_ops
+from detprocess_tpu.ops import filterbank, saltinject, spectral
+from detprocess_tpu.ops import trigger as trig_ops
 from detprocess_tpu.utils import channels as chutils
 from detprocess_tpu.utils.misc import create_series_name
 
@@ -380,7 +381,8 @@ class TriggerProcessing:
 
         self._channels: List[_TriggerChannel] = []
         self._build_channels()
-        self._salt_injector = None  # set via set_salting
+        self._salt_injector = None    # host injector (set_salting)
+        self._device_injector = None  # device injector (set_salting)
         self._output_group_path: Optional[str] = None
 
     def get_output_path(self) -> Optional[str]:
@@ -390,9 +392,23 @@ class TriggerProcessing:
 
     # ------------------------------------------------------------------
     def set_salting(self, injector):
-        """Attach a salting injector: callable(trace [C, L], admin) →
-        salted trace (see pipelines.salting)."""
-        self._salt_injector = injector
+        """Attach a salting injector.
+
+        Either a HOST injector — callable(trace [C, L], admin) → salted
+        trace (``Salting.make_injector``; forces host-converted float64
+        reads) — or a DEVICE injector
+        (``Salting.make_device_injector(channel_list)``): the host only
+        plans tiny [E, K] index/amplitude arrays per batch and the
+        template add runs on device after the ADC conversion, so salted
+        runs keep the raw int16 upload path."""
+        from detprocess_tpu.ops.saltinject import DeviceInjector
+
+        if isinstance(injector, DeviceInjector):
+            self._salt_injector = None
+            self._device_injector = injector
+        else:
+            self._salt_injector = injector
+            self._device_injector = None
 
     def set_dynamic_threshold(self, channel: str, window_fn,
                               candidate_capacity: int = 4096,
@@ -574,27 +590,15 @@ class TriggerProcessing:
         batched = (run_batch_dynamic
                    if tc.dynamic_threshold_function is not None
                    else jax.vmap(run_one))
-
-        def with_conv(sub, conv):
-            # on-device ADC→amps conversion: ``sub`` arrives in the
-            # STORED dtype (int16 codes for real pytesdaq data — half
-            # the host→device bytes of float32) and ``conv`` [E, C] is
-            # the per-event/channel cal/close_loop_norm factor (1.0 when
-            # the host already converted, e.g. the salted path). The
-            # multiply fuses into the FIR chain's first pass.
-            x = sub.astype(jnp.float32) * conv[:, :, None]
-            return batched(x)
-
         if mesh is None:
-            return jax.jit(with_conv)
+            return jax.jit(batched)
         # SPMD over the mesh: events are independent, so the batch shards
         # along the events axis with no collectives (process() pads the
         # batch to a device-count multiple)
         from jax.sharding import PartitionSpec as P
         from detprocess_tpu.parallel import mesh as pmesh
         spec = P(pmesh.EVENTS_AXIS)
-        return jax.jit(jax.shard_map(with_conv, mesh=mesh,
-                                     in_specs=(spec, spec),
+        return jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
                                      out_specs=spec))
 
     def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
@@ -866,10 +870,14 @@ class TriggerProcessing:
         # HALF the host→device bytes of float32 — and the ADC→amps
         # conversion runs on device, fused into the FIR chain (the
         # reference always converts on host, processing_data.py:520-526).
-        # Salting injects float64 templates on the host, so that path
-        # keeps host-converted float64 reads.
+        # A HOST salting injector adds float64 templates on the host, so
+        # that path keeps host-converted float64 reads; a DEVICE
+        # injector (Salting.make_device_injector) only plans on the host
+        # and keeps the raw path.
         raw_mode = self._salt_injector is None
         nchan_all = len(self._available_channels)
+        salt_templates = (jnp.asarray(self._device_injector.templates)
+                          if self._device_injector is not None else None)
         if prefetch_depth > 0:
             from detprocess_tpu.io.prefetch import prefetch_events
             source = prefetch_events(
@@ -915,19 +923,23 @@ class TriggerProcessing:
                 # float-stored data uploads as float32 (as before);
                 # integer ADC codes upload AS STORED — half the bytes
                 host_stack = host_stack.astype(np.float32, copy=False)
-            conv_stack = np.stack(batch_convs)
+            conv_stack = np.stack(batch_convs) if raw_mode else None
+            plan = (self._device_injector.plan(batch_admins)
+                    if self._device_injector is not None else None)
             if mesh is not None:
                 n_dev = mesh.devices.size
                 pad = (-len(batch_traces)) % n_dev
                 if pad:
                     # repeat the last event so E divides the device
                     # count; slice_sets below only reads e < len(btr)
-                    host_stack = np.concatenate(
-                        [host_stack, np.repeat(host_stack[-1:], pad,
-                                               axis=0)])
-                    conv_stack = np.concatenate(
-                        [conv_stack, np.repeat(conv_stack[-1:], pad,
-                                               axis=0)])
+                    def _padrep(a):
+                        return np.concatenate(
+                            [a, np.repeat(a[-1:], pad, axis=0)])
+                    host_stack = _padrep(host_stack)
+                    if conv_stack is not None:
+                        conv_stack = _padrep(conv_stack)
+                    if plan is not None:
+                        plan = type(plan)(*(_padrep(f) for f in plan))
                 from jax.sharding import (NamedSharding,
                                           PartitionSpec as P)
                 from detprocess_tpu.parallel import mesh as pmesh
@@ -935,16 +947,24 @@ class TriggerProcessing:
                 # device directly; jnp.asarray first would stage the full
                 # batch on device 0 and reshard (double transfer)
                 sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
-                stacked = jax.device_put(host_stack, sharding)
-                conv_dev = jax.device_put(conv_stack, sharding)
+                put = lambda a: jax.device_put(a, sharding)  # noqa: E731
             else:
-                stacked = jnp.asarray(host_stack)
-                conv_dev = jnp.asarray(conv_stack)
+                put = jnp.asarray
+            stacked = put(host_stack)
+            if conv_stack is not None:
+                # on-device ADC→amps conversion (one elementwise pass —
+                # what the float path's upload staging already cost)
+                stacked = saltinject.adc_convert(stacked, put(conv_stack))
+            if plan is not None:
+                # on-device salt injection: K masked template adds per
+                # event (ops.saltinject); the host only built the plan
+                stacked = saltinject.inject_salts(
+                    stacked, put(plan.idx), put(plan.chan),
+                    put(plan.tid), put(plan.amp), salt_templates)
             batch_sets = {}
             for tc in self._channels:
-                idx = jnp.asarray(tc.chan_indices)
-                sub = stacked[:, idx, :]
-                batch_sets[tc.name] = fns[tc.name](sub, conv_dev[:, idx])
+                sub = stacked[:, jnp.asarray(tc.chan_indices), :]
+                batch_sets[tc.name] = fns[tc.name](sub)
             inflight.append((batch_traces, batch_admins, batch_sets))
             while len(inflight) > max(pipeline_depth, 0):
                 btr, badm, bsets = inflight.pop(0)

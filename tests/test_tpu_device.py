@@ -528,3 +528,41 @@ def test_dynamic_batched_on_device():
         idx = np.asarray(ts_b.indices)[ev, :cnt_b[ev]]
         for t0 in inj:
             assert np.any(np.abs(idx - t0) <= 30), (ev, t0)
+
+
+def test_int16_convert_and_inject_on_device():
+    """Round-3 staging path on the real chip: int16 codes upload as
+    stored, ADC->amps conversion and salt injection run on device
+    (ops.saltinject) — must match the host float math."""
+    from detprocess_tpu.ops import saltinject
+
+    rng = np.random.default_rng(9)
+    e, c, l, nt = 4, 2, 65536, 4096
+    codes = np.rint(rng.standard_normal((e, c, l)) * 500).astype(np.int16)
+    conv = np.array([2.0 ** -22, 2.0 ** -23], np.float32)
+    convs = np.tile(conv, (e, 1))
+
+    amps = np.asarray(saltinject.adc_convert(jnp.asarray(codes),
+                                             jnp.asarray(convs)))
+    np.testing.assert_array_equal(
+        amps, codes.astype(np.float32) * conv[None, :, None])
+
+    tmpl = np.zeros((1, nt), np.float32)
+    tmpl[0, 100:1100] = 1.0
+    idx = np.array([[100], [-500], [l - 600], [0]], np.int32)
+    chan = np.array([[0], [1], [0], [1]], np.int32)
+    tid = np.zeros((e, 1), np.int32)
+    amp = np.array([[1e-5], [2e-5], [3e-5], [0.0]], np.float32)
+    out = np.asarray(saltinject.inject_salts(
+        jnp.asarray(amps), jnp.asarray(idx), jnp.asarray(chan),
+        jnp.asarray(tid), jnp.asarray(amp), jnp.asarray(tmpl)))
+    diff = out - amps
+    # full add inside
+    np.testing.assert_allclose(diff[0, 0, 200:1200], 1e-5, rtol=1e-4)
+    # clipped head: template samples 500.. land at trace 0..
+    np.testing.assert_allclose(diff[1, 1, 0:600], 2e-5, rtol=1e-4)
+    assert np.all(diff[1, 0] == 0)
+    # clipped tail
+    np.testing.assert_allclose(diff[2, 0, l - 500:], 3e-5, rtol=1e-4)
+    # amp=0 slot is a no-op
+    assert np.all(diff[3] == 0)
