@@ -183,6 +183,33 @@ class TestPipelineParity:
         for ti in setup["df"]["trigger_index"]:
             assert np.min(np.abs(found - ti)) <= 2
 
+    def test_trigger_device_salting_mesh(self, setup, config_path):
+        """int16 reads + on-device ADC conversion + device salt
+        injection compose with ``mesh=``: the conv factors and the
+        SaltPlan shard (and pad) with the event batch, and the salted
+        sharded trigger set equals the single-device one."""
+        from detprocess_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(8)
+        dfs = {}
+        for m in (None, mesh):
+            proc = TriggerProcessing(setup["raw_files"], config_path,
+                                     filter_data=setup["fd"],
+                                     verbose=False)
+            proc.set_salting(
+                setup["salting"].make_device_injector(CHANNELS))
+            # event_batch=3 on 4 events: every batch takes the padding
+            # path (3 and 1 both indivisible by 8 devices), so the conv
+            # stack and SaltPlan padding are exercised too
+            dfs[m is not None] = proc.process(
+                capacity=128, event_batch=3, mesh=m)
+        import pandas as pd
+
+        assert len(dfs[True]) == len(dfs[False]) > 0
+        pd.testing.assert_frame_equal(
+            dfs[True].reset_index(drop=True),
+            dfs[False].reset_index(drop=True))
+
     def test_feature_reinjection_device(self, setup, config_path):
         from detprocess_tpu.pipelines.features import FeatureProcessing
 
