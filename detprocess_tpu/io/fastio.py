@@ -75,16 +75,26 @@ def dataset_storage(ds) -> Optional[Tuple[int, Tuple[int, ...], np.dtype]]:
 
 
 class FastReader:
-    """Per-RawReader pread engine with an fd cache.
+    """Per-RawReader pread engine with per-thread fd caches.
 
     File descriptors are opened read-only on first use and kept (capped
-    LRU) — positioned reads never mutate them, so one fd serves any
-    number of threads.
+    per thread) — positioned reads never mutate them. Each thread owns
+    its fds, so cache eviction can never close an fd another thread is
+    mid-read on (see __init__).
     """
 
     def __init__(self, max_fds: int = 128):
         self._max_fds = max_fds
-        self._fds: Dict[str, int] = {}
+        # fd caches are PER THREAD: a shared cache would let thread A's
+        # eviction close an fd thread B is mid-pread on — EBADF at best,
+        # and if the fd number is reused by a concurrent open, a silent
+        # read of the WRONG file. With thread-local caches each fd has
+        # exactly one user, so eviction can never race a read. A global
+        # registry keeps every open fd reachable for close(); the
+        # generation counter invalidates thread caches after close().
+        self._tls = threading.local()
+        self._all_fds: set = set()
+        self._gen = 0
         self._entries: Dict[Tuple[str, str], object] = {}
         self._lock = threading.Lock()
 
@@ -111,17 +121,24 @@ class FastReader:
     # -- reading ---------------------------------------------------------
 
     def _fd(self, path: str) -> int:
-        with self._lock:
-            fd = self._fds.get(path)
-            if fd is not None:
-                return fd
-            if len(self._fds) >= self._max_fds:
-                old_path, old_fd = next(iter(self._fds.items()))
-                del self._fds[old_path]
-                os.close(old_fd)
-            fd = os.open(path, os.O_RDONLY)
-            self._fds[path] = fd
+        tls = self._tls
+        if getattr(tls, "gen", None) != self._gen:
+            tls.fds = {}                 # fresh cache (first use of this
+            tls.gen = self._gen          # thread, or after close())
+        fd = tls.fds.get(path)
+        if fd is not None:
             return fd
+        if len(tls.fds) >= self._max_fds:
+            old_path, old_fd = next(iter(tls.fds.items()))
+            del tls.fds[old_path]
+            with self._lock:
+                self._all_fds.discard(old_fd)
+            os.close(old_fd)             # ours alone — no reader races
+        fd = os.open(path, os.O_RDONLY)
+        tls.fds[path] = fd
+        with self._lock:
+            self._all_fds.add(fd)
+        return fd
 
     def read(self, entry: FastDataset,
              window: Optional[Tuple[int, int]] = None) -> np.ndarray:
@@ -167,10 +184,17 @@ class FastReader:
             got += n
 
     def close(self) -> None:
+        """Close every cached fd (all threads). Callers must have
+        stopped concurrent readers first — same contract as closing an
+        h5py file out from under a reader."""
         with self._lock:
-            for fd in self._fds.values():
+            self._gen += 1               # invalidates per-thread caches
+            fds, self._all_fds = self._all_fds, set()
+        for fd in fds:
+            try:
                 os.close(fd)
-            self._fds.clear()
+            except OSError:
+                pass
 
     def __del__(self):  # best-effort; explicit close() preferred
         try:

@@ -134,6 +134,54 @@ def test_fd_cache_eviction(tmp_path):
         assert entry is not None
         arr = fr.read(entry)
         assert arr.shape[-1] == 100
-    assert len(fr._fds) <= 2
+    assert len(fr._all_fds) <= 2         # capped (single thread here)
     fr.close()
-    assert not fr._fds
+    assert not fr._all_fds
+    # reads still work after close(): the generation bump invalidates
+    # the thread cache and fds reopen on demand
+    arr = fr.read(entries[0][1])
+    assert arr.shape[-1] == 100
+    fr.close()
+
+
+def test_fd_eviction_never_races_concurrent_readers(tmp_path):
+    """Thread-local fd caches: eviction churn in N threads over more
+    files than max_fds must never close an fd another thread is reading
+    on (the shared-cache design could EBADF — or silently read the
+    WRONG file after fd-number reuse)."""
+    import threading
+
+    files, datas = [], []
+    for i in range(6):
+        fs = _write_raw(tmp_path, f"race{i}", nev=1, nsamp=400)
+        files += fs
+        with h5py.File(fs[0]) as f:
+            datas.append(f["adc1/event_1"][...])
+    fr = fastio.FastReader(max_fds=2)    # far fewer fds than files
+    entries = []
+    for path in files:
+        with h5py.File(path) as f:
+            entries.append(fr.resolve(path, f["adc1/event_1"]))
+    assert all(e is not None for e in entries)
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        try:
+            for _ in range(200):
+                i = int(rng.integers(len(entries)))
+                arr = fr.read(entries[i])
+                if not np.array_equal(arr, datas[i]):
+                    errors.append(f"wrong bytes for file {i}")
+                    return
+        except Exception as exc:         # pragma: no cover - fail path
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(s,))
+               for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    fr.close()
+    assert not errors, errors
