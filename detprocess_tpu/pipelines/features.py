@@ -123,6 +123,8 @@ class FeatureProcessing:
                  calib: bool = False,
                  facility: int = 1,
                  verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()   # compiled kernels persist across processes
         self._verbose = verbose
         self._facility = facility
         self._processing_id = processing_id

@@ -36,6 +36,8 @@ class FilterDataProcessing:
                  series: Optional[Sequence[str]] = None,
                  facility: int = 1,
                  verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()   # compiled kernels persist across processes
         self._verbose = verbose
         self._facility = facility
 
