@@ -25,6 +25,8 @@ class DIDVAnalysis(FilterData):
     """Per-channel dIdV analysis (core/didv.py:63-1800)."""
 
     def __init__(self, verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()
         super().__init__(verbose=verbose)
         self._didv_data: Dict[str, lockin.DIDVData] = {}
         self._fits: Dict[str, Dict[int, didv_models.DIDVFit]] = {}

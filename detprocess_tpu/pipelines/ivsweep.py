@@ -83,6 +83,8 @@ class IVSweepProcessing(FilterData):
     """
 
     def __init__(self, verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()
         super().__init__(verbose=verbose)
 
     def process(self,
@@ -181,6 +183,8 @@ class IVSweepAnalysis(FilterData):
     """Sweep analysis (core/ivsweep.py:53-2073)."""
 
     def __init__(self, verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()
         super().__init__(verbose=verbose)
         self._sweep_df: Dict[str, pd.DataFrame] = {}
         self._ibis: Dict[str, ivbias.IBISResult] = {}

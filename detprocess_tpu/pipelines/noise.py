@@ -36,6 +36,8 @@ class Noise(FilterData):
 
     def __init__(self, raw_files: Sequence[str] | str | None = None,
                  verbose: bool = True):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()
         super().__init__(verbose=verbose)
         self._raw_files = raw_files
         self._reader = RawReader(raw_files) if raw_files is not None else None

@@ -80,6 +80,8 @@ class OptimumFilterTrigger:
                  ignored_frequency_peaks=None,
                  ignore_harmonics: bool = False,
                  trigger_name: Optional[str] = None):
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()   # compiled kernels persist across processes
         self._fs = float(fs)
         self._pretrigger_samples = int(pretrigger_samples)
         if isinstance(trigger_channel, (list, tuple)):
