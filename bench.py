@@ -7,6 +7,22 @@ Python loop over the same float64 numpy math (tests/reference_impl.py,
 standing in for detprocess+QETpy, which run exactly such a loop:
 detprocess/process/features.py:533-851).
 
+Structure (round 4 — a benchmark that can exceed the driver budget on a
+flaky tunnel is a benchmark that doesn't exist; BENCH_r03 was rc=124):
+
+- The PARENT process is a pure orchestrator: it never imports jax, so
+  nothing in it can hang on a dead TPU tunnel.
+- One bounded device probe (single try, 45 s subprocess timeout — no
+  retry sleeps; round 3's 3x150 s probes + 2x60 s sleeps burned 570 s
+  before the benchmark started).
+- The timed device leg runs in a SUBPROCESS under its own hard timeout:
+  a tunnel that dies after the probe kills the leg, not the driver
+  (the in-process round-3 design blocked forever in np.asarray).
+- A JSON line is ALWAYS printed from whichever leg completed: device,
+  else a clearly-flagged CPU run.
+- A global deadline (DETPROC_BENCH_DEADLINE, default 540 s) sizes the
+  leg timeouts so the worst case fits the driver budget.
+
 Measurement notes:
 - Test traces are synthesized ON DEVICE (jax.random): this session's TPU
   is reached through a tunnel whose host↔device link runs at ~20 MB/s,
@@ -27,9 +43,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
-
 FS = 1.25e6
 N = 32768
 PRETRIG = N // 2
@@ -37,34 +50,21 @@ BATCH = 8192
 NBATCH = 8
 CPU_BASELINE_EVENTS = 24
 
+_START = time.monotonic()
+DEADLINE = float(os.environ.get("DETPROC_BENCH_DEADLINE", "540"))
 
-def probe_device(tries=3, timeout=150, sleep_s=60):
-    """True when the accelerator answers a tiny compute+transfer probe.
 
-    A dead TPU tunnel makes ``jax.devices()`` hang forever with no error
-    (observed round 3), so the probe runs in a SUBPROCESS under a hard
-    timeout. Retries cover short blips; a persistent outage falls back
-    to a clearly-flagged CPU run instead of hanging the driver.
-    """
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        return False
-    code = ("import jax, numpy as np, jax.numpy as jnp\n"
-            "x = jnp.asarray(np.ones(8, np.float32))\n"
-            "print('PROBE_OK', float(np.asarray(x.sum())))\n")
-    for i in range(tries):
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=timeout)
-            if r.returncode == 0 and b"PROBE_OK 8.0" in r.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if i + 1 < tries:
-            time.sleep(sleep_s)
-    return False
+def _remaining():
+    return DEADLINE - (time.monotonic() - _START)
 
+
+# --------------------------------------------------------------------------
+# benchmark legs (run inside a subprocess: `python bench.py --leg tpu|cpu`)
+# --------------------------------------------------------------------------
 
 def build_bank():
+    import numpy as np
+
     from detprocess_tpu.models import pulse
     from detprocess_tpu.ops import filterbank
 
@@ -80,6 +80,8 @@ def build_bank():
 def bench_tpu(bank, template):
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
     from detprocess_tpu.ops import fft as dfft
     from detprocess_tpu.ops import filterbank, of1x1, tracestats
 
@@ -166,7 +168,10 @@ def bench_tpu(bank, template):
 
 
 def bench_cpu_baseline(template, psd):
-    sys.path.insert(0, "tests")
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
     from reference_impl import RefOF1x1
 
     rng = np.random.default_rng(0)
@@ -174,7 +179,6 @@ def bench_cpu_baseline(template, psd):
     sub = (rng.standard_normal((CPU_BASELINE_EVENTS, N)) * 3e-9
            + 2e-6 * template[None, :])
     # pinned core (round-3 CPU protocol — see benchmarks/run_all.py)
-    import os
     try:
         os.sched_setaffinity(0, {0})
     except (AttributeError, OSError):
@@ -193,24 +197,24 @@ def bench_cpu_baseline(template, psd):
     return len(sub) / best_dt
 
 
-def main():
+def run_leg(kind):
+    """Run one benchmark leg in THIS process and print the JSON line."""
     global BATCH, NBATCH
-    forced_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
-    on_device = False if forced_cpu else probe_device(
-        tries=int(os.environ.get("DETPROC_BENCH_PROBE_TRIES", "3")),
-        timeout=int(os.environ.get("DETPROC_BENCH_PROBE_TIMEOUT", "150")))
-    if not on_device:
-        # tunnel down (or CPU forced): run the SAME benchmark on host CPU
-        # with a batch size that finishes, and say so in the JSON — a
-        # flagged CPU number beats a silently hung driver. The env var
-        # alone is NOT enough: the preinstalled TPU plugin can override
-        # JAX_PLATFORMS (see tests/conftest.py), and its init hangs
-        # forever when the tunnel is dead — the config update below must
-        # land before any backend initialization.
+    if kind == "cpu":
+        # must land before any backend initialization: the preinstalled
+        # TPU plugin can override JAX_PLATFORMS (see tests/conftest.py),
+        # and its init hangs forever when the tunnel is dead.
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
         BATCH, NBATCH = 256, 2
+    # persistent compile cache: a leg that times out still warms the
+    # cache for the retry / the next round's run
+    try:
+        from detprocess_tpu.utils import jaxcache
+        jaxcache.enable()
+    except Exception:
+        pass
     template, psd, bank = build_bank()
     events_per_sec = bench_tpu(bank, template)
     cpu_rate = bench_cpu_baseline(template, psd)
@@ -221,14 +225,116 @@ def main():
         "unit": "events/s",
         "vs_baseline": round(events_per_sec / cpu_rate, 1),
     }
-    if forced_cpu:
-        result["platform"] = "cpu (JAX_PLATFORMS=cpu set by caller)"
-    elif not on_device:
-        result["platform"] = ("cpu-fallback: TPU tunnel unreachable at "
-                              "bench time (probe timed out); see "
-                              "BASELINE.md for on-chip numbers")
+    if kind == "cpu":
+        result["platform"] = "cpu"
+    print(json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator (parent process — never imports jax)
+# --------------------------------------------------------------------------
+
+def probe_device(timeout=None, tries=None):
+    """True when the accelerator answers a tiny compute+transfer probe.
+
+    A dead TPU tunnel makes ``jax.devices()`` hang forever with no error
+    (observed round 3), so the probe runs in a SUBPROCESS under a hard
+    timeout. NO sleeps between tries (round 3's 570 s of probe sleeps
+    blew the driver budget); a down tunnel falls through to the flagged
+    CPU leg. Healthy-tunnel init measures 30-100 s on this dev setup,
+    hence the 100 s default per try.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False
+    timeout = float(timeout if timeout is not None else os.environ.get(
+        "DETPROC_BENCH_PROBE_TIMEOUT", "100"))
+    tries = int(tries if tries is not None else os.environ.get(
+        "DETPROC_BENCH_PROBE_TRIES", "2"))
+    code = ("import jax, numpy as np, jax.numpy as jnp\n"
+            "x = jnp.asarray(np.ones(8, np.float32))\n"
+            "print('PROBE_OK', float(np.asarray(x.sum())))\n")
+    for _ in range(max(tries, 1)):
+        t = min(timeout, max(_remaining() - 150.0, 5.0))
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=t)
+            if r.returncode == 0 and b"PROBE_OK 8.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if _remaining() < 260.0:   # keep room for the CPU leg
+            return False
+    return False
+
+
+def _run_leg_subprocess(kind, timeout):
+    """Run `python bench.py --leg {kind}` under a hard timeout; return
+    the parsed JSON result or None."""
+    env = dict(os.environ)
+    if kind == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", kind],
+            capture_output=True, text=True, timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"# {kind} leg timed out after {timeout:.0f}s",
+              file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        print(f"# {kind} leg failed rc={r.returncode}: "
+              f"{(r.stderr or '')[-500:]}", file=sys.stderr)
+        return None
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+                if "value" in parsed:
+                    return parsed
+            except json.JSONDecodeError:
+                continue
+    print(f"# {kind} leg printed no JSON", file=sys.stderr)
+    return None
+
+
+def main():
+    forced_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    result = None
+    tried_device = False
+    if not forced_cpu and probe_device():
+        tried_device = True
+        # leave budget for a CPU fallback leg (~120 s incl. imports)
+        timeout = max(min(_remaining() - 130.0, 390.0), 30.0)
+        result = _run_leg_subprocess("tpu", timeout)
+    if result is None:
+        cpu_result = _run_leg_subprocess(
+            "cpu", max(_remaining() - 5.0, 30.0))
+        if cpu_result is not None:
+            result = cpu_result
+            if forced_cpu:
+                result["platform"] = "cpu (JAX_PLATFORMS=cpu set by caller)"
+            elif tried_device:
+                result["platform"] = (
+                    "cpu-fallback: device leg failed/timed out after a "
+                    "successful probe; see BASELINE.md for on-chip numbers")
+            else:
+                result["platform"] = (
+                    "cpu-fallback: TPU tunnel unreachable at bench time "
+                    "(probe timed out); see BASELINE.md for on-chip "
+                    "numbers")
+    if result is None:
+        # every leg failed — still emit a parseable line (value 0 beats
+        # a hung or silent driver run)
+        result = {"metric": "of1x1 feature extraction (32k samples, "
+                            "nodelay+delay-scan+trace stats)",
+                  "value": 0, "unit": "events/s", "vs_baseline": 0,
+                  "platform": "error: all benchmark legs failed"}
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        run_leg(sys.argv[2])
+    else:
+        main()

@@ -78,9 +78,13 @@ class FastReader:
     """Per-RawReader pread engine with per-thread fd caches.
 
     File descriptors are opened read-only on first use and kept (capped
-    per thread) — positioned reads never mutate them. Each thread owns
-    its fds, so cache eviction can never close an fd another thread is
-    mid-read on (see __init__).
+    at ``max_fds`` PER THREAD — each reader thread caches up to that
+    many) — positioned reads never mutate them. Each thread owns its
+    fds, so cache eviction can never close an fd another thread is
+    mid-read on (see __init__). Fds owned by threads that have exited
+    (each pipeline ``process()`` call spawns a fresh prefetch thread)
+    are reaped on the next ``_fd()`` call from any thread, so repeated
+    runs on a long-lived reader cannot accumulate fds toward EMFILE.
     """
 
     def __init__(self, max_fds: int = 128):
@@ -92,11 +96,14 @@ class FastReader:
         # exactly one user, so eviction can never race a read. A global
         # registry keeps every open fd reachable for close(); the
         # generation counter invalidates thread caches after close().
+        # _thread_caches pairs each per-thread fd dict with a weakref to
+        # its owner thread so dead threads' fds can be reaped.
         self._tls = threading.local()
         self._all_fds: set = set()
         self._gen = 0
         self._entries: Dict[Tuple[str, str], object] = {}
         self._lock = threading.Lock()
+        self._thread_caches: list = []   # [(weakref(thread), fds_dict)]
 
     # -- resolution ------------------------------------------------------
 
@@ -120,11 +127,39 @@ class FastReader:
 
     # -- reading ---------------------------------------------------------
 
+    def _reap_dead_threads_locked(self) -> None:
+        """Close fds whose owner thread has exited (caller holds _lock).
+
+        Only fds still registered in ``_all_fds`` are closed: after
+        ``close()`` the registry is empty, so stale fd *numbers* left
+        in dead threads' dicts (possibly reused by the OS) are never
+        double-closed.
+        """
+        live = []
+        for ref, fds in self._thread_caches:
+            t = ref()
+            if t is not None and t.is_alive():
+                live.append((ref, fds))
+                continue
+            for fd in fds.values():
+                if fd in self._all_fds:
+                    self._all_fds.discard(fd)
+                    try:
+                        os.close(fd)
+                    except OSError:
+                        pass
+        self._thread_caches = live
+
     def _fd(self, path: str) -> int:
         tls = self._tls
         if getattr(tls, "gen", None) != self._gen:
+            import weakref
             tls.fds = {}                 # fresh cache (first use of this
             tls.gen = self._gen          # thread, or after close())
+            with self._lock:
+                self._thread_caches.append(
+                    (weakref.ref(threading.current_thread()), tls.fds))
+                self._reap_dead_threads_locked()
         fd = tls.fds.get(path)
         if fd is not None:
             return fd
@@ -190,6 +225,7 @@ class FastReader:
         with self._lock:
             self._gen += 1               # invalidates per-thread caches
             fds, self._all_fds = self._all_fds, set()
+            self._thread_caches = []     # stale fd numbers: never reap
         for fd in fds:
             try:
                 os.close(fd)

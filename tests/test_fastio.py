@@ -185,3 +185,38 @@ def test_fd_eviction_never_races_concurrent_readers(tmp_path):
         t.join()
     fr.close()
     assert not errors, errors
+
+
+def test_dead_thread_fds_are_reaped(tmp_path):
+    """Fds owned by exited threads (each process() call spawns a fresh
+    prefetch thread) are closed on the next _fd() call from any thread
+    — a long-lived reader over many runs must not leak toward EMFILE."""
+    import threading
+
+    files = []
+    for i in range(4):
+        files += _write_raw(tmp_path, f"reap{i}", nev=1, nsamp=100)
+    fr = fastio.FastReader(max_fds=8)
+    entries = []
+    for path in files:
+        with h5py.File(path) as f:
+            entries.append(fr.resolve(path, f["adc1/event_1"]))
+
+    def worker():
+        for e in entries:
+            fr.read(e)
+
+    for _ in range(5):                   # 5 generations of short-lived
+        t = threading.Thread(target=worker)  # reader threads
+        t.start()
+        t.join()
+    # before any reap trigger, dead threads' fds linger in the registry
+    # (up to 4 per generation); one read from the main thread reaps them
+    fr.read(entries[0])
+    assert len(fr._all_fds) <= len(files) + 1, (
+        f"dead-thread fds not reaped: {len(fr._all_fds)} open")
+    # stale fd numbers must never be double-closed after close()
+    fr.close()
+    assert not fr._all_fds
+    fr.read(entries[0])                  # reopen on demand still works
+    fr.close()

@@ -3,11 +3,14 @@
 Cold-start is where the batched-kernel design pays its one cost over
 the reference's compile-nothing Python loop (BASELINE.md end-to-end
 table: 200-290 s of XLA compile per trigger-pipeline config on the dev
-tunnel). These tests pin the enable() contract and prove executables
-written by one process are HIT (not recompiled) by the next.
+tunnel). These tests pin the enable() contract — including its
+ownership semantics (a value enable() wrote earlier is re-resolved,
+only a USER's value is deferred to) and the machine-context
+fingerprinting that keeps CPU-AOT executables from crossing hosts —
+and prove executables written by one process are HIT (not recompiled)
+by the next.
 """
 
-import json
 import os
 import subprocess
 import sys
@@ -19,27 +22,89 @@ from detprocess_tpu.utils import jaxcache
 
 
 @pytest.fixture(autouse=True)
-def _reset_state():
+def _reset_state(monkeypatch):
     prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+    prev_owned = jaxcache._state["owned"]
     jaxcache._state.update(resolved=False, path=None)
+    # the suite runs on the CPU backend, where auto mode disables the
+    # cache (cpu_aot_loader reload noise) — force-enable so the enable
+    # machinery is exercised; auto behavior has its own test below
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE", "1")
     yield
-    jaxcache._state.update(resolved=False, path=None)
+    jaxcache._state.update(resolved=False, path=None, owned=prev_owned)
     jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_enable_sets_config_and_is_idempotent(tmp_path, monkeypatch):
     cachedir = str(tmp_path / "xla")
     monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR", cachedir)
-    assert jaxcache.enable() == cachedir
-    assert jax.config.jax_compilation_cache_dir == cachedir
-    assert os.path.isdir(cachedir)
-    assert jaxcache.enable() == cachedir          # resolved: no re-work
+    got = jaxcache.enable()
+    # fingerprint subdir under the configured base
+    assert got == os.path.join(cachedir, jaxcache.fingerprint())
+    assert jax.config.jax_compilation_cache_dir == got
+    assert os.path.isdir(got)
+    assert jaxcache.enable() == got               # resolved: no re-work
 
 
 def test_env_opt_out(monkeypatch):
     monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE", "0")
     assert jaxcache.enable() is None
     assert not getattr(jax.config, "jax_compilation_cache_dir", None)
+
+
+def test_auto_mode_skips_cpu_backend(tmp_path, monkeypatch):
+    """Default (auto) mode must not persist XLA:CPU AOT executables —
+    every reload logs cpu_aot_loader feature-mismatch errors (the
+    MULTICHIP_r03 wall), even on the machine that compiled them."""
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE", "auto")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR",
+                       str(tmp_path / "xla"))
+    # suite runs with the cpu platform pinned (conftest)
+    assert jaxcache._platform_pin() == "cpu"
+    assert jaxcache.enable() is None
+    assert not getattr(jax.config, "jax_compilation_cache_dir", None)
+    # a user's explicit config still wins over the auto skip
+    user_dir = str(tmp_path / "user")
+    jax.config.update("jax_compilation_cache_dir", user_dir)
+    jaxcache._state.update(resolved=False, path=None)
+    assert jaxcache.enable() == user_dir
+
+
+def test_ownership_not_confused_by_own_setting(tmp_path, monkeypatch):
+    """A value enable() itself wrote earlier must be re-resolved, not
+    mistaken for a user setting (the round-3 order-dependence bug:
+    any earlier pipeline test's enable() left config set, and a later
+    enable() 'respected' its own stale value)."""
+    first = str(tmp_path / "first")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR", first)
+    got1 = jaxcache.enable()
+    assert got1.startswith(first)
+    # simulate a fresh resolution cycle (new test/module) with a NEW env
+    # dir while jax config still holds OUR old value
+    jaxcache._state.update(resolved=False, path=None)
+    second = str(tmp_path / "second")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR", second)
+    got2 = jaxcache.enable()
+    assert got2.startswith(second), (
+        "enable() deferred to its own previous setting")
+    assert jax.config.jax_compilation_cache_dir == got2
+
+
+def test_opt_out_undoes_own_setting_only(tmp_path, monkeypatch):
+    """Opt-out clears a dir enable() wrote, but never a user's."""
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR",
+                       str(tmp_path / "ours"))
+    assert jaxcache.enable() is not None
+    jaxcache._state.update(resolved=False, path=None)
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE", "0")
+    assert jaxcache.enable() is None
+    assert not getattr(jax.config, "jax_compilation_cache_dir", None)
+    # user value survives opt-out
+    user_dir = str(tmp_path / "user")
+    jax.config.update("jax_compilation_cache_dir", user_dir)
+    jaxcache._state.update(resolved=False, path=None)
+    assert jaxcache.enable() is None
+    assert jax.config.jax_compilation_cache_dir == user_dir
 
 
 def test_existing_user_config_respected(tmp_path, monkeypatch):
@@ -49,6 +114,68 @@ def test_existing_user_config_respected(tmp_path, monkeypatch):
                        str(tmp_path / "ours"))
     assert jaxcache.enable() == user_dir
     assert jax.config.jax_compilation_cache_dir == user_dir
+
+
+def test_fingerprints_never_share_entries(tmp_path, monkeypatch):
+    """Two different machine/platform contexts resolve to different
+    subdirectories of the same base — entries cannot cross contexts
+    (the MULTICHIP_r03 cpu_aot_loader SIGILL hazard)."""
+    base = str(tmp_path / "xla")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR", base)
+    monkeypatch.setenv("JAX_PLATFORMS", "")  # fall through to pin logic
+
+    fp_real = jaxcache.fingerprint()
+    got = jaxcache.enable()
+    assert got == os.path.join(base, fp_real)
+
+    # same base, different platform pin → different fingerprint subdir
+    import unittest.mock as mock
+    with mock.patch.object(jaxcache, "fingerprint",
+                           return_value="otherplat-0123456789"):
+        jaxcache._state.update(resolved=False, path=None)
+        got2 = jaxcache.enable()
+    assert got2 == os.path.join(base, "otherplat-0123456789")
+    assert got2 != got
+    assert os.path.dirname(got2) == os.path.dirname(got)  # shared base
+    # both directories exist and are disjoint
+    assert os.path.isdir(got) and os.path.isdir(got2)
+
+
+def test_fingerprint_covers_cpu_features(monkeypatch):
+    """The hash must change when the host CPU feature set changes."""
+    fp1 = jaxcache.fingerprint()
+    real_open = open
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/cpuinfo":
+            import io
+            return io.StringIO("flags\t\t: fpu vme something_else\n")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    fp2 = jaxcache.fingerprint()
+    assert fp1.rsplit("-", 1)[0] == fp2.rsplit("-", 1)[0]  # same platform
+    assert fp1 != fp2                                      # different hash
+
+
+def test_enable_thread_safe(tmp_path, monkeypatch):
+    """Concurrent enable() calls agree and none spuriously disables
+    (the ADVICE probe-filename race)."""
+    import threading
+
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR",
+                       str(tmp_path / "xla"))
+    results = []
+
+    def worker():
+        results.append(jaxcache.enable())
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(results)) == 1 and results[0] is not None
 
 
 def test_pipeline_constructor_enables(tmp_path, monkeypatch):
@@ -80,7 +207,8 @@ def test_pipeline_constructor_enables(tmp_path, monkeypatch):
     TriggerProcessing(sorted(str(p) for p in
                              (tmp_path / "raw").glob("*.hdf5")),
                       cpath, filter_data=fd, verbose=False)
-    assert jax.config.jax_compilation_cache_dir == cachedir
+    got = jax.config.jax_compilation_cache_dir
+    assert got == os.path.join(cachedir, jaxcache.fingerprint())
 
 
 _CHILD = r"""
@@ -88,7 +216,9 @@ import os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
 from detprocess_tpu.utils import jaxcache
-assert jaxcache.enable() == os.environ["DETPROC_TPU_COMPILE_CACHE_DIR"]
+got = jaxcache.enable()
+base = os.environ["DETPROC_TPU_COMPILE_CACHE_DIR"]
+assert got == os.path.join(base, jaxcache.fingerprint()), (got, base)
 # force-cache everything regardless of size/compile time
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -106,7 +236,7 @@ def test_cross_process_cache_hit(tmp_path):
     recompile — a miss would write, since the thresholds force it)."""
     cachedir = str(tmp_path / "xla")
     env = dict(os.environ, DETPROC_TPU_COMPILE_CACHE_DIR=cachedir,
-               JAX_PLATFORMS="cpu")
+               DETPROC_TPU_COMPILE_CACHE="1", JAX_PLATFORMS="cpu")
     for k in ("XLA_FLAGS",):
         env.pop(k, None)
 
@@ -114,7 +244,11 @@ def test_cross_process_cache_hit(tmp_path):
         r = subprocess.run([sys.executable, "-c", _CHILD], env=env,
                            capture_output=True, text=True, timeout=300)
         assert r.returncode == 0, r.stderr
-        return sorted(os.listdir(cachedir))
+        entries = []
+        for root, _dirs, files in os.walk(cachedir):
+            entries.extend(os.path.join(os.path.relpath(root, cachedir), f)
+                           for f in files)
+        return sorted(entries)
 
     entries1 = run()
     assert entries1, "first process wrote no cache entries"
