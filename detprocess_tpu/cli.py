@@ -76,8 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ntriggers", type=int, default=-1,
                    help="max triggers to feature-process")
     p.add_argument("--ncores", type=int, default=None,
-                   help="accepted for drop-in compatibility; processing "
-                        "is batched on the accelerator instead")
+                   help="concurrent host reader threads feeding the "
+                        "device pipeline (the reference forks this many "
+                        "Pool workers; here the device is shared so the "
+                        "cores feed one batched dispatch stream)")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="shard trigger/feature batches over this many "
                         "accelerator devices (jax.sharding.Mesh over the "
@@ -152,9 +154,10 @@ def main(argv=None) -> int:
         config = YamlConfig(args.processing_setup, reader.channels,
                             sample_rate=reader.sample_rate)
 
-    if args.ncores is not None and args.ncores > 1 and args.verbose:
-        print("INFO: --ncores accepted for compatibility; events are "
-              "batched on the accelerator instead of forked workers")
+    nreaders = max(int(args.ncores or 1), 1)
+    if nreaders > 1 and args.verbose:
+        print(f"INFO: --ncores {nreaders}: host reads run in "
+              f"{nreaders} reader threads feeding the device pipeline")
 
     filter_file = args.filter_file
     if filter_file is None and config is not None:
@@ -291,7 +294,9 @@ def main(argv=None) -> int:
                                   output_path=out_dir,
                                   output_format=args.output_format,
                                   series_name=out_series,
-                                  mesh=_cli_mesh(args))
+                                  mesh=_cli_mesh(args),
+                                  nreaders=(nreaders if args.nevents < 0
+                                            else 1))
         print(f"INFO: {len(trigger_df)} triggers written to {out_dir}")
 
     # ---- feature extraction ------------------------------------------
@@ -341,7 +346,10 @@ def main(argv=None) -> int:
                      lgc_save=True, output_path=out_dir,
                      output_format=args.output_format,
                      series_name=out_series, lgc_output=False,
-                     mesh=_cli_mesh(args))
+                     mesh=_cli_mesh(args),
+                     nreaders=(nreaders
+                               if proc._trigger_df is not None
+                               or args.nevents < 0 else 1))
         print(f"INFO: features written to {out_dir}")
 
     return 0

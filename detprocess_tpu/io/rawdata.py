@@ -307,6 +307,33 @@ class RawReader:
     def total_events(self) -> int:
         return sum(self.nb_events(f) for f in self.files)
 
+    def split(self, n: int) -> List["RawReader"]:
+        """N independent readers over disjoint subsets of this reader's
+        files — the file-level analog of the reference's series split
+        across Pool workers (process/features.py:1137-1171). Files are
+        grouped by series and series round-robined across readers (so
+        each reader walks whole series in order, like a Pool worker);
+        when there are fewer series than readers the split falls back to
+        round-robin over files. Returns at most ``min(n, len(files))``
+        readers; each has its OWN h5py/fastio handles, so they are safe
+        to drive from concurrent threads.
+        """
+        n = max(1, min(int(n), len(self.files)))
+        if n == 1:
+            return [RawReader(self.files, self.adc_name)]
+        groups: Dict[str, List[str]] = {}
+        for f in self.files:
+            groups.setdefault(extract_series_name(os.path.basename(f)),
+                              []).append(f)
+        subsets: List[List[str]] = [[] for _ in range(n)]
+        if len(groups) >= n:
+            for i, k in enumerate(sorted(groups)):
+                subsets[i % n].extend(groups[k])
+        else:
+            for i, f in enumerate(self.files):
+                subsets[i % n].append(f)
+        return [RawReader(s, self.adc_name) for s in subsets if s]
+
     # -- sequential reading --------------------------------------------
     def rewind(self):
         if self._h5 is not None:

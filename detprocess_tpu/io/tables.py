@@ -186,3 +186,56 @@ def build_prefix(base: str, processing_id=None, restricted: bool = False,
     elif calib:
         prefix += "_calib"
     return prefix
+
+
+class AsyncWriter:
+    """Background-thread table writer: dump writes overlap device
+    compute instead of stalling the dispatch loop.
+
+    The reference's per-dump vaex exports run inline in each Pool
+    worker (process/features.py:593-626); here one pipeline feeds the
+    device, so a synchronous dump write stalls dispatch for the whole
+    write. ``write()`` enqueues (bounded — at most ``depth`` dumps of
+    frames held in memory) and returns; ``close()`` drains the queue
+    and re-raises the first write error. Always close() (the pipelines
+    do, in a finally) — dropped writes would silently lose dumps.
+    """
+
+    def __init__(self, depth: int = 2):
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._error: Optional[BaseException] = None
+        self._sentinel = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is self._sentinel:
+                return
+            df, path, fmt = item
+            try:
+                if self._error is None:
+                    write_table(df, path, fmt=fmt)
+            except BaseException as exc:  # re-raised from close()
+                self._error = exc
+
+    def write(self, df: pd.DataFrame, path: str,
+              fmt: Optional[str] = None):
+        if self._error is not None:      # fail fast on a dead writer
+            err, self._error = self._error, None
+            self.close()
+            raise err
+        self._queue.put((df, path, fmt))
+
+    def close(self):
+        """Drain pending writes; re-raise the first write error."""
+        if self._thread.is_alive():
+            self._queue.put(self._sentinel)
+            self._thread.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err

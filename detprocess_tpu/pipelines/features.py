@@ -1014,26 +1014,20 @@ class FeatureProcessing:
         return index.get((int(row["series_number"]),
                           int(row["dump_number"])))
 
-    def _iter_trigger_batches(self, batch_size: int,
-                              nevents: int = -1):
-        """Yield (raw [B, C, N], admins) batches of windowed reads around
-        each trigger-dataframe row (processing_data.py:555-705);
-        ``nevents`` > 0 caps the rows processed."""
+    def _read_row_chunk(self, reader, rows):
+        """Read one chunk of trigger rows with ``reader`` (any RawReader
+        — workers pass their own clone) → (stack, admins, ndropped), or
+        (None, None, ndropped) when every row dropped."""
         n, pre = self._trigger_geometry
-        df = self._trigger_df
-        if nevents is not None and nevents > 0:
-            df = df.iloc[:nevents]
         batch_traces, admins = [], []
         dropped = 0
-        # plain dicts: pandas iterrows costs ~0.5 ms/row in Series scalar
-        # lookups (measured ~25% of warm wall time at 1k rows)
-        for row in df.to_dict("records"):
+        for row in rows:
             fname = self._file_for_row(row)
             if fname is None:
                 dropped += 1
                 continue
             start = int(row["trigger_index"]) - pre
-            raw_n = int(self._reader.get_metadata(fname)["nb_samples"])
+            raw_n = self._nb_samples_for(fname)
             if start < 0 or start + n > raw_n:
                 dropped += 1
                 continue
@@ -1041,11 +1035,11 @@ class FeatureProcessing:
                 # stored-dtype windowed read: int16 ADC codes upload
                 # as-is and convert on device (process() applies
                 # admin["adc_conv"]) — half the host→device bytes
-                traces, admin = self._reader.read_single_event(
+                traces, admin = reader.read_single_event(
                     int(row["event_number"]), file_name=fname,
                     trace_window=(start, n), adctoamp=False, dtype=None)
             else:
-                traces, admin = self._reader.read_single_event(
+                traces, admin = reader.read_single_event(
                     int(row["event_number"]), file_name=fname,
                     trace_window=(start, n))
             if self._salt_injector is not None:
@@ -1064,23 +1058,85 @@ class FeatureProcessing:
                     admin[col] = row[col]
             batch_traces.append(traces)
             admins.append(admin)
-            if len(batch_traces) == batch_size:
-                yield np.stack(batch_traces), admins
-                batch_traces, admins = [], []
-        if batch_traces:
-            yield np.stack(batch_traces), admins
+        if not batch_traces:
+            return None, None, dropped
+        return np.stack(batch_traces), admins, dropped
+
+    def _nb_samples_for(self, fname: str) -> int:
+        cache = getattr(self, "_nb_samples_cache", None)
+        if cache is None:
+            cache = self._nb_samples_cache = {}
+        got = cache.get(fname)
+        if got is None:
+            got = cache[fname] = int(
+                self._reader.get_metadata(fname)["nb_samples"])
+        return got
+
+    def _iter_trigger_batches(self, batch_size: int,
+                              nevents: int = -1, nreaders: int = 1):
+        """Yield (raw [B, C, N], admins) batches of windowed reads around
+        each trigger-dataframe row (processing_data.py:555-705);
+        ``nevents`` > 0 caps the rows processed.
+
+        ``nreaders > 1`` reads row chunks in that many worker threads
+        (each with its own RawReader — file handles are never shared),
+        yielding batches in row ORDER (io.prefetch.OrderedChunkPrefetcher)
+        so dump contents and resume row counts are unchanged — the
+        windowed-read analog of the reference's ncores Pool split."""
+        df = self._trigger_df
+        if nevents is not None and nevents > 0:
+            df = df.iloc[:nevents]
+        # plain dicts: pandas iterrows costs ~0.5 ms/row in Series scalar
+        # lookups (measured ~25% of warm wall time at 1k rows)
+        rows = df.to_dict("records")
+        chunks = [rows[i:i + batch_size]
+                  for i in range(0, len(rows), batch_size)]
+        dropped = 0
+        if nreaders > 1 and len(chunks) > 1:
+            from detprocess_tpu.io.prefetch import OrderedChunkPrefetcher
+
+            # warm the shared caches BEFORE spawning workers (the index
+            # and nb_samples lookups are then read-only dict hits)
+            for row in rows:
+                fname = self._file_for_row(row)
+                if fname is not None:
+                    self._nb_samples_for(fname)
+            nw = min(nreaders, len(chunks))
+            workers = [RawReader(self._reader.files, self._reader.adc_name)
+                       for _ in range(nw)]
+            pf = OrderedChunkPrefetcher(
+                lambda rd, chunk: self._read_row_chunk(rd, chunk),
+                chunks, workers, depth=2)
+            try:
+                for stack, admins, nd in pf:
+                    dropped += nd
+                    if stack is not None:
+                        yield stack, admins
+            finally:
+                pf.close()
+                for w in workers:
+                    w.close()
+        else:
+            for chunk in chunks:
+                stack, admins, nd = self._read_row_chunk(
+                    self._reader, chunk)
+                dropped += nd
+                if stack is not None:
+                    yield stack, admins
         if dropped and self._verbose:
             print(f"INFO: dropped {dropped} triggers with out-of-bounds "
                   f"windows or unmatched files")
 
     def _iter_full_batches(self, batch_size: int, nevents: int,
-                           prefetch_depth: int = 64):
+                           prefetch_depth: int = 64, nreaders: int = 1):
         self._reader.rewind()
         raw = getattr(self, "_raw_reads", False)
-        if prefetch_depth > 0:
+        if prefetch_depth > 0 or nreaders > 1:
             from detprocess_tpu.io.prefetch import prefetch_events
-            source = prefetch_events(self._reader, depth=prefetch_depth,
-                                     raw=raw)
+            source = prefetch_events(self._reader,
+                                     depth=max(prefetch_depth, 1),
+                                     raw=raw, nreaders=nreaders)
+            prefetch_depth = max(prefetch_depth, 1)
         else:
             source = self._reader
         total = 0
@@ -1185,8 +1241,24 @@ class FeatureProcessing:
                 memory_limit: float | str | None = None,
                 resume: bool = False,
                 lgc_output: bool = True,
-                mesh=None) -> Optional[pd.DataFrame]:
+                mesh=None,
+                nreaders: int = 1,
+                timer=None) -> Optional[pd.DataFrame]:
         """Run feature extraction.
+
+        ``nreaders``: concurrent host reader threads — the functional
+        replacement for the reference's ``ncores`` Pool-over-series
+        (process/features.py:391-420). In trigger-dataframe mode the
+        readers split row chunks and yield IN ORDER (outputs and resume
+        semantics unchanged); in full-trace mode they split files by
+        series (``RawReader.split``), event order across subsets is then
+        nondeterministic and — like the reference
+        (features.py:320-322) — requires ``nevents=-1`` and no
+        ``resume``.
+
+        ``timer``: optional ``utils.logging.StageTimer`` accumulating
+        the host/device wall-time split (read / dispatch / drain
+        stages).
 
         ``mesh``: an optional ``jax.sharding.Mesh``
         (``parallel.mesh.make_mesh``) — each batch is then SPMD over the
@@ -1214,6 +1286,14 @@ class FeatureProcessing:
         import time as _time
 
         t_start = _time.time()
+        if (nreaders > 1 and self._trigger_df is None
+                and (nevents >= 0 or resume)):
+            # unordered multi-reader events break nevents-truncation and
+            # resume-skip determinism — same constraint as the
+            # reference's ncores>1 (process/features.py:320-322)
+            raise ValueError("nreaders > 1 in full-trace mode requires "
+                             "processing all events (nevents=-1) "
+                             "without resume")
         banks = self.device_banks(np.float64 if dtype == np.float64
                                   else np.float32)
         frames: List[pd.DataFrame] = []
@@ -1244,11 +1324,20 @@ class FeatureProcessing:
         # templates on the host.
         self._raw_reads = (self._salt_injector is None
                            and np.dtype(dtype) == np.float32)
-        batches = (self._iter_trigger_batches(batch_size, nevents)
+        batches = (self._iter_trigger_batches(batch_size, nevents,
+                                              nreaders=nreaders)
                    if self._trigger_df is not None
-                   else self._iter_full_batches(batch_size, nevents))
+                   else self._iter_full_batches(batch_size, nevents,
+                                                nreaders=nreaders))
         if skip_events:
             batches = _skip_rows(batches, skip_events)
+        from contextlib import nullcontext
+        stage = (timer.stage if timer is not None
+                 else (lambda name: nullcontext()))
+        # dump writes ride a background writer thread (tables.AsyncWriter)
+        # so table IO overlaps device compute; _flush_dump picks it up
+        # from the state dict
+        state["writer"] = tables.AsyncWriter() if lgc_save else None
 
         inflight: List[tuple] = []
 
@@ -1273,79 +1362,107 @@ class FeatureProcessing:
         group_fns = self._group_fns_for(mesh)
         salt_templates = (jnp.asarray(self._device_injector.templates)
                           if self._device_injector is not None else None)
-        for raw_np, admins in batches:
-            nb = raw_np.shape[0]
-            convs = None
-            if self._raw_reads:
-                convs = np.stack([
-                    np.asarray(a.pop("adc_conv",
-                                     np.ones(raw_np.shape[1])),
-                               np.float32)
-                    for a in admins])
-            plan = None
-            if self._device_injector is not None:
-                starts = [a.pop("_window_start", 0) for a in admins]
-                plan = self._device_injector.plan(admins,
-                                                  window_starts=starts)
-            upload = raw_np
-            if not np.issubdtype(upload.dtype, np.integer):
-                # float-stored data uploads as the compute dtype (as
-                # before); integer ADC codes upload AS STORED
-                upload = upload.astype(dtype, copy=False)
-            if mesh is not None:
-                n_dev = mesh.devices.size
-                padn = (-nb) % n_dev
-                if padn:
-                    # repeat the last event so B divides the device
-                    # count; emit() trims back to nb
-                    def _padrep(a):
-                        return np.concatenate(
-                            [a, np.repeat(a[-1:], padn, axis=0)])
-                    upload = _padrep(upload)
-                    if convs is not None:
-                        convs = _padrep(convs)
-                    if plan is not None:
-                        plan = type(plan)(*(_padrep(f) for f in plan))
-                from jax.sharding import (NamedSharding,
-                                          PartitionSpec as P)
-                from detprocess_tpu.parallel import mesh as pmesh
-                # device_put on the HOST array uploads each shard to its
-                # device directly; jnp.asarray first would stage the full
-                # batch on device 0 and reshard (double transfer)
-                sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
-                put = lambda a: jax.device_put(a, sharding)  # noqa: E731
-            else:
-                put = jnp.asarray
-            raw = put(upload)
-            if convs is not None:
-                raw = _adc_convert(raw, put(convs))
-            if plan is not None:
-                from detprocess_tpu.ops import saltinject
-                raw = saltinject.inject_salts(
-                    raw, put(plan.idx), put(plan.chan), put(plan.tid),
-                    put(plan.amp), salt_templates)
-            bp = raw_np.shape[0]
-            dev_feats: Dict[str, jnp.ndarray] = {}
-            for group_fn, bank in zip(group_fns, banks):
-                dev_feats.update(group_fn(raw, bank))
-            # pack homogeneous [B] float columns into one [ncol, B] array
-            pack = {k: v for k, v in dev_feats.items()
-                    if getattr(v, "ndim", None) == 1 and v.shape[0] == bp
-                    and jnp.issubdtype(v.dtype, jnp.floating)}
-            extras = {k: v for k, v in dev_feats.items() if k not in pack}
-            keys = list(pack)
-            packed = None
-            if keys:
-                ct = jnp.result_type(*(pack[k].dtype for k in keys))
-                packed = jnp.stack([pack[k].astype(ct) for k in keys])
-            inflight.append((keys, packed, extras, admins, nb))
-            if len(inflight) > max(pipeline_depth, 0):
-                emit(inflight.pop(0))
-        for entry in inflight:
-            emit(entry)
+        _batch_iter = iter(batches)
+
+        def _next_batch():
+            """One read step under the 'read' stage (host IO — with
+            nreaders>1 most of it happens in the reader threads and this
+            is just a queue pop)."""
+            with stage("read"):
+                return next(_batch_iter, None)
+
+        try:
+            while (_nb := _next_batch()) is not None:
+                raw_np, admins = _nb
+                _t_disp = _time.perf_counter()
+                nb = raw_np.shape[0]
+                convs = None
+                if self._raw_reads:
+                    convs = np.stack([
+                        np.asarray(a.pop("adc_conv",
+                                         np.ones(raw_np.shape[1])),
+                                   np.float32)
+                        for a in admins])
+                plan = None
+                if self._device_injector is not None:
+                    starts = [a.pop("_window_start", 0) for a in admins]
+                    plan = self._device_injector.plan(admins,
+                                                      window_starts=starts)
+                upload = raw_np
+                if not np.issubdtype(upload.dtype, np.integer):
+                    # float-stored data uploads as the compute dtype (as
+                    # before); integer ADC codes upload AS STORED
+                    upload = upload.astype(dtype, copy=False)
+                if mesh is not None:
+                    n_dev = mesh.devices.size
+                    padn = (-nb) % n_dev
+                    if padn:
+                        # repeat the last event so B divides the device
+                        # count; emit() trims back to nb
+                        def _padrep(a):
+                            return np.concatenate(
+                                [a, np.repeat(a[-1:], padn, axis=0)])
+                        upload = _padrep(upload)
+                        if convs is not None:
+                            convs = _padrep(convs)
+                        if plan is not None:
+                            plan = type(plan)(*(_padrep(f) for f in plan))
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
+                    from detprocess_tpu.parallel import mesh as pmesh
+                    # device_put on the HOST array uploads each shard to its
+                    # device directly; jnp.asarray first would stage the full
+                    # batch on device 0 and reshard (double transfer)
+                    sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
+                    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+                else:
+                    put = jnp.asarray
+                raw = put(upload)
+                if convs is not None:
+                    raw = _adc_convert(raw, put(convs))
+                if plan is not None:
+                    from detprocess_tpu.ops import saltinject
+                    raw = saltinject.inject_salts(
+                        raw, put(plan.idx), put(plan.chan), put(plan.tid),
+                        put(plan.amp), salt_templates)
+                bp = raw_np.shape[0]
+                dev_feats: Dict[str, jnp.ndarray] = {}
+                for group_fn, bank in zip(group_fns, banks):
+                    dev_feats.update(group_fn(raw, bank))
+                # pack homogeneous [B] float columns into one [ncol, B] array
+                pack = {k: v for k, v in dev_feats.items()
+                        if getattr(v, "ndim", None) == 1 and v.shape[0] == bp
+                        and jnp.issubdtype(v.dtype, jnp.floating)}
+                extras = {k: v for k, v in dev_feats.items() if k not in pack}
+                keys = list(pack)
+                packed = None
+                if keys:
+                    ct = jnp.result_type(*(pack[k].dtype for k in keys))
+                    packed = jnp.stack([pack[k].astype(ct) for k in keys])
+                inflight.append((keys, packed, extras, admins, nb))
+                if timer is not None:
+                    timer.add_seconds("dispatch",
+                                      _time.perf_counter() - _t_disp)
+                if len(inflight) > max(pipeline_depth, 0):
+                    with stage("drain"):
+                        emit(inflight.pop(0))
+            with stage("drain"):
+                for entry in inflight:
+                    emit(entry)
+        except BaseException:
+            if state.get("writer") is not None:  # don't mask the error
+                try:
+                    state["writer"].close()
+                except BaseException:
+                    pass
+                state["writer"] = None
+            raise
         if lgc_save and state["pending"]:
             self._flush_dump(state, output_path, output_format,
                              out_series, group_name)
+        if state.get("writer") is not None:
+            state["writer"].close()   # drain async dump writes; surface
+            state["writer"] = None    # errors before the job summary
 
         wall = _time.time() - t_start
         if self._verbose and state["total"]:
@@ -1473,7 +1590,11 @@ class FeatureProcessing:
             output_path, self._output_prefix(), group_name, out_series,
             state["dump"],
             "parquet" if output_format == "parquet" else "hdf5")
-        tables.write_table(df, path, fmt=output_format)
+        writer = state.get("writer")
+        if writer is not None:
+            writer.write(df, path, fmt=output_format)   # async (overlaps
+        else:                                           # device compute)
+            tables.write_table(df, path, fmt=output_format)
 
 
 def _adc_convert(raw, conv):

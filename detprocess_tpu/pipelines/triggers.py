@@ -664,8 +664,23 @@ class TriggerProcessing:
                 nb_events_per_dump: Optional[int] = None,
                 resume: bool = False,
                 lgc_output: bool = True,
-                mesh=None) -> Optional[pd.DataFrame]:
+                mesh=None,
+                nreaders: int = 1,
+                timer=None) -> Optional[pd.DataFrame]:
         """Run continuous-data triggering.
+
+        ``nreaders``: number of concurrent host reader threads, each
+        owning a disjoint file subset (``RawReader.split``) — the
+        functional replacement for the reference's ``ncores``
+        Pool-over-series (process/triggers.py:337-377). Reads release
+        the GIL (fastio pread), so readers scale with host cores.
+        Event order across subsets is nondeterministic, so — like the
+        reference (triggers.py:272-274) — ``nreaders > 1`` requires
+        processing all events (``nevents=-1``) and no ``resume``.
+
+        ``timer``: optional ``utils.logging.StageTimer`` accumulating
+        the host/device wall-time split (read / stack / dispatch /
+        drain / dump stages).
 
         ``nb_events_per_dump`` writes a trigger dump every N continuous
         events (default: one dump at the end). ``resume=True`` (with
@@ -683,6 +698,12 @@ class TriggerProcessing:
         over chips inside ONE pipeline instance; raise ``event_batch``
         so every device gets several events per dispatch.
         """
+        if nreaders > 1 and (nevents >= 0 or resume):
+            # unordered multi-reader events break nevents-truncation and
+            # resume-skip determinism — same constraint as the
+            # reference's ncores>1 (process/triggers.py:272-274)
+            raise ValueError("nreaders > 1 requires processing all "
+                             "events (nevents=-1) without resume")
         overall = self._trigger_config.get("overall", {}) or {}
         if coincident_window_msec is None:
             coincident_window_msec = overall.get("coincident_window_msec")
@@ -880,125 +901,167 @@ class TriggerProcessing:
         nchan_all = len(self._available_channels)
         salt_templates = (jnp.asarray(self._device_injector.templates)
                           if self._device_injector is not None else None)
-        if prefetch_depth > 0:
+        # nreaders > 1: concurrent reader threads over disjoint file
+        # subsets (io.prefetch.ParallelEventPrefetcher) — the functional
+        # replacement for the reference's ncores Pool-over-series
+        if prefetch_depth > 0 or nreaders > 1:
             from detprocess_tpu.io.prefetch import prefetch_events
             source = prefetch_events(
-                self._reader, depth=prefetch_depth, raw=raw_mode,
-                dtype=None if raw_mode else np.float64)
+                self._reader, depth=max(prefetch_depth, 1),
+                raw=raw_mode, dtype=None if raw_mode else np.float64,
+                nreaders=nreaders)
+            prefetching = True
         else:
             source = self._reader
+            prefetching = False
+        from contextlib import nullcontext
+        stage = (timer.stage if timer is not None
+                 else (lambda name: nullcontext()))
+        # dump writes go through a background writer thread so table IO
+        # overlaps device compute (tables.AsyncWriter)
+        writer = tables.AsyncWriter() if lgc_save else None
         inflight = []
-        while nevents < 0 or total < nevents:
-            batch_traces, batch_admins, batch_convs = [], [], []
-            want = event_batch if nevents < 0 else min(
-                event_batch, nevents - total)
-            for _ in range(want):
-                if prefetch_depth > 0:
-                    traces, admin = source.read_next_event()
-                elif raw_mode:
-                    traces, admin = source.read_next_event(
-                        dtype=None, adctoamp=False)
-                else:
-                    traces, admin = source.read_next_event(
-                        dtype=np.float64)
-                if traces is None:
-                    break
-                if resume_after is not None and (
-                        admin["series_number"],
-                        admin["event_number"]) <= resume_after:
-                    continue
-                if self._salt_injector is not None:
-                    traces = self._salt_injector(traces, admin)
-                conv = admin.pop("adc_conv", None)
-                batch_convs.append(
-                    np.ones(nchan_all, np.float32) if conv is None
-                    else np.asarray(conv, np.float32))
-                batch_traces.append(traces)
-                batch_admins.append(admin)
-            if not batch_traces:
-                if resume_after is not None and traces is not None:
-                    continue          # batch fully skipped, keep reading
-                break
-            total += len(batch_traces)
-            host_stack = np.stack(batch_traces)
-            if not np.issubdtype(host_stack.dtype, np.integer):
-                # float-stored data uploads as float32 (as before);
-                # integer ADC codes upload AS STORED — half the bytes
-                host_stack = host_stack.astype(np.float32, copy=False)
-            conv_stack = np.stack(batch_convs) if raw_mode else None
-            plan = (self._device_injector.plan(batch_admins)
-                    if self._device_injector is not None else None)
-            if mesh is not None:
-                n_dev = mesh.devices.size
-                pad = (-len(batch_traces)) % n_dev
-                if pad:
-                    # repeat the last event so E divides the device
-                    # count; slice_sets below only reads e < len(btr)
-                    def _padrep(a):
-                        return np.concatenate(
-                            [a, np.repeat(a[-1:], pad, axis=0)])
-                    host_stack = _padrep(host_stack)
-                    if conv_stack is not None:
-                        conv_stack = _padrep(conv_stack)
-                    if plan is not None:
-                        plan = type(plan)(*(_padrep(f) for f in plan))
-                from jax.sharding import (NamedSharding,
-                                          PartitionSpec as P)
-                from detprocess_tpu.parallel import mesh as pmesh
-                # device_put on the HOST array uploads each shard to its
-                # device directly; jnp.asarray first would stage the full
-                # batch on device 0 and reshard (double transfer)
-                sharding = NamedSharding(mesh, P(pmesh.EVENTS_AXIS))
-                put = lambda a: jax.device_put(a, sharding)  # noqa: E731
-            else:
-                put = jnp.asarray
-            stacked = put(host_stack)
-            if conv_stack is not None:
-                # on-device ADC→amps conversion (one elementwise pass —
-                # what the float path's upload staging already cost)
-                stacked = saltinject.adc_convert(stacked, put(conv_stack))
-            if plan is not None:
-                # on-device salt injection: K masked template adds per
-                # event (ops.saltinject); the host only built the plan
-                stacked = saltinject.inject_salts(
-                    stacked, put(plan.idx), put(plan.chan),
-                    put(plan.tid), put(plan.amp), salt_templates)
-            batch_sets = {}
-            for tc in self._channels:
-                sub = stacked[:, jnp.asarray(tc.chan_indices), :]
-                batch_sets[tc.name] = fns[tc.name](sub)
-            inflight.append((batch_traces, batch_admins, batch_sets))
-            while len(inflight) > max(pipeline_depth, 0):
-                btr, badm, bsets = inflight.pop(0)
+
+        def drain(entry):
+            nonlocal events_done
+            btr, badm, bsets = entry
+            with stage("drain"):
                 hsets = sets_to_host(bsets)
                 for e in range(len(btr)):
                     handle_event(btr[e], badm[e], slice_sets(hsets, e))
-                events_done += len(btr)
-            if (lgc_save and nb_events_per_dump
-                    and events_done - events_dumped >= nb_events_per_dump
-                    and frames):
-                dump_num = self._write_dump(frames, output_path,
-                                            output_format, out_series,
-                                            group_name, dump_num)
-                all_frames.extend(frames)
-                frames.clear()
-                events_dumped = events_done
-            if self._verbose and total % 100 < event_batch:
-                # note: triggers from still-inflight dispatches are not
-                # counted yet — this is a progress line, not a total
-                ntrig = sum(len(f) for f in frames)
-                print(f"INFO: processed {total} continuous events "
-                      f"({ntrig} triggers so far)")
-        for btr, badm, bsets in inflight:
-            hsets = sets_to_host(bsets)
-            for e in range(len(btr)):
-                handle_event(btr[e], badm[e], slice_sets(hsets, e))
-        if prefetch_depth > 0:
-            source.close()
+            events_done += len(btr)
 
-        if lgc_save and frames:
-            dump_num = self._write_dump(frames, output_path, output_format,
-                                        out_series, group_name, dump_num)
+        try:
+            while nevents < 0 or total < nevents:
+                batch_traces, batch_admins, batch_convs = [], [], []
+                want = event_batch if nevents < 0 else min(
+                    event_batch, nevents - total)
+                with stage("read"):
+                    for _ in range(want):
+                        if prefetching:
+                            traces, admin = source.read_next_event()
+                        elif raw_mode:
+                            traces, admin = source.read_next_event(
+                                dtype=None, adctoamp=False)
+                        else:
+                            traces, admin = source.read_next_event(
+                                dtype=np.float64)
+                        if traces is None:
+                            break
+                        if resume_after is not None and (
+                                admin["series_number"],
+                                admin["event_number"]) <= resume_after:
+                            continue
+                        if self._salt_injector is not None:
+                            traces = self._salt_injector(traces, admin)
+                        conv = admin.pop("adc_conv", None)
+                        batch_convs.append(
+                            np.ones(nchan_all, np.float32) if conv is None
+                            else np.asarray(conv, np.float32))
+                        batch_traces.append(traces)
+                        batch_admins.append(admin)
+                if not batch_traces:
+                    if resume_after is not None and traces is not None:
+                        continue          # batch fully skipped, keep reading
+                    break
+                total += len(batch_traces)
+                with stage("dispatch"):
+                    host_stack = np.stack(batch_traces)
+                    if not np.issubdtype(host_stack.dtype, np.integer):
+                        # float-stored data uploads as float32 (as before);
+                        # integer ADC codes upload AS STORED — half the bytes
+                        host_stack = host_stack.astype(np.float32,
+                                                       copy=False)
+                    conv_stack = (np.stack(batch_convs) if raw_mode
+                                  else None)
+                    plan = (self._device_injector.plan(batch_admins)
+                            if self._device_injector is not None else None)
+                    if mesh is not None:
+                        n_dev = mesh.devices.size
+                        pad = (-len(batch_traces)) % n_dev
+                        if pad:
+                            # repeat the last event so E divides the device
+                            # count; slice_sets below only reads e < len(btr)
+                            def _padrep(a):
+                                return np.concatenate(
+                                    [a, np.repeat(a[-1:], pad, axis=0)])
+                            host_stack = _padrep(host_stack)
+                            if conv_stack is not None:
+                                conv_stack = _padrep(conv_stack)
+                            if plan is not None:
+                                plan = type(plan)(*(_padrep(f)
+                                                    for f in plan))
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec as P)
+                        from detprocess_tpu.parallel import mesh as pmesh
+                        # device_put on the HOST array uploads each shard to
+                        # its device directly; jnp.asarray first would stage
+                        # the full batch on device 0 and reshard (double
+                        # transfer)
+                        sharding = NamedSharding(mesh,
+                                                 P(pmesh.EVENTS_AXIS))
+                        put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+                    else:
+                        put = jnp.asarray
+                    stacked = put(host_stack)
+                    if conv_stack is not None:
+                        # on-device ADC→amps conversion (one elementwise
+                        # pass — what the float path's upload staging
+                        # already cost)
+                        stacked = saltinject.adc_convert(
+                            stacked, put(conv_stack))
+                    if plan is not None:
+                        # on-device salt injection: K masked template adds
+                        # per event (ops.saltinject); the host only built
+                        # the plan
+                        stacked = saltinject.inject_salts(
+                            stacked, put(plan.idx), put(plan.chan),
+                            put(plan.tid), put(plan.amp), salt_templates)
+                    batch_sets = {}
+                    for tc in self._channels:
+                        sub = stacked[:, jnp.asarray(tc.chan_indices), :]
+                        batch_sets[tc.name] = fns[tc.name](sub)
+                inflight.append((batch_traces, batch_admins, batch_sets))
+                while len(inflight) > max(pipeline_depth, 0):
+                    drain(inflight.pop(0))
+                if (lgc_save and nb_events_per_dump
+                        and events_done - events_dumped
+                        >= nb_events_per_dump
+                        and frames):
+                    with stage("dump"):
+                        dump_num = self._write_dump(
+                            frames, output_path, output_format,
+                            out_series, group_name, dump_num,
+                            writer=writer)
+                    all_frames.extend(frames)
+                    frames.clear()
+                    events_dumped = events_done
+                if self._verbose and total % 100 < event_batch:
+                    # note: triggers from still-inflight dispatches are not
+                    # counted yet — this is a progress line, not a total
+                    ntrig = sum(len(f) for f in frames)
+                    print(f"INFO: processed {total} continuous events "
+                          f"({ntrig} triggers so far)")
+            for entry in inflight:
+                drain(entry)
+            if lgc_save and frames:
+                with stage("dump"):
+                    dump_num = self._write_dump(
+                        frames, output_path, output_format, out_series,
+                        group_name, dump_num, writer=writer)
+        except BaseException:
+            if writer is not None:       # don't mask the original error
+                try:
+                    writer.close()
+                except BaseException:
+                    pass
+            raise
+        finally:
+            if prefetching:
+                source.close()
+        if writer is not None:
+            writer.close()       # drain async dump writes; surface errors
+
         all_frames.extend(frames)
         result = (pd.concat(all_frames, ignore_index=True)
                   if all_frames else pd.DataFrame())
@@ -1029,12 +1092,13 @@ class TriggerProcessing:
                 })
         return result if lgc_output else None
 
+
     def _trigger_prefix(self) -> str:
         return tables.build_prefix("threshtrig", self._processing_id,
                                    self._restricted, self._calib)
 
     def _write_dump(self, frames, output_path, output_format, out_series,
-                    group_name, dump_num) -> int:
+                    group_name, dump_num, writer=None) -> int:
         df = pd.concat(frames, ignore_index=True)
         if not len(df):
             return dump_num
@@ -1042,7 +1106,10 @@ class TriggerProcessing:
         path = tables.output_file_name(
             output_path, self._trigger_prefix(), group_name, out_series,
             dump_num, "parquet" if output_format == "parquet" else "hdf5")
-        tables.write_table(df, path, fmt=output_format)
+        if writer is not None:
+            writer.write(df, path, fmt=output_format)   # async (overlaps
+        else:                                           # device compute)
+            tables.write_table(df, path, fmt=output_format)
         return dump_num
 
     def _scan_resume(self, output_path, group_name, output_format):

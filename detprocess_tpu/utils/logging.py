@@ -48,6 +48,11 @@ class StageTimer:
     def add_items(self, name: str, count: int):
         self._items[name] = self._items.get(name, 0) + count
 
+    def add_seconds(self, name: str, seconds: float):
+        """Accumulate measured time directly (for call sites where the
+        ``stage`` context manager would force a re-indent)."""
+        self._times[name] = self._times.get(name, 0.0) + seconds
+
     def report(self, log=True) -> dict:
         out = {}
         for name, t in self._times.items():

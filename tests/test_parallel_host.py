@@ -1,0 +1,253 @@
+"""Parallel host feeding + async table writes (round-4 VERDICT item 3).
+
+The reference's only intra-job parallelism is ``Pool.starmap`` over
+series (process/features.py:391-420, process/triggers.py:337-377).
+The TPU rebuild feeds ONE device pipeline from N concurrent reader
+threads instead: ``RawReader.split`` + ``ParallelEventPrefetcher``
+(full-trace mode, unordered) and ``OrderedChunkPrefetcher`` (windowed
+trigger-df mode, order-preserving). These tests pin the equality
+contract: the processed event/row SET is identical to the serial run.
+"""
+
+import os
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from detprocess_tpu.io import tables
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.prefetch import (OrderedChunkPrefetcher,
+                                        ParallelEventPrefetcher,
+                                        prefetch_events)
+from detprocess_tpu.io.rawdata import RawReader, RawWriter
+from detprocess_tpu.models import pulse
+from detprocess_tpu.utils.logging import StageTimer
+
+FS = 1.25e6
+
+
+def _write_series(tmp_path, series, nev=3, nsamp=8192, nchan=1, seed=0):
+    rng = np.random.default_rng(seed)
+    w = RawWriter(str(tmp_path / "raw"), series, FS,
+                  [f"chan{i+1}" for i in range(nchan)],
+                  data_type="continuous")
+    traces = rng.standard_normal((nev, nchan, nsamp)) * 1e-9
+    w.write_dump(traces, dump_num=1)
+    return sorted(str(p) for p in (tmp_path / "raw").glob(f"*{series}*"))
+
+
+def test_rawreader_split_covers_all_files(tmp_path):
+    files = []
+    for i in range(5):
+        files += _write_series(tmp_path, f"I1_D20260820_T10000{i}",
+                               seed=i)
+    reader = RawReader(files)
+    for n in (1, 2, 3, 5, 8):
+        parts = reader.split(n)
+        assert len(parts) == min(n, len(files))
+        got = sorted(f for p in parts for f in p.files)
+        assert got == sorted(files)          # disjoint and complete
+        assert sum(len(p.files) for p in parts) == len(files)
+
+
+def test_parallel_prefetcher_same_event_set(tmp_path):
+    files = []
+    for i in range(4):
+        files += _write_series(tmp_path, f"I1_D20260820_T11000{i}",
+                               nev=4, seed=10 + i)
+
+    def collect(source):
+        out = {}
+        for traces, admin in source:
+            key = (admin["series_number"], admin["event_number"])
+            assert key not in out
+            out[key] = np.asarray(traces).sum()
+        return out
+
+    serial = collect(prefetch_events(RawReader(files), depth=8))
+    for n in (2, 3):
+        par = ParallelEventPrefetcher(RawReader(files).split(n), depth=8)
+        got = collect(par)
+        assert got.keys() == serial.keys()
+        for k in serial:
+            assert got[k] == serial[k]
+
+
+def test_parallel_prefetcher_propagates_reader_error(tmp_path):
+    files = _write_series(tmp_path, "I1_D20260820_T120000", nev=2)
+
+    class Boom:
+        def read_next_event(self, channels=None, **kw):
+            raise RuntimeError("disk on fire")
+
+    pf = ParallelEventPrefetcher([Boom(), RawReader(files)], depth=4)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        for _ in pf:
+            pass
+    pf.close()
+
+
+def test_ordered_chunk_prefetcher_preserves_order():
+    chunks = list(range(23))
+
+    def work(state, chunk):
+        # stagger to force out-of-order completion across workers
+        import time
+        time.sleep(0.001 * ((chunk * 7) % 5))
+        return (state, chunk * chunk)
+
+    for n in (1, 2, 4):
+        pf = OrderedChunkPrefetcher(work, chunks, list(range(n)), depth=2)
+        got = list(pf)
+        assert [c for _, c in got] == [c * c for c in chunks]
+        # chunk i ran on worker i % n (round-robin assignment)
+        assert [w for w, _ in got] == [i % n for i in chunks]
+
+
+def test_ordered_chunk_prefetcher_propagates_error():
+    def work(state, chunk):
+        if chunk == 5:
+            raise ValueError("bad chunk")
+        return chunk
+
+    pf = OrderedChunkPrefetcher(work, list(range(10)), [0, 1], depth=2)
+    with pytest.raises(ValueError, match="bad chunk"):
+        list(pf)
+
+
+def test_async_writer_roundtrip_and_error(tmp_path):
+    w = tables.AsyncWriter()
+    df = pd.DataFrame({"x": np.arange(5), "y": np.linspace(0, 1, 5)})
+    path = str(tmp_path / "out.hdf5")
+    w.write(df, path, fmt="hdf5")
+    w.close()
+    back = tables.read_table(path)
+    assert np.array_equal(back["x"], df["x"])
+
+    w = tables.AsyncWriter()
+    w.write(df, str(tmp_path / "no_such_dir" / "f.hdf5"), fmt="hdf5")
+    with pytest.raises(Exception):
+        w.close()
+
+
+@pytest.fixture(scope="module")
+def trigger_setup(tmp_path_factory):
+    """3-series continuous dataset + filter data + trigger yaml."""
+    tmp_path = tmp_path_factory.mktemp("parhost")
+    nt, pre = 512, 128
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    sigma = 1e-9
+    files = []
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        series = f"I1_D20260820_T13000{i}"
+        w = RawWriter(str(tmp_path / "raw"), series, FS, ["chan1"],
+                      data_type="continuous")
+        traces = rng.standard_normal((2, 1, 50_000)) * sigma
+        for ev in range(2):
+            for p in (9000, 21000, 33000):
+                traces[ev, 0, p - pre:p - pre + nt] += 50e-9 * tmpl
+        w.write_dump(traces, dump_num=1)
+        files += sorted(str(p) for p in (tmp_path / "raw").glob(
+            f"*{series}*"))
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=pre)
+    fd.set_psd("chan1", np.full(nt, sigma**2 / FS), FS)
+    cfg = {"trigger": {"chan1": {"run": True, "template_tag": "default",
+                                 "threshold_sigma": 8.0,
+                                 "pileup_window_msec": 0.2}}}
+    cpath = str(tmp_path / "t.yaml")
+    yaml.safe_dump(cfg, open(cpath, "w"))
+    return tmp_path, sorted(files), cpath, fd, nt, pre
+
+
+def test_trigger_pipeline_nreaders_equal(trigger_setup):
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmp_path, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    df1 = tp.process(capacity=64)
+    df3 = tp.process(capacity=64, nreaders=3)
+    key = ["series_number", "event_number", "trigger_index"]
+    a = df1.sort_values(key, ignore_index=True)
+    b = df3.sort_values(key, ignore_index=True)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("trigger_index", "trigger_delta_chi2",
+                "trigger_amplitude"):
+        assert np.allclose(np.asarray(a[col], float),
+                           np.asarray(b[col], float)), col
+
+
+def test_trigger_nreaders_rejects_partial_runs(trigger_setup):
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmp_path, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    with pytest.raises(ValueError, match="nreaders"):
+        tp.process(nevents=2, nreaders=2)
+    with pytest.raises(ValueError, match="nreaders"):
+        tp.process(nreaders=2, resume=True, lgc_save=True,
+                   output_path=str(tmp_path / "nope"))
+
+
+def test_feature_windowed_nreaders_identical(trigger_setup):
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmp_path, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    trig_df = tp.process(capacity=64)
+    fcfg = {"feature": {"chan1": {"of1x1_nodelay": {"run": True},
+                                  "baseline": {"run": True}}},
+            "global": {"trace_length_samples": nt,
+                       "pretrigger_length_samples": pre}}
+    fpath = str(tmp_path / "f.yaml")
+    yaml.safe_dump(fcfg, open(fpath, "w"))
+    fp = FeatureProcessing(files, fpath, filter_data=fd,
+                           trigger_dataframe=trig_df, verbose=False)
+    df1 = fp.process(batch_size=7)                  # uneven chunks
+    df3 = fp.process(batch_size=7, nreaders=3)
+    # windowed mode preserves ROW ORDER exactly — frame equality, not
+    # just set equality
+    assert len(df1) == len(df3) and len(df1) > 0
+    for col in df1.columns:
+        a, b = df1[col], df3[col]
+        try:
+            af, bf = np.asarray(a, float), np.asarray(b, float)
+        except (ValueError, TypeError):
+            assert list(a) == list(b), col      # string columns
+        else:
+            assert np.allclose(af, bf, equal_nan=True), col
+
+
+def test_stage_timer_reports_split(trigger_setup):
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmp_path, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    timer = StageTimer()
+    tp.process(capacity=64, timer=timer)
+    report = timer.report(log=False)
+    assert {"read", "dispatch", "drain"} <= set(report)
+    assert all(v["seconds"] >= 0 for v in report.values())
+
+
+def test_trigger_async_dump_writes_land(trigger_setup, tmp_path):
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    _, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    out = str(tmp_path / "dumps")
+    df = tp.process(capacity=64, lgc_save=True, output_path=out,
+                    nb_events_per_dump=2, event_batch=2,
+                    pipeline_depth=0)
+    dumps = sorted(p for p in os.listdir(out) if p.endswith(".hdf5")
+                   and "job_summary" not in p)
+    assert len(dumps) >= 2                    # periodic dumps written
+    rows = sum(len(tables.read_table(os.path.join(out, p)))
+               for p in dumps)
+    assert rows == len(df)
