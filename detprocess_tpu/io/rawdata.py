@@ -227,6 +227,7 @@ class RawReader:
         self._ra_file = None          # cached random-access handle
         self._ra_name = None
         self._ra_ds: Dict[int, object] = {}      # event dataset handles
+        self._ra_fast: Dict[int, object] = {}    # resolved fast entries
         self._file_admin_cache: Dict[str, dict] = {}
         self._event_admin_cache: Dict[tuple, dict] = {}
         self._meta_cache: Dict[str, dict] = {}
@@ -348,6 +349,7 @@ class RawReader:
             self._ra_file = None
             self._ra_name = None
             self._ra_ds = {}
+            self._ra_fast = {}
         self._fast.close()
 
     def read_next_event(self, channels: Optional[Sequence[str]] = None,
@@ -405,13 +407,23 @@ class RawReader:
             self._ra_file = h5py.File(fname, "r")
             self._ra_name = fname
             self._ra_ds = {}
+            self._ra_fast = {}
         ds = self._ra_ds.get(event_index)
         if ds is None:
             ds = self._event_dataset(self._ra_file, fname, event_index)
             self._ra_ds[event_index] = ds
+        # cache the RESOLVED fast entry per event: fastio.resolve keys on
+        # ds.name, an h5py property costing ~3 µs per access — real at
+        # trigger-driven rates of 1e5 windowed reads/s
+        if event_index in self._ra_fast:
+            fentry = self._ra_fast[event_index]
+        else:
+            fentry = self._fast.resolve(fname, ds)
+            self._ra_fast[event_index] = fentry
         return self._read_event(self._ra_file, fname, event_index,
                                 channels, trace_window, ds=ds,
-                                adctoamp=adctoamp, dtype=dtype)
+                                adctoamp=adctoamp, dtype=dtype,
+                                fentry=fentry, fentry_resolved=True)
 
     def read_many_events(self, nevents: Optional[int] = None,
                          channels: Optional[Sequence[str]] = None):
@@ -431,7 +443,8 @@ class RawReader:
 
     def _read_event(self, f, fname, event_index, channels,
                     trace_window=None, ds=None, adctoamp=True,
-                    dtype=np.float64):
+                    dtype=np.float64, fentry=None,
+                    fentry_resolved=False):
         # per-file attr values are cached — HDF5 attribute reads cost
         # ~0.1-0.3 ms each and trigger-driven windowed reads hit the
         # same file/event thousands of times in a row
@@ -479,7 +492,8 @@ class RawReader:
         # ~3.6x h5py's hyperslab path and hold no libhdf5 lock, so
         # prefetch threads scale (io/fastio.py; falls back to h5py for
         # chunked/compressed/compact/big-endian storage)
-        fentry = self._fast.resolve(fname, ds)
+        if not fentry_resolved:
+            fentry = self._fast.resolve(fname, ds)
         if fentry is not None:
             arr = self._fast.read(fentry, trace_window)
         elif trace_window is not None:

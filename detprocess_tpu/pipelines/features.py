@@ -1014,6 +1014,14 @@ class FeatureProcessing:
         return index.get((int(row["series_number"]),
                           int(row["dump_number"])))
 
+    # coalesce per-window preads into ONE full-event read when the
+    # chunk's windows cover at least this fraction of the event trace
+    # (dense production triggering: 100s of 4k windows per 1.25 Ms
+    # event → window bytes exceed the trace; one contiguous read +
+    # host slicing beats per-window syscalls). Reference anchor: the
+    # per-event hyperslab reads this replaces, processing_data.py:555-705.
+    COALESCE_FRACTION = 0.5
+
     def _read_row_chunk(self, reader, rows):
         """Read one chunk of trigger rows with ``reader`` (any RawReader
         — workers pass their own clone) → (stack, admins, ndropped), or
@@ -1021,6 +1029,15 @@ class FeatureProcessing:
         n, pre = self._trigger_geometry
         batch_traces, admins = [], []
         dropped = 0
+        raw_reads = getattr(self, "_raw_reads", False)
+        # count windows per (file, event) to pick coalesced full reads
+        win_count: dict = {}
+        for row in rows:
+            fname = self._file_for_row(row)
+            if fname is not None:
+                key = (fname, int(row["event_number"]))
+                win_count[key] = win_count.get(key, 0) + 1
+        full_cache: dict = {}
         for row in rows:
             fname = self._file_for_row(row)
             if fname is None:
@@ -1031,17 +1048,24 @@ class FeatureProcessing:
             if start < 0 or start + n > raw_n:
                 dropped += 1
                 continue
-            if getattr(self, "_raw_reads", False):
-                # stored-dtype windowed read: int16 ADC codes upload
-                # as-is and convert on device (process() applies
-                # admin["adc_conv"]) — half the host→device bytes
-                traces, admin = reader.read_single_event(
-                    int(row["event_number"]), file_name=fname,
-                    trace_window=(start, n), adctoamp=False, dtype=None)
+            ev = int(row["event_number"])
+            key = (fname, ev)
+            kw = (dict(adctoamp=False, dtype=None) if raw_reads else {})
+            if win_count[key] * n >= self.COALESCE_FRACTION * raw_n:
+                hit = full_cache.get(key)
+                if hit is None:
+                    hit = full_cache[key] = reader.read_single_event(
+                        ev, file_name=fname, **kw)
+                    if len(full_cache) > 2:     # bound host memory to a
+                        for k in list(full_cache):  # few full traces
+                            if k != key:
+                                del full_cache[k]
+                ftr, fadmin = hit
+                traces = ftr[:, start:start + n]
+                admin = dict(fadmin)
             else:
                 traces, admin = reader.read_single_event(
-                    int(row["event_number"]), file_name=fname,
-                    trace_window=(start, n))
+                    ev, file_name=fname, trace_window=(start, n), **kw)
             if self._salt_injector is not None:
                 traces = self._salt_injector(traces, admin,
                                              window_start=start)

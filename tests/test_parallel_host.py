@@ -251,3 +251,62 @@ def test_trigger_async_dump_writes_land(trigger_setup, tmp_path):
     rows = sum(len(tables.read_table(os.path.join(out, p)))
                for p in dumps)
     assert rows == len(df)
+
+
+def test_windowed_read_coalescing_identical(tmp_path):
+    """Dense windows coalesce into one full-event read + host slicing
+    (_read_row_chunk, COALESCE_FRACTION); traces and admins must equal
+    the per-window pread path exactly."""
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+
+    nt, pre = 512, 128
+    L = 50_000
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T160000", FS,
+                  ["chan1"],
+                  detector_config={"chan1": {"close_loop_norm": 1.0}},
+                  adc_conversion_factor=2e-9)
+    rng = np.random.default_rng(11)
+    w.write_dump(rng.standard_normal((2, 1, L)) * 1e-9, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=pre)
+    fd.set_psd("chan1", np.full(nt, 1e-18), FS)
+    cpath = str(tmp_path / "f.yaml")
+    yaml.safe_dump({"feature": {"chan1": {"of1x1_nodelay": {"run": True}}},
+                    "global": {"trace_length_samples": nt,
+                               "pretrigger_length_samples": pre}},
+                   open(cpath, "w"))
+    md = RawReader(files).get_metadata(files[0])
+    # 120 windows x 512 samples over a 50k trace: dense — coalesces
+    idx, evs = [], []
+    for ev in (1, 2):
+        idx.extend(np.sort(rng.integers(pre + 1, L - nt, 120)))
+        evs.extend([ev] * 120)
+    rows = pd.DataFrame({"trigger_index": idx, "event_number": evs,
+                         "series_number": md["series_num"],
+                         "dump_number": 1})
+    fp = FeatureProcessing(files, cpath, filter_data=fd,
+                           trigger_dataframe=rows, verbose=False)
+    fp._raw_reads = True
+    recs = rows.to_dict("records")
+    assert 240 * nt >= fp.COALESCE_FRACTION * L        # engages
+    st_co, ad_co, nd_co = fp._read_row_chunk(fp._reader, recs)
+    try:
+        fp.COALESCE_FRACTION = 1e9                     # force per-window
+        st_pw, ad_pw, nd_pw = fp._read_row_chunk(fp._reader, recs)
+    finally:
+        del fp.COALESCE_FRACTION                       # restore class attr
+    assert nd_co == nd_pw == 0
+    assert st_co.dtype == st_pw.dtype == np.int16      # raw codes kept
+    assert np.array_equal(st_co, st_pw)
+    assert ad_co is not None and len(ad_co) == len(ad_pw)
+    for a, b in zip(ad_co, ad_pw):
+        assert set(a) == set(b)
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, np.ndarray):
+                assert np.array_equal(va, vb), k
+            else:
+                assert va == vb, k
