@@ -1463,6 +1463,15 @@ class FeatureProcessing:
                 if keys:
                     ct = jnp.result_type(*(pack[k].dtype for k in keys))
                     packed = jnp.stack([pack[k].astype(ct) for k in keys])
+                # start the host copies NOW: with pipeline_depth >= 1
+                # the transfer round trips overlap the next batch's
+                # reads/dispatch instead of stalling emit()
+                for v in ([packed] if packed is not None else []) +                         list(extras.values()):
+                    if hasattr(v, "copy_to_host_async"):
+                        try:
+                            v.copy_to_host_async()
+                        except Exception:  # backend without async copies
+                            pass
                 inflight.append((keys, packed, extras, admins, nb))
                 if timer is not None:
                     timer.add_seconds("dispatch",

@@ -802,9 +802,10 @@ class TriggerProcessing:
             if event_df is not None and len(event_df):
                 frames.append(event_df.copy())
 
-        def sets_to_host(batch_sets):
-            """Bring a whole batch of device TriggerSets to the host in
-            TWO transfers (one int32 pack, one float32 pack).
+        def pack_sets(batch_sets):
+            """Pack a batch of device TriggerSets into TWO device
+            buffers (one int32, one float32) and START their host
+            copies.
 
             The drain loop previously converted each field per EVENT —
             6 fields x sets x E events is ~100 device→host transfers per
@@ -812,7 +813,11 @@ class TriggerProcessing:
             (the measured warm-pipeline bottleneck). Separate int/float
             packs because the device runs without x64: int32 trigger
             indices do not fit exactly in float32 beyond 2^24-sample
-            traces.
+            traces. Packing runs at DISPATCH time and the copies are
+            issued async (copy_to_host_async where the backend supports
+            it), so with pipeline_depth >= 1 the transfer round trips
+            overlap the next batch's read/dispatch instead of stalling
+            the drain.
             """
             int_fields = ("indices", "count", "count_total", "n_above")
             float_fields = ("dchi2", "amplitudes")
@@ -840,9 +845,25 @@ class TriggerProcessing:
                             specs.append((name, si, fname, shape, "f",
                                           foff, size))
                             foff += size
-            ibuf = (np.asarray(jnp.concatenate(ints)) if ints
+            ibuf = jnp.concatenate(ints) if ints else None
+            fbuf = jnp.concatenate(floats) if floats else None
+            for buf in (ibuf, fbuf):
+                if buf is not None and hasattr(buf, "copy_to_host_async"):
+                    try:
+                        buf.copy_to_host_async()
+                    except Exception:   # backend without async copies
+                        pass
+            names = {name: tuple(t is not None for t in pair)
+                     for name, pair in batch_sets.items()}
+            return ibuf, fbuf, specs, names
+
+        def sets_to_host(packed_sets):
+            """Finish the host copies started by pack_sets and rebuild
+            per-channel host TriggerSets."""
+            ibuf_d, fbuf_d, specs, names = packed_sets
+            ibuf = (np.asarray(ibuf_d) if ibuf_d is not None
                     else np.zeros(0, np.int32))
-            fbuf = (np.asarray(jnp.concatenate(floats)) if floats
+            fbuf = (np.asarray(fbuf_d) if fbuf_d is not None
                     else np.zeros(0, np.float32))
             fields: dict = {}
             for name, si, fname, shape, kind, off, size in specs:
@@ -850,10 +871,10 @@ class TriggerProcessing:
                 fields.setdefault((name, si), {})[fname] = (
                     buf[off:off + size].reshape(shape))
             out = {}
-            for name, pair in batch_sets.items():
+            for name, present in names.items():
                 rebuilt = []
-                for si, t in enumerate(pair):
-                    if t is None:
+                for si, here in enumerate(present):
+                    if not here:
                         rebuilt.append(None)
                         continue
                     fd = fields[(name, si)]
@@ -1021,7 +1042,8 @@ class TriggerProcessing:
                     for tc in self._channels:
                         sub = stacked[:, jnp.asarray(tc.chan_indices), :]
                         batch_sets[tc.name] = fns[tc.name](sub)
-                inflight.append((batch_traces, batch_admins, batch_sets))
+                    packed_sets = pack_sets(batch_sets)
+                inflight.append((batch_traces, batch_admins, packed_sets))
                 while len(inflight) > max(pipeline_depth, 0):
                     drain(inflight.pop(0))
                 if (lgc_save and nb_events_per_dump
