@@ -176,31 +176,44 @@ class FastReader:
         return fd
 
     def read(self, entry: FastDataset,
-             window: Optional[Tuple[int, int]] = None) -> np.ndarray:
+             window: Optional[Tuple[int, int]] = None,
+             rows=None) -> np.ndarray:
         """Read the whole dataset, or ``window=(start, length)`` sample
         columns of a [C, N] dataset (h5py ``ds[:, start:start+length]``
         semantics: negative start clamps to 0, overrun truncates at N).
+
+        ``rows``: optional sequence of channel-row indices of a [C, N]
+        dataset — only those rows are pread (rows are contiguous on
+        disk), so channel-subset reads cost bytes proportional to the
+        channels USED, not the channels stored. Combines with
+        ``window``.
         """
         fd = self._fd(entry.path)
         itemsize = entry.dtype.itemsize
-        if window is None:
+        if window is None and rows is None:
             out = np.empty(entry.shape, entry.dtype)
             self._pread_into(fd, out.reshape(-1).view(np.uint8),
                              entry.offset)
             return out
         if len(entry.shape) != 2:
-            raise ValueError("windowed fast reads need a [C, N] dataset")
+            raise ValueError("windowed/row-subset fast reads need a "
+                             "[C, N] dataset")
         nchan, nsamp = entry.shape
-        start, length = window
-        start = max(0, int(start))
-        stop = min(nsamp, start + max(0, int(length)))
-        width = max(0, stop - start)
-        out = np.empty((nchan, width), entry.dtype)
+        row_list = (list(range(nchan)) if rows is None
+                    else [int(r) for r in rows])
+        if window is None:
+            start, width = 0, nsamp
+        else:
+            start, length = window
+            start = max(0, int(start))
+            stop = min(nsamp, start + max(0, int(length)))
+            width = max(0, stop - start)
+        out = np.empty((len(row_list), width), entry.dtype)
         row_bytes = nsamp * itemsize
-        flat = out.view(np.uint8).reshape(nchan, -1)
-        for c in range(nchan):
+        flat = out.view(np.uint8).reshape(len(row_list), -1)
+        for i, c in enumerate(row_list):
             self._pread_into(
-                fd, flat[c], entry.offset + c * row_bytes + start * itemsize)
+                fd, flat[i], entry.offset + c * row_bytes + start * itemsize)
         return out
 
     @staticmethod

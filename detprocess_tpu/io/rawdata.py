@@ -494,8 +494,14 @@ class RawReader:
         # chunked/compressed/compact/big-endian storage)
         if not fentry_resolved:
             fentry = self._fast.resolve(fname, ds)
+        idx = ([fc["chan_list"].index(c) for c in channels]
+               if channels is not None else None)
+        subset_done = False
         if fentry is not None:
-            arr = self._fast.read(fentry, trace_window)
+            # channel-subset rows pread directly (rows are contiguous):
+            # bytes read scale with channels USED, not stored
+            arr = self._fast.read(fentry, trace_window, rows=idx)
+            subset_done = idx is not None
         elif trace_window is not None:
             start, length = trace_window
             start = max(0, int(start))
@@ -512,9 +518,12 @@ class RawReader:
         else:
             traces = arr.astype(dtype)
         if adctoamp:
-            traces = traces * fc["conv"][:, None].astype(dtype)
-        if channels is not None:
-            idx = [fc["chan_list"].index(c) for c in channels]
+            # conv must match the rows actually present: on the
+            # row-subset pread path traces already hold only idx rows
+            conv_rows = (fc["conv"][np.asarray(idx)] if subset_done
+                         else fc["conv"])
+            traces = traces * conv_rows[:, None].astype(dtype)
+        if idx is not None and not subset_done:
             traces = traces[idx]
         ekey = (fname, event_index)
         ev = self._event_admin_cache.get(ekey)

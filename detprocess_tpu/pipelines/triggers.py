@@ -648,6 +648,10 @@ class TriggerProcessing:
         return pd.DataFrame(data)
 
     # ------------------------------------------------------------------
+    # gate for the channel-subset read/upload fast path (tests force
+    # it off for A/B equality)
+    CHANNEL_SUBSET_UPLOAD = True
+
     def process(self,
                 nevents: int = -1,
                 capacity: int = 4096,
@@ -922,6 +926,29 @@ class TriggerProcessing:
         nchan_all = len(self._available_channels)
         salt_templates = (jnp.asarray(self._device_injector.templates)
                           if self._device_injector is not None else None)
+        # CHANNEL-SUBSET reads + uploads: only the channels the trigger
+        # config actually filters need to leave the file — production
+        # raw files carry many channels while triggering uses a few, so
+        # reading (and host→device uploading) the full stack wastes
+        # bandwidth linearly in the unused-channel count. Salted runs
+        # keep the full stack: the injectors index the FULL channel
+        # list (Salting.make_injector / make_device_injector channel
+        # lists are the caller's).
+        read_channels = None
+        chan_subidx = {tc.name: tc.chan_indices for tc in self._channels}
+        if (self.CHANNEL_SUBSET_UPLOAD
+                and self._salt_injector is None
+                and self._device_injector is None):
+            needed = sorted({int(i) for tc in self._channels
+                             for i in tc.chan_indices})
+            if len(needed) < nchan_all:
+                read_channels = [self._available_channels[i]
+                                 for i in needed]
+                remap = {orig: pos for pos, orig in enumerate(needed)}
+                chan_subidx = {tc.name: [remap[int(i)]
+                                         for i in tc.chan_indices]
+                               for tc in self._channels}
+                nchan_all = len(needed)
         # nreaders > 1: concurrent reader threads over disjoint file
         # subsets (io.prefetch.ParallelEventPrefetcher) — the functional
         # replacement for the reference's ncores Pool-over-series
@@ -930,7 +957,7 @@ class TriggerProcessing:
             source = prefetch_events(
                 self._reader, depth=max(prefetch_depth, 1),
                 raw=raw_mode, dtype=None if raw_mode else np.float64,
-                nreaders=nreaders)
+                nreaders=nreaders, channels=read_channels)
             prefetching = True
         else:
             source = self._reader
@@ -963,9 +990,11 @@ class TriggerProcessing:
                             traces, admin = source.read_next_event()
                         elif raw_mode:
                             traces, admin = source.read_next_event(
-                                dtype=None, adctoamp=False)
+                                channels=read_channels, dtype=None,
+                                adctoamp=False)
                         else:
                             traces, admin = source.read_next_event(
+                                channels=read_channels,
                                 dtype=np.float64)
                         if traces is None:
                             break
@@ -1040,7 +1069,8 @@ class TriggerProcessing:
                             put(plan.tid), put(plan.amp), salt_templates)
                     batch_sets = {}
                     for tc in self._channels:
-                        sub = stacked[:, jnp.asarray(tc.chan_indices), :]
+                        sub = stacked[:, jnp.asarray(
+                            chan_subidx[tc.name]), :]
                         batch_sets[tc.name] = fns[tc.name](sub)
                     packed_sets = pack_sets(batch_sets)
                 inflight.append((batch_traces, batch_admins, packed_sets))

@@ -220,3 +220,23 @@ def test_dead_thread_fds_are_reaped(tmp_path):
     assert not fr._all_fds
     fr.read(entries[0])                  # reopen on demand still works
     fr.close()
+
+
+def test_row_subset_read_matches_h5py(tmp_path):
+    """rows= preads only the selected channel rows; combines with
+    window= (channel-subset uploads read bytes ∝ channels USED)."""
+    files = _write_raw(tmp_path, "rows", nev=1, nsamp=300, nchan=3)
+    fr = fastio.FastReader()
+    with h5py.File(files[0]) as f:
+        ds = f["adc1/event_1"]
+        want = ds[...]
+        entry = fr.resolve(files[0], ds)
+    assert entry is not None
+    got = fr.read(entry, rows=[2, 0])
+    assert got.shape == (2, 300)
+    assert np.array_equal(got[0], want[2])
+    assert np.array_equal(got[1], want[0])
+    win = fr.read(entry, window=(50, 100), rows=[1])
+    assert win.shape == (1, 100)
+    assert np.array_equal(win[0], want[1, 50:150])
+    fr.close()

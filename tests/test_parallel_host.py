@@ -310,3 +310,45 @@ def test_windowed_read_coalescing_identical(tmp_path):
                 assert np.array_equal(va, vb), k
             else:
                 assert va == vb, k
+
+
+def test_channel_subset_upload_identical(tmp_path):
+    """Trigger configs using a channel subset read+upload only those
+    channels; outputs must equal the full-stack path exactly."""
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    nt, pre = 512, 128
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    rng = np.random.default_rng(21)
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T200000", FS,
+                  ["chan1", "chan2", "chan3"], data_type="continuous",
+                  detector_config={c: {"close_loop_norm": 2.0}
+                                   for c in ("chan1", "chan2", "chan3")},
+                  adc_conversion_factor=2e-9)
+    traces = rng.standard_normal((2, 3, 50_000)) * 1e-9
+    for ev in range(2):
+        for p in (9000, 21000, 33000):
+            traces[ev, 1, p - pre:p - pre + nt] += 50e-9 * tmpl
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    fd.set_template("chan2", tmpl, FS, pretrigger_length_samples=pre)
+    fd.set_psd("chan2", np.full(nt, 1e-9**2 / FS), FS)
+    cpath = str(tmp_path / "t.yaml")
+    yaml.safe_dump({"trigger": {"chan2": {
+        "run": True, "template_tag": "default", "threshold_sigma": 8.0,
+        "pileup_window_msec": 0.2}}}, open(cpath, "w"))
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    assert tp.CHANNEL_SUBSET_UPLOAD
+    df_sub = tp.process(capacity=64)
+    try:
+        tp.CHANNEL_SUBSET_UPLOAD = False        # instance shadow
+        df_full = tp.process(capacity=64)
+    finally:
+        del tp.CHANNEL_SUBSET_UPLOAD
+    assert len(df_sub) == len(df_full) > 0
+    for col in ("trigger_index", "trigger_delta_chi2",
+                "trigger_amplitude"):
+        assert np.allclose(np.asarray(df_sub[col], float),
+                           np.asarray(df_full[col], float)), col
