@@ -319,6 +319,30 @@ class FeatureProcessing:
             self._resolve_group(group, weights_cfg)
             self._groups.append(group)
 
+        # CHANNEL-SUBSET reads + uploads: the raw-channel axis is only
+        # ever consumed through each group's mix matrix, so raw channels
+        # with all-zero mix columns never influence any output — don't
+        # read or upload them (production files carry many channels
+        # while a feature config mixes a few). The plan is built on the
+        # subset axis; salting injectors are bridged (host: zero-lift
+        # wrapper in _inject_host; device: name-based plan.chan remap
+        # with out-of-range drop in _remap_salt_plan).
+        used = np.zeros(len(self._available_channels), bool)
+        for g in self._groups:
+            if g.mix_matrix is not None and g.mix_matrix.size:
+                used |= (g.mix_matrix != 0).any(axis=0)
+        used_idx = np.flatnonzero(used)
+        if 0 < len(used_idx) < len(self._available_channels):
+            self._read_channel_idx = used_idx
+            self._read_channels = [self._available_channels[i]
+                                   for i in used_idx]
+            for g in self._groups:
+                if g.mix_matrix is not None and g.mix_matrix.size:
+                    g.mix_matrix = g.mix_matrix[:, used_idx]
+        else:
+            self._read_channel_idx = None
+            self._read_channels = None
+
     def _resolve_group(self, group: TraceGroup, weights_cfg: dict):
         raw_channels = self._available_channels
         compound: List[str] = []
@@ -1014,6 +1038,42 @@ class FeatureProcessing:
         return index.get((int(row["series_number"]),
                           int(row["dump_number"])))
 
+    def _inject_host(self, traces, admin, window_start=0):
+        """Run the HOST salt injector on possibly channel-subset traces.
+
+        Host injectors index the FULL channel stack (their channel_list
+        is the caller's): lift the subset rows into a zero full stack,
+        inject, take the rows back. Salts on unread channels land in
+        discarded rows — they cannot influence any output (all-zero mix
+        columns)."""
+        if self._read_channel_idx is None:
+            return self._salt_injector(traces, admin,
+                                       window_start=window_start)
+        full = np.zeros((len(self._available_channels),)
+                        + traces.shape[1:],
+                        np.result_type(traces.dtype, np.float64))
+        full[self._read_channel_idx] = traces
+        out = self._salt_injector(full, admin, window_start=window_start)
+        return out[self._read_channel_idx]
+
+    def _remap_salt_plan(self, plan):
+        """Remap a DeviceInjector SaltPlan's channel indices onto the
+        subset axis (name-based: the injector's channel_list is the
+        caller's). Channels outside the subset map out of range —
+        inject_salts adds with mode='drop', so those salts vanish
+        (harmless: their mix columns are zero)."""
+        if self._read_channel_idx is None or plan is None:
+            return plan
+        inj = self._device_injector
+        cache = getattr(self, "_salt_remap_cache", None)
+        if cache is None or cache[0] is not inj:
+            lookup = {c: i for i, c in enumerate(self._read_channels)}
+            arr = np.array([lookup.get(c, len(self._read_channels))
+                            for c in inj.channel_list], np.int32)
+            cache = self._salt_remap_cache = (inj, arr)
+        return type(plan)(plan.idx, cache[1][plan.chan], plan.tid,
+                          plan.amp)
+
     # coalesce per-window preads into ONE full-event read when the
     # chunk's windows cover at least this fraction of the event trace
     # (dense production triggering: 100s of 4k windows per 1.25 Ms
@@ -1051,6 +1111,8 @@ class FeatureProcessing:
             ev = int(row["event_number"])
             key = (fname, ev)
             kw = (dict(adctoamp=False, dtype=None) if raw_reads else {})
+            if self._read_channels is not None:
+                kw["channels"] = self._read_channels
             if win_count[key] * n >= self.COALESCE_FRACTION * raw_n:
                 hit = full_cache.get(key)
                 if hit is None:
@@ -1067,8 +1129,8 @@ class FeatureProcessing:
                 traces, admin = reader.read_single_event(
                     ev, file_name=fname, trace_window=(start, n), **kw)
             if self._salt_injector is not None:
-                traces = self._salt_injector(traces, admin,
-                                             window_start=start)
+                traces = self._inject_host(traces, admin,
+                                           window_start=start)
             admin = dict(admin)
             if self._device_injector is not None:
                 # device re-injection needs the window offset
@@ -1159,7 +1221,8 @@ class FeatureProcessing:
             from detprocess_tpu.io.prefetch import prefetch_events
             source = prefetch_events(self._reader,
                                      depth=max(prefetch_depth, 1),
-                                     raw=raw, nreaders=nreaders)
+                                     raw=raw, nreaders=nreaders,
+                                     channels=self._read_channels)
             prefetch_depth = max(prefetch_depth, 1)
         else:
             source = self._reader
@@ -1170,15 +1233,19 @@ class FeatureProcessing:
                 want = batch_size if nevents < 0 else min(batch_size,
                                                           nevents - total)
                 for _ in range(want):
-                    if prefetch_depth > 0 or not raw:
+                    if prefetch_depth > 0:
                         tr, admin = source.read_next_event()
+                    elif not raw:
+                        tr, admin = source.read_next_event(
+                            channels=self._read_channels)
                     else:
                         tr, admin = source.read_next_event(
+                            channels=self._read_channels,
                             dtype=None, adctoamp=False)
                     if tr is None:
                         break
                     if self._salt_injector is not None:
-                        tr = self._salt_injector(tr, admin)
+                        tr = self._inject_host(tr, admin)
                     batch_traces.append(tr)
                     admins.append(admin)
                 if not batch_traces:
@@ -1410,8 +1477,9 @@ class FeatureProcessing:
                 plan = None
                 if self._device_injector is not None:
                     starts = [a.pop("_window_start", 0) for a in admins]
-                    plan = self._device_injector.plan(admins,
-                                                      window_starts=starts)
+                    plan = self._remap_salt_plan(
+                        self._device_injector.plan(
+                            admins, window_starts=starts))
                 upload = raw_np
                 if not np.issubdtype(upload.dtype, np.integer):
                     # float-stored data uploads as the compute dtype (as

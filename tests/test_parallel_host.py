@@ -352,3 +352,133 @@ def test_channel_subset_upload_identical(tmp_path):
                 "trigger_amplitude"):
         assert np.allclose(np.asarray(df_sub[col], float),
                            np.asarray(df_full[col], float)), col
+
+
+def _expand_to_full_stack(fp):
+    """A/B harness: undo a feature pipeline's channel subsetting (lift
+    mix matrices back onto the full raw axis, recompile)."""
+    if fp._read_channel_idx is None:
+        return fp
+    idx = fp._read_channel_idx
+    for g in fp._groups:
+        if g.mix_matrix is not None and g.mix_matrix.size:
+            full = np.zeros((g.mix_matrix.shape[0],
+                             len(fp._available_channels)))
+            full[:, idx] = g.mix_matrix
+            g.mix_matrix = full
+    fp._read_channel_idx = None
+    fp._read_channels = None
+    fp._compile()
+    return fp
+
+
+def _feature_subset_fixture(tmp_path, *, adc=True):
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+
+    nt, pre = 512, 128
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    rng = np.random.default_rng(31)
+    kw = {}
+    if adc:
+        kw = dict(detector_config={c: {"close_loop_norm": 1.5 + i}
+                                   for i, c in enumerate(
+                                       ["chan1", "chan2", "chan3"])},
+                  adc_conversion_factor=2e-9)
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T220000", FS,
+                  ["chan1", "chan2", "chan3"], data_type="continuous",
+                  nb_pretrigger_samples=pre, **kw)
+    traces = rng.standard_normal((4, 3, nt)) * 1e-9
+    traces[:, 1] += 40e-9 * tmpl
+    traces[:, 2] += 20e-9 * tmpl
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    for c in ("chan1", "chan2", "chan3", "chan2+chan3"):
+        fd.set_template(c, tmpl, FS, pretrigger_length_samples=pre)
+        fd.set_psd(c, np.full(nt, 1e-9**2 / FS), FS)
+    fcfg = {"feature": {
+        "chan2": {"of1x1_nodelay": {"run": True},
+                  "baseline": {"run": True}},
+        "chan2+chan3": {"of1x1_nodelay": {"run": True}}},
+        "global": {"trace_length_samples": nt,
+                   "pretrigger_length_samples": pre}}
+    fpath = str(tmp_path / "f.yaml")
+    yaml.safe_dump(fcfg, open(fpath, "w"), sort_keys=False)
+    return files, fpath, fd
+
+
+def _frames_equal(a, b):
+    assert len(a) == len(b) and len(a) > 0
+    assert set(a.columns) == set(b.columns)
+    for col in a.columns:
+        try:
+            av, bv = np.asarray(a[col], float), np.asarray(b[col], float)
+        except (ValueError, TypeError):
+            assert list(a[col]) == list(b[col]), col
+        else:
+            assert np.allclose(av, bv, rtol=1e-6, atol=0,
+                               equal_nan=True), col
+
+
+def test_feature_channel_subset_identical(tmp_path):
+    """A feature config mixing chan2/chan3 of a 3-channel file reads
+    only those channels; outputs equal the full-stack plan exactly
+    (incl. compound +-combination and int16 ADC conversion)."""
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+
+    files, fpath, fd = _feature_subset_fixture(tmp_path)
+    fp = FeatureProcessing(files, fpath, filter_data=fd, verbose=False)
+    assert fp._read_channels == ["chan2", "chan3"]
+    df_sub = fp.process(batch_size=4)
+    fp_full = _expand_to_full_stack(
+        FeatureProcessing(files, fpath, filter_data=fd, verbose=False))
+    df_full = fp_full.process(batch_size=4)
+    _frames_equal(df_sub, df_full)
+
+
+def test_feature_channel_subset_salted_identical(tmp_path):
+    """Salted runs (host AND device injectors) bridge the subset:
+    results equal the full-stack plan, and salts on an UNREAD channel
+    are harmless."""
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+    from detprocess_tpu.pipelines.salting import Salting
+
+    files, fpath, fd = _feature_subset_fixture(tmp_path, adc=False)
+    md = RawReader(files).get_metadata(files[0])
+    salt_df = pd.DataFrame({
+        "salt_channel": ["chan2", "chan1", "chan3"],   # chan1 is unread
+        "trigger_index": [128, 256, 300],   # chan2 salt AT the OF
+                                            # pretrigger (nodelay sees
+                                            # full amplitude)
+        "salt_amplitude": [30e-9, 99e-9, 25e-9],
+        "salt_energy_ev": [1.0, 1.0, 1.0],
+        "series_number": [md["series_num"]] * 3,
+        "event_number": [1, 2, 2],
+        "dump_number": [1, 1, 1],
+    })
+    chans = ["chan1", "chan2", "chan3"]
+    for device in (False, True):
+        salting = Salting(fd, verbose=False)
+        salting.set_dataframe(salt_df.copy())
+        inj = (salting.make_device_injector(chans) if device
+               else salting.make_injector(chans))
+        fp = FeatureProcessing(files, fpath, filter_data=fd,
+                               verbose=False)
+        assert fp._read_channels == ["chan2", "chan3"]
+        fp.set_salting(inj)
+        df_sub = fp.process(batch_size=4)
+
+        salting2 = Salting(fd, verbose=False)
+        salting2.set_dataframe(salt_df.copy())
+        inj2 = (salting2.make_device_injector(chans) if device
+                else salting2.make_injector(chans))
+        fp_full = _expand_to_full_stack(
+            FeatureProcessing(files, fpath, filter_data=fd,
+                              verbose=False))
+        fp_full.set_salting(inj2)
+        df_full = fp_full.process(batch_size=4)
+        _frames_equal(df_sub, df_full)
+        # the chan2 salt must actually appear in the recovered amp
+        amp = np.asarray(df_sub["amp_of1x1_nodelay_chan2"], float)
+        assert amp[0] > 60e-9                 # 40n pulse + 30n salt
