@@ -140,12 +140,20 @@ class ParallelEventPrefetcher:
     ``read_next_event`` protocol as :class:`EventPrefetcher`.
 
     Build the per-subset readers with ``RawReader.split(n)`` — each
-    must own its file handles.
+    must own its file handles. The prefetcher takes OWNERSHIP of the
+    readers: ``close()`` closes them (h5py handles + pread fds).
+
+    A worker error aborts the stream PROMPTLY (an error marker rides
+    the queue, matching EventPrefetcher's fail-fast semantics) instead
+    of surfacing only after every other subset finishes.
     """
+
+    _ERROR = object()
 
     def __init__(self, readers: Sequence, depth: int = 32,
                  channels: Optional[Sequence[str]] = None,
                  dtype=None, raw: bool = False):
+        self._readers = list(readers)
         self._channels = channels
         self._dtype = dtype
         self._raw = raw
@@ -157,11 +165,20 @@ class ParallelEventPrefetcher:
         self._live_lock = threading.Lock()
         self._threads = [
             threading.Thread(target=self._run, args=(r,), daemon=True)
-            for r in readers]
+            for r in self._readers]
         for t in self._threads:
             t.start()
 
+    def _put_marker(self, marker):
+        while not self._stop.is_set():
+            try:
+                self._queue.put(marker, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
     def _run(self, reader):
+        failed = False
         try:
             while not self._stop.is_set():
                 if self._raw:
@@ -182,19 +199,19 @@ class ParallelEventPrefetcher:
         except BaseException as exc:   # surfaced on the consumer side
             if self._error is None:
                 self._error = exc
+            failed = True
         finally:
+            if failed:
+                # fail FAST: the consumer must not process the other
+                # subsets for hours before hearing about this
+                self._put_marker(self._ERROR)
             with self._live_lock:
                 self._live -= 1
                 last = self._live == 0
             if last:
-                # only the LAST worker posts the sentinel — and never
-                # drops it (see EventPrefetcher._run)
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(_SENTINEL, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+                # only the LAST worker posts the end sentinel — and
+                # never drops it (see EventPrefetcher._run)
+                self._put_marker(_SENTINEL)
 
     def __iter__(self) -> Iterator:
         return self
@@ -203,10 +220,12 @@ class ParallelEventPrefetcher:
         if self._done:
             raise StopIteration
         item = self._queue.get()
-        if item is _SENTINEL:
+        if item is self._ERROR or item is _SENTINEL:
             self._done = True
             if self._error is not None:
-                raise self._error
+                err = self._error
+                self.close()           # stop surviving workers
+                raise err
             raise StopIteration
         return item
 
@@ -219,7 +238,8 @@ class ParallelEventPrefetcher:
             return None, None
 
     def close(self):
-        """Stop all reader threads and drain the queue."""
+        """Stop all reader threads, drain the queue, close the owned
+        readers."""
         self._stop.set()
         try:
             while True:
@@ -228,6 +248,12 @@ class ParallelEventPrefetcher:
             pass
         for t in self._threads:
             t.join(timeout=5.0)
+        for r in self._readers:
+            try:
+                r.close()
+            except Exception:
+                pass
+        self._readers = []
 
 
 class OrderedChunkPrefetcher:

@@ -225,14 +225,23 @@ class AsyncWriter:
 
     def write(self, df: pd.DataFrame, path: str,
               fmt: Optional[str] = None):
-        if self._error is not None:      # fail fast on a dead writer
-            err, self._error = self._error, None
-            self.close()
-            raise err
+        # fail fast on a dead writer — but NEVER clear _error here:
+        # the worker's "skip all writes after the first error" gate
+        # reads it, and clearing would let dumps queued behind the
+        # failed one be written, leaving a dump-number GAP that a later
+        # resume scan would silently step over (data loss). The error
+        # stays set; close() re-raises it too (callers are aborting).
+        if self._error is not None:
+            raise self._error
         self._queue.put((df, path, fmt))
 
     def close(self):
-        """Drain pending writes; re-raise the first write error."""
+        """Drain pending writes; re-raise the first write error.
+
+        After an error NOTHING further was written (the worker skips
+        every queued dump once _error is set), so on-disk dumps are
+        always a gapless prefix — exactly what the pipelines' resume
+        scan assumes."""
         if self._thread.is_alive():
             self._queue.put(self._sentinel)
             self._thread.join()

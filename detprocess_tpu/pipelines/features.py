@@ -1178,37 +1178,68 @@ class FeatureProcessing:
         chunks = [rows[i:i + batch_size]
                   for i in range(0, len(rows), batch_size)]
         dropped = 0
-        if nreaders > 1 and len(chunks) > 1:
-            from detprocess_tpu.io.prefetch import OrderedChunkPrefetcher
 
-            # warm the shared caches BEFORE spawning workers (the index
-            # and nb_samples lookups are then read-only dict hits)
-            for row in rows:
-                fname = self._file_for_row(row)
-                if fname is not None:
-                    self._nb_samples_for(fname)
-            nw = min(nreaders, len(chunks))
-            workers = [RawReader(self._reader.files, self._reader.adc_name)
-                       for _ in range(nw)]
-            pf = OrderedChunkPrefetcher(
-                lambda rd, chunk: self._read_row_chunk(rd, chunk),
-                chunks, workers, depth=2)
-            try:
-                for stack, admins, nd in pf:
+        def chunk_results():
+            nonlocal dropped
+            if nreaders > 1 and len(chunks) > 1:
+                from detprocess_tpu.io.prefetch import (
+                    OrderedChunkPrefetcher)
+
+                # warm the shared caches BEFORE spawning workers (the
+                # index and nb_samples lookups are then read-only dict
+                # hits)
+                for row in rows:
+                    fname = self._file_for_row(row)
+                    if fname is not None:
+                        self._nb_samples_for(fname)
+                nw = min(nreaders, len(chunks))
+                workers = [RawReader(self._reader.files,
+                                     self._reader.adc_name)
+                           for _ in range(nw)]
+                pf = OrderedChunkPrefetcher(
+                    lambda rd, chunk: self._read_row_chunk(rd, chunk),
+                    chunks, workers, depth=2)
+                try:
+                    for stack, admins, nd in pf:
+                        dropped += nd
+                        if stack is not None:
+                            yield stack, admins
+                finally:
+                    pf.close()
+                    for w in workers:
+                        w.close()
+            else:
+                for chunk in chunks:
+                    stack, admins, nd = self._read_row_chunk(
+                        self._reader, chunk)
                     dropped += nd
                     if stack is not None:
                         yield stack, admins
-            finally:
-                pf.close()
-                for w in workers:
-                    w.close()
-        else:
-            for chunk in chunks:
-                stack, admins, nd = self._read_row_chunk(
-                    self._reader, chunk)
-                dropped += nd
-                if stack is not None:
-                    yield stack, admins
+
+        # RE-PACK to constant batch_size across dropped rows: a short
+        # stack has a new [B, C, N] shape, and every distinct B forces
+        # a fresh XLA compile of all group fns (tens of seconds per
+        # shape on the TPU target) — scattered out-of-bounds windows
+        # are routine in production, so drops must not leak into the
+        # dispatch shape. Only the LAST batch may be short.
+        pend_stacks: List[np.ndarray] = []
+        pend_admins: List[dict] = []
+        pend_n = 0
+        for stack, admins in chunk_results():
+            pend_stacks.append(stack)
+            pend_admins.extend(admins)
+            pend_n += stack.shape[0]
+            while pend_n >= batch_size:
+                buf = (pend_stacks[0] if len(pend_stacks) == 1
+                       else np.concatenate(pend_stacks))
+                yield buf[:batch_size], pend_admins[:batch_size]
+                pend_stacks = ([buf[batch_size:]]
+                               if pend_n > batch_size else [])
+                pend_admins = pend_admins[batch_size:]
+                pend_n -= batch_size
+        if pend_n:
+            yield (pend_stacks[0] if len(pend_stacks) == 1
+                   else np.concatenate(pend_stacks)), pend_admins
         if dropped and self._verbose:
             print(f"INFO: dropped {dropped} triggers with out-of-bounds "
                   f"windows or unmatched files")

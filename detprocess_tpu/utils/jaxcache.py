@@ -84,7 +84,23 @@ def _platform_pin() -> str:
         pass
     pin = (getattr(jax.config, "jax_platforms", None)
            or os.environ.get("JAX_PLATFORMS", "") or "")
-    return pin.split(",")[0].strip().lower() or "auto"
+    pin = pin.split(",")[0].strip().lower()
+    if pin:
+        return pin
+    # no pin, no backend yet: inspect the registered backend FACTORIES
+    # (registration is cheap and already done at import; only
+    # initialization can hang). A host whose only factories are
+    # cpu-class would resolve to the cpu backend — report "cpu" so the
+    # auto-mode cache skip applies there too (plain CPU-only installs
+    # must not hit the cpu_aot_loader reload noise).
+    try:
+        from jax._src import xla_bridge
+        factories = set(getattr(xla_bridge, "_backend_factories", {}))
+        if factories and factories <= {"cpu", "interpreter"}:
+            return "cpu"
+    except Exception:
+        pass
+    return "auto"
 
 
 def fingerprint() -> str:

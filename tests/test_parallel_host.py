@@ -482,3 +482,126 @@ def test_feature_channel_subset_salted_identical(tmp_path):
         # the chan2 salt must actually appear in the recovered amp
         amp = np.asarray(df_sub["amp_of1x1_nodelay_chan2"], float)
         assert amp[0] > 60e-9                 # 40n pulse + 30n salt
+
+
+def test_windowed_batches_stay_constant_size_across_drops(trigger_setup):
+    """Dropped rows (out-of-bounds windows) must NOT shrink dispatch
+    batches: every yielded batch except the last has exactly
+    batch_size rows (a new [B, C, N] shape recompiles every group fn —
+    tens of seconds per shape on the TPU target)."""
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    tmp_path, files, cpath, fd, nt, pre = trigger_setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    trig_df = tp.process(capacity=64)
+    # poison scattered rows: indices too close to the trace edge drop
+    bad = trig_df.iloc[::4].copy()
+    bad["trigger_index"] = 5                 # start < 0 after -pre
+    poisoned = pd.concat([trig_df, bad]).sort_values(
+        ["series_number", "event_number", "trigger_index"],
+        ignore_index=True)
+    fcfg = {"feature": {"chan1": {"of1x1_nodelay": {"run": True}}},
+            "global": {"trace_length_samples": nt,
+                       "pretrigger_length_samples": pre}}
+    fpath = str(tmp_path / "f_drops.yaml")
+    yaml.safe_dump(fcfg, open(fpath, "w"))
+    fp = FeatureProcessing(files, fpath, filter_data=fd,
+                           trigger_dataframe=poisoned, verbose=False)
+    for nr in (1, 2):
+        sizes = [b.shape[0] for b, _ in
+                 fp._iter_trigger_batches(5, nreaders=nr)]
+        assert sum(sizes) == len(trig_df)            # drops excluded
+        assert all(s == 5 for s in sizes[:-1]), sizes  # constant B
+        assert 0 < sizes[-1] <= 5
+    # row ORDER preserved after repacking
+    rows = [a["trigger_index"] for _, admins in
+            fp._iter_trigger_batches(5) for a in admins]
+    want = [int(r) for r in poisoned["trigger_index"] if r != 5]
+    assert rows == want
+
+
+def test_parallel_prefetcher_fails_fast(tmp_path):
+    """A worker error aborts the stream promptly — not after the other
+    subsets drain (hours on real datasets)."""
+    import time
+
+    class Boom:
+        def read_next_event(self, channels=None, **kw):
+            raise RuntimeError("bad subset")
+
+    class Slow:
+        def read_next_event(self, channels=None, **kw):
+            time.sleep(0.05)
+            return np.zeros((1, 8)), {"series_number": 1,
+                                      "event_number": 1}
+
+    pf = ParallelEventPrefetcher([Boom(), Slow()], depth=4)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="bad subset"):
+        for _ in pf:
+            pass
+    assert time.monotonic() - t0 < 5.0     # Slow never finishes at all
+    pf.close()
+
+
+def test_parallel_prefetcher_closes_readers(tmp_path):
+    files = _write_series(tmp_path, "I1_D20260820_T240000", nev=2)
+
+    class Tracked(RawReader):
+        closed = False
+
+        def close(self):
+            type(self).closed = True
+            super().close()
+
+    pf = ParallelEventPrefetcher([Tracked(files)], depth=4)
+    list(pf)
+    pf.close()
+    assert Tracked.closed
+
+
+def test_async_writer_never_writes_past_an_error(tmp_path):
+    """Dumps queued behind a failed write are skipped, never written:
+    on-disk dumps stay a gapless prefix (resume-scan safety)."""
+    df = pd.DataFrame({"x": np.arange(3)})
+    w = tables.AsyncWriter(depth=8)
+    ok1 = str(tmp_path / "d1.hdf5")
+    bad = str(tmp_path / "no_dir" / "d2.hdf5")
+    ok2 = str(tmp_path / "d3.hdf5")
+    w.write(df, ok1, fmt="hdf5")
+    w.write(df, bad, fmt="hdf5")
+    w.write(df, ok2, fmt="hdf5")   # may or may not raise (race) —
+    try:                           # but must NEVER hit the disk
+        w.close()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert os.path.exists(ok1)
+    assert not os.path.exists(ok2), "dump written past an earlier error"
+
+
+def test_jaxcache_platform_pin_cpu_only_factories(monkeypatch):
+    """On a CPU-only install (no pin, no backend), the pin resolves to
+    'cpu' from the registered factories — the auto-mode cache skip must
+    apply there (cpu_aot_loader reload noise)."""
+    from jax._src import xla_bridge
+
+    from detprocess_tpu.utils import jaxcache
+
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    import jax
+    prev = getattr(jax.config, "jax_platforms", None)
+    jax.config.update("jax_platforms", None)
+    monkeypatch.setattr(xla_bridge, "_backends", {}, raising=False)
+    monkeypatch.setattr(xla_bridge, "_backend_factories",
+                        {"cpu": object()}, raising=False)
+    try:
+        assert jaxcache._platform_pin() == "cpu"
+        monkeypatch.setattr(xla_bridge, "_backend_factories",
+                            {"cpu": object(), "tpu": object()},
+                            raising=False)
+        assert jaxcache._platform_pin() == "auto"
+    finally:
+        jax.config.update("jax_platforms", prev)
