@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "bytes. Default: host injection (reference "
                         "parity path)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile-and-cache run: process a few events "
+                        "through each enabled workload WITHOUT saving "
+                        "output, so the persistent XLA executable cache "
+                        "(utils/jaxcache.py) holds every kernel for the "
+                        "real shapes. Run once after changing configs/"
+                        "trace lengths; production runs then start "
+                        "without the cold-start compile (measured "
+                        "78 -> 15 s trigger pipeline on the dev chip)")
     p.add_argument("--verbose", action="store_true", default=True,
                    help="verbose output (default; see --quiet)")
     p.add_argument("--quiet", dest="verbose", action="store_false",
@@ -154,6 +163,16 @@ def main(argv=None) -> int:
         config = YamlConfig(args.processing_setup, reader.channels,
                             sample_rate=reader.sample_rate)
 
+    if args.prewarm:
+        # a prewarm IS a tiny normal run: compiling the real shapes
+        # requires the real configs, so just cap the events and skip
+        # the saves — every jitted kernel lands in the persistent cache
+        args.nevents = max(args.batch_size, 8)
+        if args.verbose:
+            from detprocess_tpu.utils import jaxcache
+            print(f"INFO: prewarm run ({args.nevents} events/rows per "
+                  f"workload); executable cache: "
+                  f"{jaxcache.enable() or 'DISABLED'}")
     nreaders = max(int(args.ncores or 1), 1)
     if nreaders > 1 and args.verbose:
         print(f"INFO: --ncores {nreaders}: host reads run in "
@@ -290,7 +309,8 @@ def main(argv=None) -> int:
                 salting.make_device_injector(chans)
                 if args.device_salting else salting.make_injector(chans))
         out_dir = os.path.join(out_base, "trigger")
-        trigger_df = proc.process(nevents=args.nevents, lgc_save=True,
+        trigger_df = proc.process(nevents=args.nevents,
+                                  lgc_save=not args.prewarm,
                                   output_path=out_dir,
                                   output_format=args.output_format,
                                   series_name=out_series,
@@ -343,7 +363,7 @@ def main(argv=None) -> int:
                 if args.device_salting else salting.make_injector(chans))
         out_dir = os.path.join(out_base, "feature")
         proc.process(nevents=args.nevents, batch_size=args.batch_size,
-                     lgc_save=True, output_path=out_dir,
+                     lgc_save=not args.prewarm, output_path=out_dir,
                      output_format=args.output_format,
                      series_name=out_series, lgc_output=False,
                      mesh=_cli_mesh(args),

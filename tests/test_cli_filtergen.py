@@ -144,3 +144,35 @@ def test_filtergen_by_series(tmp_path):
     # second series has 2x the noise sigma → ~4x the PSD
     ratio = np.median(psd_s1[1:] / psd_s0[1:])
     assert 2.5 < ratio < 6.0, ratio
+
+
+def test_cli_prewarm_compiles_without_saving(rawgroup, tmp_path,
+                                             monkeypatch):
+    """--prewarm runs the enabled workloads through a few events to
+    populate the persistent executable cache but writes NO output
+    dumps (the production cold-start story: run once after a config
+    change, then real runs start warm)."""
+    cachedir = str(tmp_path / "xla")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE", "1")
+    monkeypatch.setenv("DETPROC_TPU_COMPILE_CACHE_DIR", cachedir)
+    from detprocess_tpu.utils import jaxcache
+    jaxcache._state.update(resolved=False, path=None)
+    out = str(tmp_path / "processed")
+    rc = cli.main([
+        "--raw_path", rawgroup["raw"],
+        "--processing_setup", rawgroup["cpath"],
+        "--filter_file", rawgroup["fpath"],
+        "--output_group_path", out,
+        "--enable-trig", "--enable-feature", "--prewarm",
+    ])
+    assert rc == 0
+    for sub in ("trigger", "feature"):
+        d = os.path.join(out, sub)
+        dumps = [f for f in os.listdir(d)] if os.path.isdir(d) else []
+        dumps = [f for f in dumps if not f.endswith("_summary.json")]
+        assert not dumps, f"--prewarm wrote output dumps: {dumps}"
+    # the executable cache holds compiled kernels for the real shapes
+    entries = []
+    for root, _dirs, files in os.walk(cachedir):
+        entries.extend(files)
+    assert entries, "prewarm populated no cache entries"
