@@ -317,7 +317,9 @@ def main(argv=None) -> int:
                                   mesh=_cli_mesh(args),
                                   nreaders=(nreaders if args.nevents < 0
                                             else 1))
-        print(f"INFO: {len(trigger_df)} triggers written to {out_dir}")
+        print(f"INFO: {len(trigger_df)} triggers "
+              + ("computed (prewarm: not saved)" if args.prewarm
+                 else f"written to {out_dir}"))
 
     # ---- feature extraction ------------------------------------------
     if args.enable_feature:
@@ -370,7 +372,9 @@ def main(argv=None) -> int:
                      nreaders=(nreaders
                                if proc._trigger_df is not None
                                or args.nevents < 0 else 1))
-        print(f"INFO: features written to {out_dir}")
+        print("INFO: features "
+              + ("computed (prewarm: not saved)" if args.prewarm
+                 else f"written to {out_dir}"))
 
     return 0
 
