@@ -603,8 +603,10 @@ class TriggerProcessing:
         return jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
                                      out_specs=spec))
 
-    def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
-                           ) -> pd.DataFrame:
+    def _trigger_set_arrays(self, tc: _TriggerChannel, ts):
+        """(indices, dchi2, amplitudes[m, k]) for a host TriggerSet —
+        or (None, None, None) when empty. Emits the capacity/candidate
+        warnings (shared by the per-event and batched drains)."""
         count = int(ts.count)
         total = int(getattr(ts, "count_total", count))
         if total > count:
@@ -621,10 +623,17 @@ class TriggerProcessing:
                   f"cap are unreliable; raise "
                   f"set_dynamic_threshold(candidate_capacity=...)")
         if count == 0:
+            return None, None, None
+        return (np.asarray(ts.indices)[:count],
+                np.asarray(ts.dchi2)[:count],
+                np.asarray(ts.amplitudes)[:, :count])
+
+    def _trigger_set_to_df(self, tc: _TriggerChannel, ts, trigger_type=4
+                           ) -> pd.DataFrame:
+        idx, d, amps = self._trigger_set_arrays(tc, ts)
+        if idx is None:
             return pd.DataFrame()
-        idx = np.asarray(ts.indices)[:count]
-        d = np.asarray(ts.dchi2)[:count]
-        amps = np.asarray(ts.amplitudes)[:, :count]
+        count = len(idx)
         data = {
             "trigger_index": idx.astype(np.int64),
             "trigger_time": idx / self._fs,
@@ -651,6 +660,9 @@ class TriggerProcessing:
     # gate for the channel-subset read/upload fast path (tests force
     # it off for A/B equality)
     CHANNEL_SUBSET_UPLOAD = True
+    # gate for the batched single-channel drain (tests force it off
+    # for A/B equality against the per-event EventBuilder path)
+    FAST_DRAIN = True
 
     def process(self,
                 nevents: int = -1,
@@ -970,8 +982,141 @@ class TriggerProcessing:
         writer = tables.AsyncWriter() if lgc_save else None
         inflight = []
 
+        # single-trigger-channel batches skip the per-event EventBuilder
+        # entirely (one channel never coincidence-merges): the whole
+        # batch becomes ONE DataFrame of numpy columns — per-event
+        # pandas construction measured ~5 ms/event of pure host time
+        # (the dominant drain term on non-tunnel hosts). Output columns,
+        # order, dtypes, and trigger_prod_id numbering are identical to
+        # the EventBuilder path (equality-tested incl. residual mode and
+        # edge exclusion).
+        use_fast_drain = self.FAST_DRAIN and len(self._channels) == 1
+        fast_state = {"event_time": -np.inf, "trigger_id": 0}
+
+        def drain_fast(entry):
+            nonlocal events_done, livetime
+            btr, badm, packed_sets = entry
+            tc = self._channels[0]
+            with stage("drain"):
+                hsets = sets_to_host(packed_sets)
+                nb = btr[0].shape[-1]
+                event_sec = nb / self._fs
+                per_idx, per_d, per_amps = [], [], []
+                ev_meta = []           # (admin, livetime_e, ev_start)
+                for e in range(len(btr)):
+                    ts, ts2 = slice_sets(hsets, e)[tc.name]
+                    if ts2 is not None:
+                        ts = trig_ops.combine_trigger_sets(ts, ts2)
+                    livetime += max(event_sec - 2 * (
+                        tc.edge_exclusion_msec or 0.0) * 1e-3, 0.0)
+                    admin = badm[e]
+                    # event-time chain (EventBuilder.build_event):
+                    # consecutive continuous events never overlap
+                    t = admin.get("event_time")
+                    if t is not None:
+                        ev_start = max(t, fast_state["event_time"])
+                        fast_state["event_time"] = ev_start + event_sec
+                    else:
+                        ev_start = np.nan
+                    idx, d, amps = self._trigger_set_arrays(tc, ts)
+                    if idx is None:
+                        continue
+                    per_idx.append(idx)
+                    per_d.append(d)
+                    per_amps.append(amps)
+                    ev_meta.append((admin, livetime, ev_start))
+                events_done += len(btr)
+                if not per_idx:
+                    return
+                counts = np.array([len(i) for i in per_idx])
+                idx = np.concatenate(per_idx).astype(np.int64)
+                tt = idx / self._fs
+                d = np.concatenate(per_d).astype(np.float64)
+                amps = np.concatenate(per_amps, axis=1).astype(np.float64)
+                keep = np.ones(len(idx), bool)
+                if tc.edge_exclusion_msec is not None:
+                    tmin = tc.edge_exclusion_msec * 1e-3
+                    tmax = event_sec - tmin
+                    keep = (tt > tmin) & (tt < tmax)
+                    counts = np.array([
+                        k.sum() for k in np.split(keep,
+                                                  np.cumsum(counts)[:-1])])
+                    idx, tt, d = idx[keep], tt[keep], d[keep]
+                    amps = amps[:, keep]
+                n = len(idx)
+                if n == 0:
+                    return
+                m = amps.shape[0]
+                data = {
+                    "trigger_index": idx,
+                    "trigger_time": tt,
+                    "trigger_delta_chi2": d,
+                    "trigger_threshold_sigma": np.full(
+                        n, tc.threshold_sigma),
+                    "trigger_pileup_window": np.full(
+                        n, tc.pileup_window, dtype=np.int64),
+                    "trigger_type": np.full(n, 4, dtype=np.int64),
+                }
+                for i in range(m):
+                    data[f"trigger_amplitude_{i}"] = amps[i]
+                if m == 1:
+                    data["trigger_amplitude"] = amps[0]
+                data["trigger_channel"] = np.full(n, tc.name,
+                                                  dtype=object)
+                for col in list(data):
+                    data[f"{col}_{tc.name}"] = data[col]
+                nz = counts > 0
+                admins_nz = [mt for mt, c in zip(ev_meta, counts) if c]
+                counts_nz = counts[nz]
+
+                def rep(vals, dtype=None):
+                    arr = np.array(vals, dtype=dtype)
+                    return np.repeat(arr, counts_nz)
+
+                if tc.edge_exclusion_msec is not None:
+                    data[f"trigger_edge_exclusion_time_{tc.name}"] =                         np.full(n, tc.edge_exclusion_msec * 1e-3)
+                    data[f"trigger_livetime_{tc.name}"] = rep(
+                        [lv for _, lv, _ in admins_nz])
+                for key in ("processing_id", "data_type", "group_name"):
+                    def meta_str(a):
+                        if key == "processing_id":
+                            return str(self._processing_id or "") or None
+                        return str(a.get(key, "")) or None
+                    data[key] = rep([meta_str(a)
+                                     for a, _, _ in admins_nz], object)
+                for key in ("series_number", "event_number",
+                            "dump_number", "fridge_run_number"):
+                    data[key] = rep([np.int64(a.get(key, -1))
+                                     for a, _, _ in admins_nz], np.int64)
+                starts = np.array([s for _, _, s in admins_nz])
+                starts_rep = np.repeat(starts, counts_nz)
+                finite = np.isfinite(starts_rep)
+                event_times = np.where(
+                    finite, np.round(tt + np.where(finite, starts_rep,
+                                                   0.0)),
+                    -1).astype(np.int64)
+                data["event_time"] = event_times
+                for key in ("series_start_time", "group_start_time",
+                            "fridge_run_start_time"):
+                    st = rep([np.int64(a.get(key, -1))
+                              if a.get(key) is not None else np.int64(-1)
+                              for a, _, _ in admins_nz], np.int64)
+                    have = np.array([a.get(key) is not None
+                                     for a, _, _ in admins_nz])
+                    have_rep = np.repeat(have, counts_nz) & finite
+                    data[key] = np.where(have_rep, event_times - st,
+                                         -1).astype(np.int64)
+                data["trigger_prod_id"] = (
+                    np.arange(n, dtype=np.int64)
+                    + fast_state["trigger_id"] + 1)
+                fast_state["trigger_id"] += n
+                frames.append(pd.DataFrame(data))
+
         def drain(entry):
             nonlocal events_done
+            if use_fast_drain:
+                drain_fast(entry)
+                return
             btr, badm, bsets = entry
             with stage("drain"):
                 hsets = sets_to_host(bsets)

@@ -605,3 +605,57 @@ def test_jaxcache_platform_pin_cpu_only_factories(monkeypatch):
         assert jaxcache._platform_pin() == "auto"
     finally:
         jax.config.update("jax_platforms", prev)
+
+
+@pytest.mark.parametrize("mode", ["plain", "edge", "residual"])
+def test_fast_drain_identical_to_eventbuilder(tmp_path, mode):
+    """The batched single-channel drain must equal the per-event
+    EventBuilder path frame-for-frame: columns, ORDER, dtypes, values —
+    including residual re-trigger and edge exclusion."""
+    from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+    nt, pre = 512, 128
+    tmpl = pulse.make_template(FS, nt, pre, A=1.0, tau_r=20e-6,
+                               tau_f1=200e-6)
+    rng = np.random.default_rng(41)
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T250000", FS,
+                  ["chan1"], data_type="continuous",
+                  nb_pretrigger_samples=pre)
+    traces = rng.standard_normal((3, 1, 60_000)) * 1e-9
+    for ev in range(3):
+        for p in (6000, 18000, 18400, 33000, 57000):  # incl. pileup +
+            traces[ev, 0, p - pre:p - pre + nt] += (   # near-edge
+                (60e-9 if p != 18400 else 25e-9) * tmpl)
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    fd.set_template("chan1", tmpl, FS, pretrigger_length_samples=pre)
+    fd.set_psd("chan1", np.full(nt, 1e-9**2 / FS), FS)
+    tcfg = {"run": True, "template_tag": "default",
+            "threshold_sigma": 8.0, "pileup_window_msec": 0.2}
+    if mode == "edge":
+        tcfg["edge_exclusion_msec"] = 3.0
+    if mode == "residual":
+        tcfg["lgc_retrigger"] = True
+    cpath = str(tmp_path / "t.yaml")
+    yaml.safe_dump({"trigger": {"chan1": tcfg}}, open(cpath, "w"))
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    assert tp.FAST_DRAIN
+    df_fast = tp.process(capacity=64, event_batch=2)
+    try:
+        tp.FAST_DRAIN = False                  # instance shadow
+        df_slow = tp.process(capacity=64, event_batch=2)
+    finally:
+        del tp.FAST_DRAIN
+    assert len(df_fast) == len(df_slow) > 0
+    assert list(df_fast.columns) == list(df_slow.columns)
+    for col in df_slow.columns:
+        a, b = df_fast[col], df_slow[col]
+        assert a.dtype == b.dtype, (col, a.dtype, b.dtype)
+        try:
+            av, bv = np.asarray(a, float), np.asarray(b, float)
+        except (ValueError, TypeError):
+            assert list(a) == list(b), col
+        else:
+            np.testing.assert_allclose(av, bv, rtol=0, atol=0,
+                                       err_msg=col)
