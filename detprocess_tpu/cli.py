@@ -166,8 +166,23 @@ def main(argv=None) -> int:
     if args.prewarm:
         # a prewarm IS a tiny normal run: compiling the real shapes
         # requires the real configs, so just cap the events and skip
-        # the saves — every jitted kernel lands in the persistent cache
+        # the saves — every jitted kernel lands in the persistent
+        # cache. Only trigger/feature have a no-save mode; the other
+        # workloads are host-side anyway (nothing to compile) and WOULD
+        # write real outputs, so they are skipped with a notice.
         args.nevents = max(args.batch_size, 8)
+        skipped = [flag for flag, on in (
+            ("--enable-salting", args.enable_salting),
+            ("--enable-rand", args.enable_rand),
+            ("--enable-ivsweep", args.enable_ivsweep),
+            ("--calc-filter", args.calc_filter)) if on]
+        args.enable_salting = args.enable_rand = False
+        args.enable_ivsweep = args.calc_filter = False
+        args.salting_dataframe_path = None
+        if skipped and args.verbose:
+            print(f"INFO: prewarm skips {', '.join(skipped)} (host-side "
+                  "workloads with nothing to compile; they would write "
+                  "real outputs)")
         if args.verbose:
             from detprocess_tpu.utils import jaxcache
             print(f"INFO: prewarm run ({args.nevents} events/rows per "

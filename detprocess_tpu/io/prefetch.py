@@ -239,21 +239,28 @@ class ParallelEventPrefetcher:
 
     def close(self):
         """Stop all reader threads, drain the queue, close the owned
-        readers."""
+        readers. A reader whose thread failed to join (blocked >5 s in
+        a single read — NFS stall etc.) is LEAKED rather than closed:
+        closing h5py/pread handles under an active reader risks
+        exceptions or worse in the C layer; the daemon thread exits
+        with the process."""
         self._stop.set()
         try:
             while True:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
-        for t in self._threads:
+        leftover = []
+        for t, r in zip(self._threads, self._readers):
             t.join(timeout=5.0)
-        for r in self._readers:
+            if t.is_alive():
+                leftover.append(r)
+                continue
             try:
                 r.close()
             except Exception:
                 pass
-        self._readers = []
+        self._readers = leftover
 
 
 class OrderedChunkPrefetcher:

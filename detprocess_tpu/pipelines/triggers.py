@@ -1021,6 +1021,15 @@ class TriggerProcessing:
                     idx, d, amps = self._trigger_set_arrays(tc, ts)
                     if idx is None:
                         continue
+                    if ts2 is not None:
+                        # combine_trigger_sets APPENDS residual-pass
+                        # triggers; the EventBuilder path sorts by
+                        # trigger_index (add_triggers) — match it, or
+                        # row order and trigger_prod_id assignment
+                        # diverge
+                        order = np.argsort(idx, kind="stable")
+                        idx, d = idx[order], d[order]
+                        amps = amps[:, order]
                     per_idx.append(idx)
                     per_d.append(d)
                     per_amps.append(amps)

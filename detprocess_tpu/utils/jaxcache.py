@@ -89,15 +89,23 @@ def _platform_pin() -> str:
         return pin
     # no pin, no backend yet: inspect the registered backend FACTORIES
     # (registration is cheap and already done at import; only
-    # initialization can hang). A host whose only factories are
-    # cpu-class would resolve to the cpu backend — report "cpu" so the
-    # auto-mode cache skip applies there too (plain CPU-only installs
-    # must not hit the cpu_aot_loader reload noise).
+    # initialization can hang). jax registers the 'tpu' factory
+    # UNCONDITIONALLY (it fails quietly at init when libtpu is absent),
+    # so its mere presence says nothing — a host with no libtpu and no
+    # other accelerator factory will resolve to the cpu backend; report
+    # "cpu" so the auto-mode cache skip applies there too (plain
+    # CPU-only installs must not hit the cpu_aot_loader reload noise).
     try:
         from jax._src import xla_bridge
         factories = set(getattr(xla_bridge, "_backend_factories", {}))
-        if factories and factories <= {"cpu", "interpreter"}:
-            return "cpu"
+        extra = factories - {"cpu", "interpreter"} if factories else None
+        if extra is not None:
+            if not extra:
+                return "cpu"
+            if extra == {"tpu"}:
+                import importlib.util
+                if importlib.util.find_spec("libtpu") is None:
+                    return "cpu"
     except Exception:
         pass
     return "auto"

@@ -570,13 +570,17 @@ def test_async_writer_never_writes_past_an_error(tmp_path):
     bad = str(tmp_path / "no_dir" / "d2.hdf5")
     ok2 = str(tmp_path / "d3.hdf5")
     w.write(df, ok1, fmt="hdf5")
-    w.write(df, bad, fmt="hdf5")
-    w.write(df, ok2, fmt="hdf5")   # may or may not raise (race) —
-    try:                           # but must NEVER hit the disk
-        w.close()
+    try:
+        w.write(df, bad, fmt="hdf5")
+        w.write(df, ok2, fmt="hdf5")  # may raise (race) — but must
+        w.close()                     # NEVER hit the disk
         raised = False
     except Exception:
         raised = True
+        try:
+            w.close()
+        except Exception:
+            pass
     assert raised
     assert os.path.exists(ok1)
     assert not os.path.exists(ok2), "dump written past an earlier error"
@@ -597,12 +601,27 @@ def test_jaxcache_platform_pin_cpu_only_factories(monkeypatch):
     monkeypatch.setattr(xla_bridge, "_backends", {}, raising=False)
     monkeypatch.setattr(xla_bridge, "_backend_factories",
                         {"cpu": object()}, raising=False)
+    import importlib.util
+    real_find = importlib.util.find_spec
+    have_libtpu = [False]
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a: (object() if have_libtpu[0] else None)
+        if name == "libtpu" else real_find(name, *a))
     try:
         assert jaxcache._platform_pin() == "cpu"
+        # jax registers the 'tpu' factory unconditionally — only a
+        # present libtpu makes it mean anything
         monkeypatch.setattr(xla_bridge, "_backend_factories",
                             {"cpu": object(), "tpu": object()},
                             raising=False)
-        assert jaxcache._platform_pin() == "auto"
+        assert jaxcache._platform_pin() == "cpu"      # no libtpu
+        have_libtpu[0] = True
+        assert jaxcache._platform_pin() == "auto"     # real tpu possible
+        monkeypatch.setattr(xla_bridge, "_backend_factories",
+                            {"cpu": object(), "tpu": object(),
+                             "axon": object()}, raising=False)
+        assert jaxcache._platform_pin() == "auto"     # other accelerator
     finally:
         jax.config.update("jax_platforms", prev)
 
@@ -636,7 +655,7 @@ def test_fast_drain_identical_to_eventbuilder(tmp_path, mode):
     if mode == "edge":
         tcfg["edge_exclusion_msec"] = 3.0
     if mode == "residual":
-        tcfg["lgc_retrigger"] = True
+        tcfg["run_residual"] = True
     cpath = str(tmp_path / "t.yaml")
     yaml.safe_dump({"trigger": {"chan1": tcfg}}, open(cpath, "w"))
     tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
