@@ -176,3 +176,22 @@ def test_cli_prewarm_compiles_without_saving(rawgroup, tmp_path,
     for root, _dirs, files in os.walk(cachedir):
         entries.extend(files)
     assert entries, "prewarm populated no cache entries"
+
+
+def test_cli_prewarm_skips_host_workloads(rawgroup, tmp_path,
+                                          monkeypatch, capsys):
+    """--prewarm disables salting/randoms/ivsweep/filter-gen (they have
+    nothing to compile and would write real outputs) with a notice."""
+    out = str(tmp_path / "processed")
+    rc = cli.main([
+        "--raw_path", rawgroup["raw"],
+        "--processing_setup", rawgroup["cpath"],
+        "--filter_file", rawgroup["fpath"],
+        "--output_group_path", out,
+        "--enable-rand", "--enable-trig", "--prewarm",
+        "--random_rate", "10",
+    ])
+    assert rc == 0
+    assert "prewarm skips --enable-rand" in capsys.readouterr().out
+    assert not os.path.isdir(os.path.join(out, "randoms"))
+    assert not os.path.isdir(os.path.join(out, "rand"))

@@ -660,6 +660,11 @@ def test_fast_drain_identical_to_eventbuilder(tmp_path, mode):
     yaml.safe_dump({"trigger": {"chan1": tcfg}}, open(cpath, "w"))
     tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
     assert tp.FAST_DRAIN
+    # the parametrized mode must actually ENGAGE (a dead config key
+    # here once made "residual" silently test the plain path)
+    tc = tp._channels[0]
+    assert tc.run_residual == (mode == "residual")
+    assert (tc.edge_exclusion_msec is not None) == (mode == "edge")
     df_fast = tp.process(capacity=64, event_batch=2)
     try:
         tp.FAST_DRAIN = False                  # instance shadow
