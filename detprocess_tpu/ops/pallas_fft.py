@@ -1,4 +1,7 @@
-"""Pallas TPU kernel: fused four-step FFT (real input → split re/im).
+"""RETIRED EXPERIMENT — not dispatched by any default path; kept as a
+documented negative result (see BASELINE.md "Pallas vs XLA").
+
+Pallas TPU kernel: fused four-step FFT (real input → split re/im).
 
 The XLA four-step FFT (ops/fft.py) materializes every stage in HBM
 (~6 passes over a [B, N] complex batch). This kernel processes a tile of

@@ -1,4 +1,7 @@
-"""Pallas TPU kernel: fused FFT + no-delay optimal-filter reduction.
+"""RETIRED EXPERIMENT — not dispatched by any default path; kept as a
+documented negative result (see BASELINE.md "Pallas vs XLA").
+
+Pallas TPU kernel: fused FFT + no-delay optimal-filter reduction.
 
 The no-delay OF per event is ``amp = Re Σ_k φ_k ṽ_k / norm`` and
 ``χ²₀ = Σ_k |ṽ_k|²·denom_k`` — an FFT followed by two weighted reductions.

@@ -160,8 +160,12 @@ class EventBuilder:
         else:
             self._event_df = pd.concat([self._event_df, trigger_df],
                                        ignore_index=True)
+        # stable sort: equal trigger_index rows keep channel-addition
+        # order (the reference's default quicksort leaves tie order
+        # unspecified; stable is a deterministic refinement that the
+        # batched drain reproduces exactly)
         self._event_df = self._event_df.sort_values(
-            "trigger_index", ignore_index=True)
+            "trigger_index", ignore_index=True, kind="stable")
 
     def build_event(self, event_metadata: Optional[dict] = None,
                     fs: Optional[float] = None,
@@ -982,33 +986,62 @@ class TriggerProcessing:
         writer = tables.AsyncWriter() if lgc_save else None
         inflight = []
 
-        # single-trigger-channel batches skip the per-event EventBuilder
-        # entirely (one channel never coincidence-merges): the whole
-        # batch becomes ONE DataFrame of numpy columns — per-event
-        # pandas construction measured ~5 ms/event of pure host time
-        # (the dominant drain term on non-tunnel hosts). Output columns,
-        # order, dtypes, and trigger_prod_id numbering are identical to
-        # the EventBuilder path (equality-tested incl. residual mode and
-        # edge exclusion).
-        use_fast_drain = self.FAST_DRAIN and len(self._channels) == 1
-        fast_state = {"event_time": -np.inf, "trigger_id": 0}
+        # batched drain: a whole batch of events becomes ONE DataFrame
+        # of numpy columns — per-event pandas construction measured
+        # ~5 ms/event of pure host time (the dominant drain term on
+        # non-tunnel hosts). Multi-channel configs run the same path:
+        # the cross-channel coincidence merge
+        # (core/eventbuilder.py:336-497 semantics — diff-window ranges,
+        # greedy unique-channel split, max-Δχ² primary, suffixed-column
+        # substring copy) is applied to the numpy columns before the
+        # frame is built. Output columns, order, dtypes, and
+        # trigger_prod_id numbering are identical to the EventBuilder
+        # path (equality-tested incl. residual mode, edge exclusion,
+        # salted runs, and 3-channel coincidence).
+        use_fast_drain = self.FAST_DRAIN
+        merge_window = 0
+        if coincident_window_msec is not None:
+            merge_window = int(coincident_window_msec * self._fs / 1000)
+        elif coincident_window_samples is not None:
+            merge_window = int(coincident_window_samples)
+        fast_state = {"event_time": -np.inf, "trigger_id": 0,
+                      "col_order": [], "col_seen": set()}
+        META_COLS = ("processing_id", "data_type", "group_name",
+                     "series_number", "event_number", "dump_number",
+                     "fridge_run_number", "event_time",
+                     "series_start_time", "group_start_time",
+                     "fridge_run_start_time", "trigger_prod_id")
+
+        def _chan_cols(tc, m):
+            """One channel's contributed columns in _trigger_set_to_df
+            order (base, suffixed duplicates, edge-exclusion tail)."""
+            base = ["trigger_index", "trigger_time", "trigger_delta_chi2",
+                    "trigger_threshold_sigma", "trigger_pileup_window",
+                    "trigger_type"]
+            base += [f"trigger_amplitude_{i}" for i in range(m)]
+            if m == 1:
+                base += ["trigger_amplitude"]
+            base += ["trigger_channel"]
+            out = base + [f"{b}_{tc.name}" for b in base]
+            if tc.edge_exclusion_msec is not None:
+                out += [f"trigger_edge_exclusion_time_{tc.name}",
+                        f"trigger_livetime_{tc.name}"]
+            return out
 
         def drain_fast(entry):
             nonlocal events_done, livetime
             btr, badm, packed_sets = entry
-            tc = self._channels[0]
+            fs = self._fs
             with stage("drain"):
                 hsets = sets_to_host(packed_sets)
+                E = len(btr)
                 nb = btr[0].shape[-1]
-                event_sec = nb / self._fs
-                per_idx, per_d, per_amps = [], [], []
+                event_sec = nb / fs
+                # per-event bookkeeping for ALL events (the event-time
+                # chain advances whether or not the event triggered)
                 ev_meta = []           # (admin, livetime_e, ev_start)
-                for e in range(len(btr)):
-                    ts, ts2 = slice_sets(hsets, e)[tc.name]
-                    if ts2 is not None:
-                        ts = trig_ops.combine_trigger_sets(ts, ts2)
-                    livetime += max(event_sec - 2 * (
-                        tc.edge_exclusion_msec or 0.0) * 1e-3, 0.0)
+                for e in range(E):
+                    livetime += max(event_sec - 2 * max_edge * 1e-3, 0.0)
                     admin = badm[e]
                     # event-time chain (EventBuilder.build_event):
                     # consecutive continuous events never overlap
@@ -1018,74 +1051,232 @@ class TriggerProcessing:
                         fast_state["event_time"] = ev_start + event_sec
                     else:
                         ev_start = np.nan
-                    idx, d, amps = self._trigger_set_arrays(tc, ts)
-                    if idx is None:
-                        continue
-                    if ts2 is not None:
-                        # combine_trigger_sets APPENDS residual-pass
-                        # triggers; the EventBuilder path sorts by
-                        # trigger_index (add_triggers) — match it, or
-                        # row order and trigger_prod_id assignment
-                        # diverge
-                        order = np.argsort(idx, kind="stable")
-                        idx, d = idx[order], d[order]
-                        amps = amps[:, order]
-                    per_idx.append(idx)
-                    per_d.append(d)
-                    per_amps.append(amps)
                     ev_meta.append((admin, livetime, ev_start))
-                events_done += len(btr)
-                if not per_idx:
+                events_done += E
+
+                def _event_view(t, e):
+                    if t is None:
+                        return None
+                    return trig_ops.TriggerSet(
+                        indices=t.indices[e], dchi2=t.dchi2[e],
+                        amplitudes=t.amplitudes[e], count=t.count[e],
+                        count_total=t.count_total[e],
+                        n_above=(t.n_above[e]
+                                 if t.n_above is not None else None))
+
+                # flatten each channel's per-event triggers (residual
+                # combine order, edge-filtered) with owning-event ids
+                chan_flat = []   # (ci, tc, ev[], idx[], d[], amps[m, k])
+                present = np.zeros((E, len(self._channels)), bool)
+                for ci, tc in enumerate(self._channels):
+                    ts_b, ts2_b = hsets[tc.name]
+                    evs, idxs, ds, ampss = [], [], [], []
+                    for e in range(E):
+                        ts = _event_view(ts_b, e)
+                        ts2 = _event_view(ts2_b, e)
+                        if ts2 is not None:
+                            # dedup-merge first + residual pass
+                            # (combine_trigger_data semantics)
+                            ts = trig_ops.combine_trigger_sets(ts, ts2)
+                        idx, d, amps = self._trigger_set_arrays(tc, ts)
+                        if idx is None:
+                            continue
+                        if tc.edge_exclusion_msec is not None:
+                            tmin = tc.edge_exclusion_msec * 1e-3
+                            tmax = event_sec - tmin
+                            tt = idx / fs
+                            keep = (tt > tmin) & (tt < tmax)
+                            idx, d = idx[keep], d[keep]
+                            amps = amps[:, keep]
+                            if len(idx) == 0:
+                                continue
+                        present[e, ci] = True
+                        evs.append(np.full(len(idx), e, np.int64))
+                        idxs.append(idx.astype(np.int64))
+                        ds.append(d.astype(np.float64))
+                        ampss.append(amps.astype(np.float64))
+                    if evs:
+                        chan_flat.append((
+                            ci, tc, np.concatenate(evs),
+                            np.concatenate(idxs), np.concatenate(ds),
+                            np.concatenate(ampss, axis=1)))
+                if not chan_flat:
                     return
-                counts = np.array([len(i) for i in per_idx])
-                idx = np.concatenate(per_idx).astype(np.int64)
-                tt = idx / self._fs
-                d = np.concatenate(per_d).astype(np.float64)
-                amps = np.concatenate(per_amps, axis=1).astype(np.float64)
-                keep = np.ones(len(idx), bool)
-                if tc.edge_exclusion_msec is not None:
-                    tmin = tc.edge_exclusion_msec * 1e-3
-                    tmax = event_sec - tmin
-                    keep = (tt > tmin) & (tt < tmax)
-                    counts = np.array([
-                        k.sum() for k in np.split(keep,
-                                                  np.cumsum(counts)[:-1])])
-                    idx, tt, d = idx[keep], tt[keep], d[keep]
-                    amps = amps[:, keep]
-                n = len(idx)
+
+                m_by_ci = {f[0]: f[5].shape[0] for f in chan_flat}
+                max_m = max(m_by_ci.values())
+                any_m1 = any(m == 1 for m in m_by_ci.values())
+                # build every per-row array in channel-block (pre-sort)
+                # layout, then apply ONE permutation to all of them —
+                # residual combine order is not index-sorted, so partial
+                # fills against post-sort positions would misalign
+                ev_all = np.concatenate([f[2] for f in chan_flat])
+                idx_all = np.concatenate([f[3] for f in chan_flat])
+                d_all = np.concatenate([f[4] for f in chan_flat])
+                rank_all = np.concatenate(
+                    [np.full(len(f[2]), f[0], np.int64)
+                     for f in chan_flat])
+                names_all = np.concatenate(
+                    [np.full(len(f[2]), f[1].name, object)
+                     for f in chan_flat])
+                thr = np.concatenate(
+                    [np.full(len(f[2]), f[1].threshold_sigma)
+                     for f in chan_flat])
+                pw = np.concatenate(
+                    [np.full(len(f[2]), f[1].pileup_window, np.int64)
+                     for f in chan_flat])
+                amp_blocks = []
+                for ci, tc, evs, idxs, ds, amps in chan_flat:
+                    pad = np.full((max_m, amps.shape[1]), np.nan)
+                    pad[:amps.shape[0]] = amps
+                    amp_blocks.append(pad)
+                amp_cols = np.concatenate(amp_blocks, axis=1)
+                amp1 = None
+                if any_m1:
+                    amp1 = np.concatenate(
+                        [f[5][0] if f[5].shape[0] == 1
+                         else np.full(len(f[2]), np.nan)
+                         for f in chan_flat])
+                # ONE stable sort by (event, trigger_index): equal-index
+                # rows keep channel order — exactly what the iterated
+                # stable sort_values in EventBuilder.add_triggers yields
+                perm = np.argsort(ev_all * np.int64(nb + 1) + idx_all,
+                                  kind="stable")
+                ev_all, idx_all = ev_all[perm], idx_all[perm]
+                d_all, rank_all = d_all[perm], rank_all[perm]
+                names_all, thr, pw = names_all[perm], thr[perm], pw[perm]
+                amp_cols = amp_cols[:, perm]
+                if amp1 is not None:
+                    amp1 = amp1[perm]
+                n = len(idx_all)
+                tt_all = idx_all / fs
+
+                # --- trigger columns (pre-merge, pre-metadata) --------
+                data: dict = {}
+                pos = {ci: np.flatnonzero(rank_all == ci)
+                       for ci in m_by_ci}
+                lts = np.array([mt[1] for mt in ev_meta])
+                data["trigger_index"] = idx_all
+                data["trigger_time"] = tt_all
+                data["trigger_delta_chi2"] = d_all
+                data["trigger_threshold_sigma"] = thr
+                data["trigger_pileup_window"] = pw
+                data["trigger_type"] = np.full(n, 4, np.int64)
+                for i in range(max_m):
+                    data[f"trigger_amplitude_{i}"] = amp_cols[i]
+                if amp1 is not None:
+                    data["trigger_amplitude"] = amp1
+                data["trigger_channel"] = names_all
+
+                def _suffixed(base_vals, p):
+                    """Channel-masked copy of a base column with pandas
+                    concat promotion semantics: when other channels'
+                    rows exist, ints promote to float64 + NaN and
+                    object columns get NaN holes."""
+                    if len(p) == n:
+                        return base_vals.copy()
+                    if base_vals.dtype == object:
+                        out = np.full(n, np.nan, object)
+                    else:
+                        out = np.full(n, np.nan, np.float64)
+                    out[p] = base_vals[p]
+                    return out
+
+                for ci, tc, evs, idxs, ds, amps in chan_flat:
+                    p = pos[ci]
+                    m = amps.shape[0]
+                    base = ["trigger_index", "trigger_time",
+                            "trigger_delta_chi2",
+                            "trigger_threshold_sigma",
+                            "trigger_pileup_window", "trigger_type"]
+                    base += [f"trigger_amplitude_{i}" for i in range(m)]
+                    if m == 1:
+                        base += ["trigger_amplitude"]
+                    base += ["trigger_channel"]
+                    for b in base:
+                        data[f"{b}_{tc.name}"] = _suffixed(data[b], p)
+                    if tc.edge_exclusion_msec is not None:
+                        col = np.full(n, np.nan)
+                        col[p] = tc.edge_exclusion_msec * 1e-3
+                        data[f"trigger_edge_exclusion_time_{tc.name}"] = col
+                        lv = np.full(n, np.nan)
+                        lv[p] = lts[ev_all[p]]
+                        data[f"trigger_livetime_{tc.name}"] = lv
+
+                # --- coincidence merge (eventbuilder.py:336-497) ------
+                drop = np.zeros(n, bool)
+                if (merge_window > 0 and len(self._channels) > 1
+                        and n > 1):
+                    close = ((np.diff(idx_all) < merge_window)
+                             & (ev_all[1:] == ev_all[:-1]))
+                    close = np.concatenate(
+                        ([0], close.astype(np.int8), [0]))
+                    ranges = np.flatnonzero(
+                        np.abs(np.diff(close)) == 1).reshape(-1, 2)
+                    cols = list(data)
+                    # substring column-match rule (reference
+                    # np.char.find >= 0), computed once per batch
+                    match_cols = {tc.name: [c for c in cols
+                                            if tc.name in c]
+                                  for _, tc, *_ in chan_flat}
+                    groups = []
+                    for lo, hi in ranges:
+                        inds = np.arange(lo, hi + 1)
+                        chans = names_all[lo:hi + 1]
+                        uniq = set(chans.tolist())
+                        if len(uniq) == 1:
+                            continue   # single channel = pileup
+                        if len(uniq) == len(chans):
+                            groups.append(inds)
+                            continue
+                        # mixed pileup/coincidence: split greedily so
+                        # each sub-group has unique channels
+                        cur_ch: set = set()
+                        cur_i: list = []
+                        splits = []
+                        for c, i in zip(chans, inds):
+                            if c in cur_ch:
+                                splits.append(cur_i)
+                                cur_ch, cur_i = set(), []
+                            cur_ch.add(c)
+                            cur_i.append(int(i))
+                        if cur_i:
+                            splits.append(cur_i)
+                        for sub in splits:
+                            if len(sub) > 1:
+                                groups.append(np.asarray(sub))
+                    for inds in groups:
+                        inds = np.asarray(inds)
+                        primary = int(inds[np.argmax(d_all[inds])])
+                        for other in inds[inds != primary]:
+                            other = int(other)
+                            for cname in match_cols[
+                                    str(names_all[other])]:
+                                v = data[cname][other]
+                                if v is None or v != v:   # notnull rule
+                                    continue
+                                data[cname][primary] = v
+                            drop[other] = True
+                if drop.any():
+                    keep_r = ~drop
+                    for c in list(data):
+                        data[c] = data[c][keep_r]
+                    ev_all = ev_all[keep_r]
+                    n = len(ev_all)
                 if n == 0:
                     return
-                m = amps.shape[0]
-                data = {
-                    "trigger_index": idx,
-                    "trigger_time": tt,
-                    "trigger_delta_chi2": d,
-                    "trigger_threshold_sigma": np.full(
-                        n, tc.threshold_sigma),
-                    "trigger_pileup_window": np.full(
-                        n, tc.pileup_window, dtype=np.int64),
-                    "trigger_type": np.full(n, 4, dtype=np.int64),
-                }
-                for i in range(m):
-                    data[f"trigger_amplitude_{i}"] = amps[i]
-                if m == 1:
-                    data["trigger_amplitude"] = amps[0]
-                data["trigger_channel"] = np.full(n, tc.name,
-                                                  dtype=object)
-                for col in list(data):
-                    data[f"{col}_{tc.name}"] = data[col]
-                nz = counts > 0
-                admins_nz = [mt for mt, c in zip(ev_meta, counts) if c]
-                counts_nz = counts[nz]
+                tt = data["trigger_time"]
+
+                # --- metadata columns (build_event order) -------------
+                counts = np.bincount(ev_all, minlength=E)
+                counts_nz = counts[counts > 0]
+                admins_nz = [ev_meta[e] for e in range(E)
+                             if counts[e] > 0]
 
                 def rep(vals, dtype=None):
                     arr = np.array(vals, dtype=dtype)
                     return np.repeat(arr, counts_nz)
 
-                if tc.edge_exclusion_msec is not None:
-                    data[f"trigger_edge_exclusion_time_{tc.name}"] =                         np.full(n, tc.edge_exclusion_msec * 1e-3)
-                    data[f"trigger_livetime_{tc.name}"] = rep(
-                        [lv for _, lv, _ in admins_nz])
                 for key in ("processing_id", "data_type", "group_name"):
                     def meta_str(a):
                         if key == "processing_id":
@@ -1119,7 +1310,30 @@ class TriggerProcessing:
                     np.arange(n, dtype=np.int64)
                     + fast_state["trigger_id"] + 1)
                 fast_state["trigger_id"] += n
-                frames.append(pd.DataFrame(data))
+
+                # --- column order: replicate the EventBuilder path's
+                # first-appearance union (per-event channel frames in
+                # add order, then metadata; pd.concat appends unseen
+                # columns of later frames at the end) -----------------
+                order = fast_state["col_order"]
+                seen = fast_state["col_seen"]
+                for e in range(E):
+                    got_any = False
+                    for ci, tc in enumerate(self._channels):
+                        if not present[e, ci]:
+                            continue
+                        got_any = True
+                        for c in _chan_cols(tc, m_by_ci[ci]):
+                            if c not in seen:
+                                seen.add(c)
+                                order.append(c)
+                    if got_any:
+                        for c in META_COLS:
+                            if c not in seen:
+                                seen.add(c)
+                                order.append(c)
+                frames.append(pd.DataFrame(
+                    {c: data[c] for c in order if c in data}))
 
         def drain(entry):
             nonlocal events_done

@@ -1,0 +1,203 @@
+"""Batched multi-channel coincidence drain vs the per-event EventBuilder.
+
+The FAST_DRAIN path vectorizes the EventBuilder coincidence merge
+(core/eventbuilder.py:336-497 semantics: diff-window ranges, greedy
+unique-channel split, max-Δχ² primary, suffixed-column substring copy)
+as numpy column ops, one DataFrame per batch. These tests pin it
+frame-for-frame — columns, ORDER, dtypes, values — against the
+per-event EventBuilder path on a 3-channel coincidence config in
+plain / edge-exclusion / residual / salted modes, with the data built
+to exercise every merge case:
+
+  * pure coincidence (3 unique channels in one window)
+  * single-channel pileup (no merge)
+  * mixed pileup+coincidence (greedy unique-channel split)
+  * primary selection on both sides (max Δχ² on chan1 vs chan2)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from detprocess_tpu.io.filterfile import FilterData
+from detprocess_tpu.io.rawdata import RawWriter
+from detprocess_tpu.models import pulse
+from detprocess_tpu.pipelines import triggers as trig_pipe
+from detprocess_tpu.pipelines.triggers import TriggerProcessing
+
+FS = 1.25e6
+NT, PRE = 512, 128
+L = 60_000
+CHANNELS = ["chan1", "chan2", "chan3"]
+
+
+def _make_raw(root, rng, nev=3, int16=False):
+    # amplitudes sit at ~9-13 matched-filter sigma (sigma_A ~ 1.4e-10
+    # for this template/PSD) so the delta-chi2 runs stay a few tens of
+    # samples wide — wide-SNR pulses would bridge runs and device-merge
+    # the pileup structure away before the coincidence logic ever sees it
+    tmpl = pulse.make_template(FS, NT, PRE, A=1.0, tau_r=20e-6,
+                               tau_f1=60e-6)
+    traces = rng.standard_normal((nev, 3, L)) * 1e-9
+
+    def add(ev, ch, p, a):
+        traces[ev, ch, p - PRE:p - PRE + NT] += a * tmpl
+
+    for ev in range(nev):
+        # pure 3-channel coincidence; chan1 biggest → chan1 primary
+        add(ev, 0, 6000, 1.6e-9)
+        add(ev, 1, 6020, 1.35e-9)
+        add(ev, 2, 6040, 1.3e-9)
+        # chan1-only pair outside the window (single channel → kept)
+        add(ev, 0, 15000, 1.4e-9)
+        add(ev, 0, 17000, 1.35e-9)
+        # mixed pileup+coincidence: c1, c2, c1 in one range →
+        # greedy unique-channel split; chan2 biggest → chan2 primary
+        add(ev, 0, 24000, 1.45e-9)
+        add(ev, 1, 24080, 1.9e-9)
+        add(ev, 0, 24250, 1.4e-9)
+        # 2-channel coincidence chan2/chan3, chan3 primary
+        add(ev, 1, 33000, 1.4e-9)
+        add(ev, 2, 33030, 1.9e-9)
+        # isolated chan3
+        add(ev, 2, 45000, 1.5e-9)
+    kw = {}
+    if int16:
+        kw = dict(detector_config={c: {"close_loop_norm": 1.0}
+                                   for c in CHANNELS},
+                  adc_conversion_factor=2.0 ** -22)
+    w = RawWriter(str(root / "raw"), "I1_D20260820_T250000", FS,
+                  CHANNELS, data_type="continuous",
+                  nb_pretrigger_samples=PRE, **kw)
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (root / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    for c in CHANNELS:
+        fd.set_template(c, tmpl, FS, pretrigger_length_samples=PRE)
+        fd.set_psd(c, np.full(NT, 1e-9 ** 2 / FS), FS)
+    return files, fd, tmpl
+
+
+def _config(tmp_path, mode):
+    tcfg = {"run": True, "template_tag": "default",
+            "threshold_sigma": 7.0,
+            "pileup_window_msec": 0.04}         # 50 samples
+    if mode == "edge":
+        tcfg["edge_exclusion_msec"] = 3.0
+    if mode == "residual":
+        tcfg["run_residual"] = True
+    cpath = str(tmp_path / "t.yaml")
+    yaml.safe_dump({"trigger": {c: dict(tcfg) for c in CHANNELS}},
+                   open(cpath, "w"))
+    return cpath
+
+
+class _Tripwire(trig_pipe.EventBuilder):
+    """EventBuilder that fails the test if the per-event path runs."""
+
+    def add_triggers(self, trigger_df):
+        raise AssertionError("per-event EventBuilder path engaged — "
+                             "FAST_DRAIN did not handle this config")
+
+
+def _assert_frames_equal(df_fast, df_slow):
+    assert len(df_fast) == len(df_slow) > 0
+    assert list(df_fast.columns) == list(df_slow.columns)
+    pd.testing.assert_frame_equal(df_fast, df_slow, check_exact=True)
+
+
+@pytest.mark.parametrize("mode", ["plain", "edge", "residual"])
+def test_multichannel_coincidence_fast_drain(tmp_path, mode,
+                                             monkeypatch):
+    rng = np.random.default_rng(47)
+    files, fd, _ = _make_raw(tmp_path, rng)
+    cpath = _config(tmp_path, mode)
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    assert tp.FAST_DRAIN and len(tp._channels) == 3
+    tc = tp._channels[0]
+    assert tc.run_residual == (mode == "residual")
+    assert (tc.edge_exclusion_msec is not None) == (mode == "edge")
+
+    # fast run with the per-event path boobytrapped: proves engagement
+    monkeypatch.setattr(trig_pipe, "EventBuilder", _Tripwire)
+    df_fast = tp.process(capacity=64, event_batch=2,
+                         coincident_window_msec=0.16)   # 200 samples
+    monkeypatch.undo()
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=64, event_batch=2,
+                             coincident_window_msec=0.16)
+    finally:
+        del tp.FAST_DRAIN
+
+    # the data must actually exercise cross-channel merges: merged
+    # primary rows carry the other channel's suffixed values
+    c1 = df_slow["trigger_channel"] == "chan1"
+    assert (df_slow.loc[c1, "trigger_index_chan2"].notna()).any(), \
+        "no chan2→chan1 merge happened — data does not cover the case"
+    c2 = df_slow["trigger_channel"] == "chan2"
+    assert (df_slow.loc[c2, "trigger_index_chan1"].notna()).any(), \
+        "no chan1→chan2 merge happened"
+    # the chan1-only pair outside the window survives as two rows
+    idx1 = df_slow.loc[c1, "trigger_index"].to_numpy()
+    assert ((np.abs(idx1 - 15000) < 60).sum() >= 1
+            and (np.abs(idx1 - 17000) < 60).sum() >= 1)
+
+    _assert_frames_equal(df_fast, df_slow)
+
+
+def test_multichannel_salted_fast_drain(tmp_path, monkeypatch):
+    """Salted 3-channel run (host injector → float64 path) — the
+    coincident salts across channels merge, fast == slow."""
+    from detprocess_tpu.pipelines.salting import Salting
+
+    rng = np.random.default_rng(53)
+    files, fd, tmpl = _make_raw(tmp_path, rng, int16=True)
+    cpath = _config(tmp_path, "plain")
+    salting = Salting(fd, verbose=False)
+    salting.generate_salt(
+        files, CHANNELS, energies=[100.0], nsalt=4,
+        energy_norm_ev_per_amp=2e6, seed=7,
+        min_separation_msec=8.0, edge_exclusion_msec=4.0)
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    tp.set_salting(salting.make_injector(CHANNELS))
+    monkeypatch.setattr(trig_pipe, "EventBuilder", _Tripwire)
+    df_fast = tp.process(capacity=64, event_batch=2,
+                         coincident_window_msec=0.16)
+    monkeypatch.undo()
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=64, event_batch=2,
+                             coincident_window_msec=0.16)
+    finally:
+        del tp.FAST_DRAIN
+    # coincident salts must produce cross-channel merges
+    merged = 0
+    for a in CHANNELS:
+        rows = df_slow["trigger_channel"] == a
+        for b in CHANNELS:
+            if a != b:
+                merged += int(df_slow.loc[
+                    rows, f"trigger_index_{b}"].notna().sum())
+    assert merged > 0, "salted run produced no coincidence merges"
+    _assert_frames_equal(df_fast, df_slow)
+
+
+def test_coincidence_window_zero_no_merge(tmp_path):
+    """No coincident window configured → multi-channel rows all kept
+    (merge disabled), fast == slow."""
+    rng = np.random.default_rng(11)
+    files, fd, _ = _make_raw(tmp_path, rng, nev=2)
+    cpath = _config(tmp_path, "plain")
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    df_fast = tp.process(capacity=64, event_batch=2)
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=64, event_batch=2)
+    finally:
+        del tp.FAST_DRAIN
+    # every channel's rows survive: no merge means chan2's coincident
+    # trigger is its own row
+    assert (df_slow["trigger_channel"] == "chan2").sum() >= 4
+    _assert_frames_equal(df_fast, df_slow)
