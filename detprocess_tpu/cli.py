@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--processing_id", type=str, default=None)
     p.add_argument("--facility", type=int, default=1)
+    p.add_argument("--output-series-name", default=None,
+                   help="output series name override (default: "
+                        "timestamp-derived). Multi-node drivers pass a "
+                        "node-offset name here so concurrent nodes "
+                        "never collide (scripts/process_distributed.py; "
+                        "reference features.py:502-504)")
     p.add_argument("--nevents", type=int, default=-1)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--restricted", action="store_true")
@@ -155,7 +161,8 @@ def main(argv=None) -> int:
     out_base = args.output_group_path or os.path.join(args.raw_path, "..",
                                                       "processed")
     os.makedirs(out_base, exist_ok=True)
-    out_series = create_series_name(args.facility)
+    out_series = (args.output_series_name
+                  or create_series_name(args.facility))
 
     config = None
     if args.processing_setup:

@@ -193,7 +193,7 @@ class FastReader:
         if window is None and rows is None:
             out = np.empty(entry.shape, entry.dtype)
             self._pread_into(fd, out.reshape(-1).view(np.uint8),
-                             entry.offset)
+                             entry.offset, path=entry.path)
             return out
         if len(entry.shape) != 2:
             raise ValueError("windowed/row-subset fast reads need a "
@@ -213,11 +213,13 @@ class FastReader:
         flat = out.view(np.uint8).reshape(len(row_list), -1)
         for i, c in enumerate(row_list):
             self._pread_into(
-                fd, flat[i], entry.offset + c * row_bytes + start * itemsize)
+                fd, flat[i], entry.offset + c * row_bytes + start * itemsize,
+                path=entry.path)
         return out
 
     @staticmethod
-    def _pread_into(fd: int, buf: np.ndarray, offset: int) -> None:
+    def _pread_into(fd: int, buf: np.ndarray, offset: int,
+                    path: str = "?") -> None:
         """Fill ``buf`` (uint8 view) from ``fd`` at ``offset``; loops on
         short reads (page-cache reads return full, disk may not)."""
         view = memoryview(buf)
@@ -227,8 +229,8 @@ class FastReader:
             n = os.preadv(fd, [view[got:]], offset + got)
             if n <= 0:
                 raise IOError(
-                    f"short read: wanted {total} bytes at {offset}, "
-                    f"got {got}")
+                    f"short read in raw file '{path}': wanted {total} "
+                    f"bytes at {offset}, got {got} — truncated dump?")
             got += n
 
     def close(self) -> None:

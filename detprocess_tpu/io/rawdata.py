@@ -53,6 +53,18 @@ DATA_TYPES = {
 }
 
 
+def _open_h5(fname: str):
+    """h5py.File(fname, 'r') with the FILE NAMED in the failure — a bare
+    h5py OSError ('unable to synchronously open file') leaves the
+    operator grepping a multi-series run for which dump is corrupt."""
+    try:
+        return h5py.File(fname, "r")
+    except OSError as e:
+        raise OSError(
+            f"cannot open raw file '{fname}': {e} — corrupt or "
+            f"truncated dump?") from None
+
+
 def extract_series_name(filename: str) -> str:
     m = SERIES_RE.search(os.path.basename(filename))
     if not m:
@@ -269,7 +281,7 @@ class RawReader:
         file_name = file_name or self.files[0]
         if file_name in self._meta_cache:
             return self._meta_cache[file_name]
-        with h5py.File(file_name, "r") as f:
+        with _open_h5(file_name) as f:
             g = f[self.adc_name]
             md = dict(f.attrs)
             md.update({k: g.attrs[k] for k in g.attrs})
@@ -375,7 +387,7 @@ class RawReader:
                 return None, None
             fname = self.files[self._file_idx]
             if self._h5 is None:
-                self._h5 = h5py.File(fname, "r")
+                self._h5 = _open_h5(fname)
             g = self._h5[self.adc_name]
             nev = int(g.attrs["nb_events"])
             if self._event_idx >= nev:
@@ -404,7 +416,7 @@ class RawReader:
         if self._ra_name != fname:
             if self._ra_file is not None:
                 self._ra_file.close()
-            self._ra_file = h5py.File(fname, "r")
+            self._ra_file = _open_h5(fname)
             self._ra_name = fname
             self._ra_ds = {}
             self._ra_fast = {}

@@ -27,15 +27,25 @@ import pandas as pd
 
 
 def write_vaex_hdf5(df: pd.DataFrame, path: str):
-    """Write a dataframe in vaex's HDF5 column layout."""
+    """Write a dataframe in vaex's HDF5 column layout.
+
+    Missing values in string/object columns (None / NaN) are written as
+    empty bytes with a sibling boolean ``mask`` dataset (vaex's masked-
+    column convention) — ``str(None)`` would silently turn missing
+    provenance fields into the literal string "None" on disk."""
     with h5py.File(path, "w") as f:
         cols = f.require_group("table").require_group("columns")
         for name in df.columns:
             arr = df[name].to_numpy()
             g = cols.create_group(str(name))
-            if arr.dtype == object or arr.dtype.kind in "OU":
-                data = np.asarray([str(x) for x in arr], dtype="S")
+            if arr.dtype == object or arr.dtype.kind in "OUT":
+                missing = np.asarray(pd.isnull(arr))
+                data = np.asarray(
+                    [b"" if m else str(x).encode()
+                     for x, m in zip(arr, missing)], dtype="S")
                 g.create_dataset("data", data=data)
+                if missing.any():
+                    g.create_dataset("mask", data=missing)
             else:
                 g.create_dataset("data", data=arr)
 
@@ -48,6 +58,10 @@ def read_vaex_hdf5(path: str) -> pd.DataFrame:
             arr = cols[name]["data"][...]
             if arr.dtype.kind == "S":
                 arr = arr.astype(str)
+                if "mask" in cols[name]:
+                    mask = cols[name]["mask"][...].astype(bool)
+                    arr = arr.astype(object)
+                    arr[mask] = None
             data[name] = arr
     return pd.DataFrame(data)
 

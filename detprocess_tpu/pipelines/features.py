@@ -353,6 +353,12 @@ class FeatureProcessing:
                 return compound.index(chan)
             chans, weights = chutils.channel_combination_weights(
                 chan, raw_channels)
+            missing = [c for c in chans if c not in raw_channels]
+            if missing:
+                raise ValueError(
+                    f"feature channel '{chan}' reads raw channel(s) "
+                    f"{missing} not present in the raw data; "
+                    f"available channels: {raw_channels}")
             row = np.zeros(len(raw_channels))
             wcfg = weights_cfg.get(chan, {})
             for sub, w in zip(chans, weights):
@@ -361,6 +367,17 @@ class FeatureProcessing:
             compound.append(chan)
             mix_rows.append(row)
             return len(compound) - 1
+
+        def check_fs(chan: str, what: str, tag: str, md: dict):
+            """Raw/filter sample-rate consistency (reference
+            processing_data.py:303-318): silent mismatch = wrong
+            physics, not an error."""
+            got = (md or {}).get("sample_rate")
+            if got and float(got) != float(self._fs):
+                raise ValueError(
+                    f"sample rate is not consistent between raw data "
+                    f"({self._fs:g} Hz) and {what} ({float(got):g} Hz) "
+                    f"for channel {chan} (tag '{tag}')")
 
         slot_keys: List[tuple] = []
         slot_templates: List[np.ndarray] = []
@@ -380,9 +397,12 @@ class FeatureProcessing:
                 return slot_keys.index(skey)
             template, _, tmeta = self._filter_data.get_template(
                 chan, tag=template_tag, return_metadata=True)
+            check_fs(chan, "template", template_tag, tmeta)
             template = np.atleast_2d(template)[0] if np.ndim(template) > 1 \
                 else np.asarray(template)
-            psd, _ = self._filter_data.get_psd(chan, tag=csd_tag)
+            psd, _, pmeta = self._filter_data.get_psd(
+                chan, tag=csd_tag, return_metadata=True)
+            check_fs(chan, "psd", csd_tag, pmeta)
             tpre = tmeta.get("nb_pretrigger_samples")
             if tpre is not None:
                 tpre = int(tpre)
@@ -435,7 +455,10 @@ class FeatureProcessing:
                 csd_tag = kwargs.get("csd_tag", "default")
                 template, _, tmeta = self._filter_data.get_template(
                     spec.channel, tag=tag, return_metadata=True)
-                csd, _ = self._filter_data.get_csd(spec.channel, tag=csd_tag)
+                check_fs(spec.channel, "template", tag, tmeta)
+                csd, _, cmeta = self._filter_data.get_csd(
+                    spec.channel, tag=csd_tag, return_metadata=True)
+                check_fs(spec.channel, "csd", csd_tag, cmeta)
                 nxm_pre = int(tmeta.get("nb_pretrigger_samples")
                               or group.nb_pretrigger)
                 if group.of_pretrigger is None:

@@ -358,7 +358,8 @@ class TriggerProcessing:
                  restricted: bool = False,
                  calib: bool = False,
                  facility: int = 1,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 auto_prewarm: bool = True):
         from detprocess_tpu.utils import jaxcache
         jaxcache.enable()   # compiled kernels persist across processes
         self._verbose = verbose
@@ -390,6 +391,13 @@ class TriggerProcessing:
         self._salt_injector = None    # host injector (set_salting)
         self._device_injector = None  # device injector (set_salting)
         self._output_group_path: Optional[str] = None
+        import threading
+        self._fn_cache: dict = {}
+        self._fn_lock = threading.Lock()
+        self._prewarm_thread = None
+        if auto_prewarm and os.environ.get(
+                "DETPROC_TPU_AUTO_PREWARM", "1") != "0":
+            self._start_auto_prewarm()
 
     def get_output_path(self) -> Optional[str]:
         """Output group path of the last saved process() run
@@ -453,14 +461,35 @@ class TriggerProcessing:
             if sep == "|":
                 template, _ = self._filter_data.get_template(
                     chan, tag=template_tag)
-                csd, _ = self._filter_data.get_csd(chan, tag=csd_tag)
+                csd, _, nmeta = self._filter_data.get_csd(
+                    chan, tag=csd_tag, return_metadata=True)
             else:
                 template, _ = self._filter_data.get_template(
                     chan, tag=template_tag)
-                psd, _ = self._filter_data.get_psd(chan, tag=csd_tag)
+                psd, _, nmeta = self._filter_data.get_psd(
+                    chan, tag=csd_tag, return_metadata=True)
                 csd = psd.astype(complex)
             _, _, tmeta = self._filter_data.get_template(
                 chan, tag=template_tag, return_metadata=True)
+            # raw/filter consistency checks (reference
+            # processing_data.py:303-318): a silent fs or length
+            # mismatch would produce wrong physics, not an error
+            for what, md in (("template", tmeta), ("csd/psd", nmeta)):
+                got = (md or {}).get("sample_rate")
+                if got and float(got) != float(self._fs):
+                    raise ValueError(
+                        f"sample rate is not consistent between raw "
+                        f"data ({self._fs:g} Hz) and {what} "
+                        f"({float(got):g} Hz) for trigger channel "
+                        f"{chan} (tag '{template_tag if what == 'template' else csd_tag}')")
+            tlen = int(np.atleast_1d(np.asarray(template)).shape[-1])
+            clen = int(np.asarray(csd).shape[-1])
+            if tlen != clen:
+                raise ValueError(
+                    f"number of samples is not consistent between "
+                    f"template (={tlen}) and csd/psd (={clen}) for "
+                    f"trigger channel {chan} (tags "
+                    f"'{template_tag}'/'{csd_tag}')")
             pretrig = int(tcfg.get("pretrigger_length_samples")
                           or tmeta.get("nb_pretrigger_samples")
                           or np.atleast_1d(template).shape[-1] // 2)
@@ -476,6 +505,14 @@ class TriggerProcessing:
                       if pileup_msec is not None
                       else int(tcfg.get("pileup_window_samples", 0)))
             run_residual = bool(tcfg.get("run_residual", False))
+            missing = [c for c in chans
+                       if c not in self._available_channels]
+            if missing:
+                raise ValueError(
+                    f"trigger channel '{trig_name}' reads raw "
+                    f"channel(s) {missing} not present in the raw "
+                    f"data; available channels: "
+                    f"{self._available_channels}")
             self._channels.append(_TriggerChannel(
                 name=trig_name,
                 channel_name=chan,
@@ -494,6 +531,81 @@ class TriggerProcessing:
             ))
 
     # ------------------------------------------------------------------
+    DEFAULT_CAPACITY = 4096       # process() default — what auto-prewarm
+    DEFAULT_EVENT_BATCH = 8       # compiles ahead of the first dispatch
+
+    def _channel_fn_cached(self, tc: _TriggerChannel, capacity: int,
+                           mesh=None):
+        """Compiled channel fn from the instance cache (build on miss).
+
+        Caching on the instance matters twice over: rebuilding per
+        process() call would give each call a fresh jit identity and
+        force XLA recompilation (measured ~10 s on a 1-core host), and
+        the auto-prewarm thread must land its compiles in the SAME
+        cache the dispatch path reads. The key carries every tc field
+        read at trace time, so mutating the config
+        (set_dynamic_threshold) invalidates the entry."""
+        key = (tc.name, capacity, tc.chi2_threshold,
+               tc.pileup_window, tc.run_residual,
+               tuple(tc.sat_amps) if tc.sat_amps is not None else None,
+               tc.positive_pulses,
+               # the function OBJECT (identity-hashed), not id():
+               # holding it in the key keeps it alive, so a freed
+               # address can never alias a new function into a stale
+               # compiled entry
+               tc.dynamic_threshold_function,
+               tc.dynamic_candidate_capacity,
+               mesh)
+        with self._fn_lock:
+            fn = self._fn_cache.get(key)
+            if fn is None:
+                fn = self._fn_cache[key] = self._make_channel_fn(
+                    tc, capacity, mesh)
+        return fn
+
+    def _start_auto_prewarm(self):
+        """Background compile of the default-shape channel kernels.
+
+        The cold-start XLA compile (~minutes per config on the dev
+        chip, ~15 s executable-cache load warm) previously started only
+        at the first dispatch; --prewarm moved it off the critical path
+        but was operator-opt-in. This starts it at CONSTRUCTION in a
+        daemon thread: by the time the caller has loaded trigger
+        dataframes / read the first batch, the default-shape kernels
+        are compiled (or loading from the persistent cache) and the
+        first dispatch is a cache hit. Best-effort: any failure just
+        falls back to compile-at-first-dispatch. Skipped on the CPU
+        backend (compiles are cheap; the suite constructs hundreds of
+        pipelines). Opt out with auto_prewarm=False or
+        DETPROC_TPU_AUTO_PREWARM=0."""
+        import threading
+
+        # read the trace length on THIS thread: the reader is not meant
+        # for concurrent use with a process() that may start immediately
+        try:
+            l = int(self._reader.get_metadata()["nb_samples"])
+        except Exception:
+            return
+
+        def work():
+            try:
+                if jax.default_backend() == "cpu":
+                    return
+                for tc in self._channels:
+                    fn = self._channel_fn_cached(
+                        tc, self.DEFAULT_CAPACITY, None)
+                    dummy = jnp.zeros(
+                        (self.DEFAULT_EVENT_BATCH,
+                         len(tc.chan_indices), l), jnp.float32)
+                    out = fn(dummy)
+                    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            except Exception:
+                pass    # prewarm is best-effort only
+
+        self._prewarm_thread = threading.Thread(
+            target=work, daemon=True, name="detproc-auto-prewarm")
+        self._prewarm_thread.start()
+
     def _make_channel_fn(self, tc: _TriggerChannel, capacity: int,
                          mesh=None):
         kernel = tc.kernel
@@ -731,30 +843,8 @@ class TriggerProcessing:
             coincident_window_samples = overall.get(
                 "coincident_window_samples")
 
-        # cache compiled channel fns on the instance: rebuilding them per
-        # process() call would give each call a fresh jit identity and
-        # force XLA recompilation (measured ~10 s on a 1-core host). The
-        # key carries every tc field read at trace time, so mutating the
-        # config (set_dynamic_threshold) invalidates the entry.
-        cache = getattr(self, "_fn_cache", None)
-        if cache is None:
-            cache = self._fn_cache = {}
-        fns = {}
-        for tc in self._channels:
-            key = (tc.name, capacity, tc.chi2_threshold,
-                   tc.pileup_window, tc.run_residual,
-                   tuple(tc.sat_amps) if tc.sat_amps is not None else None,
-                   tc.positive_pulses,
-                   # the function OBJECT (identity-hashed), not id():
-                   # holding it in the key keeps it alive, so a freed
-                   # address can never alias a new function into a stale
-                   # compiled entry
-                   tc.dynamic_threshold_function,
-                   tc.dynamic_candidate_capacity,
-                   mesh)
-            if key not in cache:
-                cache[key] = self._make_channel_fn(tc, capacity, mesh)
-            fns[tc.name] = cache[key]
+        fns = {tc.name: self._channel_fn_cached(tc, capacity, mesh)
+               for tc in self._channels}
         builder = EventBuilder()
         import time as _time
 

@@ -10,11 +10,14 @@ Usage (under srun / or standalone with --node_num/--nb_nodes):
         --processing_setup process.yaml --enable-trig --enable-feature
 """
 
+import os
 import sys
 
 from detprocess_tpu import cli
-from detprocess_tpu.io.rawdata import RawData
+from detprocess_tpu.io.rawdata import (RawData, series_number_to_name,
+                                       series_to_number)
 from detprocess_tpu.parallel import multihost
+from detprocess_tpu.utils.misc import create_series_name
 
 
 def main(argv=None):
@@ -34,9 +37,34 @@ def main(argv=None):
         return 0
     print(f"INFO: node processes {len(my_series)}/{len(all_series)} series")
 
-    forwarded = [a for a in (argv or sys.argv[1:])
-                 if not a.startswith(("--node_num", "--nb_nodes"))]
+    # strip the node args INCLUDING their value tokens (`--node_num 0`
+    # is two tokens; filtering only the flag left a stray "0" that the
+    # CLI rejected)
+    src = list(argv if argv is not None else sys.argv[1:])
+    forwarded = []
+    i = 0
+    while i < len(src):
+        a = src[i]
+        if a.startswith(("--node_num", "--nb_nodes")):
+            if "=" not in a and i + 1 < len(src) \
+                    and not src[i + 1].startswith("-"):
+                i += 1               # skip the separate value token
+            i += 1
+            continue
+        forwarded.append(a)
+        i += 1
     forwarded += ["--series", *my_series]
+    if not any(a.startswith("--output-series-name") for a in forwarded):
+        # node-unique output series (reference features.py:502-504:
+        # output_series_num + node_num): concurrent nodes launched the
+        # same second would otherwise write the SAME timestamp-derived
+        # series name into the shared output group and collide
+        node_num = args.node_num
+        if node_num is None:
+            node_num = int(os.environ.get("SLURM_PROCID", 0))
+        base = series_to_number(create_series_name(args.facility))
+        forwarded += ["--output-series-name", series_number_to_name(
+            multihost.output_series_num_for_host(base, node_num))]
     return cli.main(forwarded)
 
 
