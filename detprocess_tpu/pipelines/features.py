@@ -122,7 +122,8 @@ class FeatureProcessing:
                  restricted: bool = False,
                  calib: bool = False,
                  facility: int = 1,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 auto_prewarm: bool = True):
         from detprocess_tpu.utils import jaxcache
         jaxcache.enable()   # compiled kernels persist across processes
         self._verbose = verbose
@@ -174,6 +175,72 @@ class FeatureProcessing:
         self._device_injector = None
         self._build_plan()
         self._compile()
+        self._prewarm_thread = None
+        if auto_prewarm and os.environ.get(
+                "DETPROC_TPU_AUTO_PREWARM", "1") != "0":
+            self._start_auto_prewarm()
+
+    DEFAULT_BATCH_SIZE = 256    # process() default — what auto-prewarm
+                                # compiles ahead of the first dispatch
+
+    def _start_auto_prewarm(self):
+        """Background compile of the default-shape group kernels at
+        construction (see TriggerProcessing._start_auto_prewarm for the
+        rationale). The group fns are the SAME jit objects the dispatch
+        path calls, so a default-batch process() hits the jit cache
+        directly.
+
+        Unlike the trigger pipeline — whose executable-cache load is
+        10+ s and wins even racing the first dispatch (on-chip A/B in
+        BASELINE) — the feature kernels load in ~1 s, so a prewarm
+        running CONCURRENTLY with process() only steals the 1-vCPU
+        host's cycles from the feed thread (measured 1.4-2.5× slower
+        construct→table when raced). The thread therefore YIELDS as
+        soon as process() begins: it uses only genuinely idle
+        construction-to-process time (loading trigger dataframes,
+        operator setup, earlier CLI chain workloads). Best-effort; CPU
+        backend skipped; opt out with auto_prewarm=False or
+        DETPROC_TPU_AUTO_PREWARM=0."""
+        import threading
+
+        try:
+            # upload width: windowed reads cut the trigger geometry;
+            # full-trace mode uploads whole raw events. Channel-subset
+            # uploads shrink C the same way process() will.
+            if self._trigger_df is not None:
+                n_up = int(self._trigger_geometry[0])
+            else:
+                n_up = int(self._reader.get_metadata()["nb_samples"])
+            chans = (self._read_channels if self._read_channels
+                     is not None else self._available_channels)
+            c_up = len(chans)
+        except Exception:
+            return
+
+        self._prewarm_yield = False
+
+        def work():
+            try:
+                if jax.default_backend() == "cpu":
+                    return
+                if self._prewarm_yield:
+                    return
+                banks = self.device_banks(np.float32)
+                dummy = jnp.zeros((self.DEFAULT_BATCH_SIZE, c_up, n_up),
+                                  jnp.float32)
+                for fn, bank in zip(self._group_fns, banks):
+                    if self._prewarm_yield:   # process() started — its
+                        return                # dispatch compiles now
+                    out = fn(dummy, bank)
+                    leaves = jax.tree.leaves(out)
+                    if leaves:
+                        np.asarray(leaves[0]).ravel()[:1]
+            except Exception:
+                pass    # prewarm is best-effort only
+
+        self._prewarm_thread = threading.Thread(
+            target=work, daemon=True, name="detproc-auto-prewarm")
+        self._prewarm_thread.start()
 
     def set_salting(self, injector):
         """Attach a salting injector: salts are re-injected into every
@@ -1431,6 +1498,10 @@ class FeatureProcessing:
         import time as _time
 
         t_start = _time.time()
+        # tell a still-running auto-prewarm thread to yield: from here
+        # the dispatch path compiles what it needs, and on a 1-vCPU
+        # host a racing prewarm only steals the feed thread's cycles
+        self._prewarm_yield = True
         if (nreaders > 1 and self._trigger_df is None
                 and (nevents >= 0 or resume)):
             # unordered multi-reader events break nevents-truncation and

@@ -88,6 +88,37 @@ def test_prewarm_lands_in_dispatch_cache(setup, monkeypatch):
     assert len(df) >= 2          # the injected pulse still triggers
 
 
+def test_feature_prewarm_compiles_group_fns(setup, monkeypatch):
+    """FeatureProcessing's prewarm thread (simulated non-CPU backend)
+    executes the same jit'd group fns the dispatch path calls, at the
+    default batch shape — the jit cache is warm before process()."""
+    import jax
+    import yaml as _yaml
+
+    from detprocess_tpu.pipelines.features import FeatureProcessing
+
+    files, cpath, fd = setup
+    fcfg = {"feature": {"trace_length_samples": NT,
+                        "pretrigger_length_samples": PRE,
+                        "chan1": {"of1x1_nodelay": {"run": True},
+                                  "baseline": {"run": True}}}}
+    fpath = str(tmp_dir := __import__("tempfile").mkdtemp()) + "/f.yaml"
+    _yaml.safe_dump(fcfg, open(fpath, "w"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "prewarm-test")
+    monkeypatch.setattr(FeatureProcessing, "DEFAULT_BATCH_SIZE", 4)
+    fp = FeatureProcessing(files, fpath, filter_data=fd, verbose=False)
+    assert fp._prewarm_thread is not None
+    fp._prewarm_thread.join(timeout=300)
+    assert not fp._prewarm_thread.is_alive()
+    assert all(fn._cache_size() >= 1 for fn in fp._group_fns), \
+        "prewarm did not compile the group fns"
+    # CPU backend: skipped, nothing compiled at construction
+    monkeypatch.undo()
+    fp2 = FeatureProcessing(files, fpath, filter_data=fd, verbose=False)
+    fp2._prewarm_thread.join(timeout=60)
+    assert all(fn._cache_size() == 0 for fn in fp2._group_fns)
+
+
 def test_prewarm_failure_is_silent(setup, monkeypatch):
     """A broken backend probe must not break construction or process()."""
     import jax
