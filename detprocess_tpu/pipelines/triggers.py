@@ -395,6 +395,8 @@ class TriggerProcessing:
         self._fn_cache: dict = {}
         self._fn_lock = threading.Lock()
         self._prewarm_thread = None
+        self._active_process_key = None   # (capacity, mesh) of a live
+                                          # process() call, set there
         if auto_prewarm and os.environ.get(
                 "DETPROC_TPU_AUTO_PREWARM", "1") != "0":
             self._start_auto_prewarm()
@@ -587,11 +589,22 @@ class TriggerProcessing:
         except Exception:
             return
 
+        def _mismatched():
+            # a process() running with NON-default capacity or a mesh
+            # would not use these kernels — keeping on compiling them
+            # only serializes with the real compile on the backend's
+            # compile queue
+            key = self._active_process_key
+            return (key is not None
+                    and key != (self.DEFAULT_CAPACITY, None))
+
         def work():
             try:
                 if jax.default_backend() == "cpu":
                     return
                 for tc in self._channels:
+                    if _mismatched():
+                        return
                     fn = self._channel_fn_cached(
                         tc, self.DEFAULT_CAPACITY, None)
                     dummy = jnp.zeros(
@@ -843,6 +856,11 @@ class TriggerProcessing:
             coincident_window_samples = overall.get(
                 "coincident_window_samples")
 
+        # tell a still-running auto-prewarm thread what this call
+        # actually needs: with a non-default capacity or a mesh, the
+        # prewarm's default-shape compiles would only serialize with
+        # the real ones on the backend compile queue
+        self._active_process_key = (capacity, mesh)
         fns = {tc.name: self._channel_fn_cached(tc, capacity, mesh)
                for tc in self._channels}
         builder = EventBuilder()

@@ -88,6 +88,24 @@ def test_prewarm_lands_in_dispatch_cache(setup, monkeypatch):
     assert len(df) >= 2          # the injected pulse still triggers
 
 
+def test_prewarm_bails_on_capacity_mismatch(setup, monkeypatch):
+    """A process() running with a non-default capacity (or a mesh) makes
+    the default-shape prewarm useless — on the serialized backend
+    compile queue it would only DELAY the real compile. The thread must
+    bail without compiling."""
+    import jax
+
+    files, cpath, fd = setup
+    monkeypatch.setattr(jax, "default_backend", lambda: "prewarm-test")
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False,
+                           auto_prewarm=False)
+    tp._active_process_key = (64, None)      # as a live process() sets
+    tp._start_auto_prewarm()
+    tp._prewarm_thread.join(timeout=60)
+    assert not tp._prewarm_thread.is_alive()
+    assert tp._fn_cache == {}, "prewarm compiled despite the mismatch"
+
+
 def test_feature_prewarm_compiles_group_fns(setup, monkeypatch):
     """FeatureProcessing's prewarm thread (simulated non-CPU backend)
     executes the same jit'd group fns the dispatch path calls, at the

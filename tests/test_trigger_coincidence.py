@@ -201,3 +201,76 @@ def test_coincidence_window_zero_no_merge(tmp_path):
     # trigger is its own row
     assert (df_slow["trigger_channel"] == "chan2").sum() >= 4
     _assert_frames_equal(df_fast, df_slow)
+
+
+def test_mixed_template_count_coincidence(tmp_path, monkeypatch):
+    """An NxM compound trigger channel (M=2 amplitudes → NO unsuffixed
+    'trigger_amplitude' column) coinciding with a 1-template channel
+    exercises the drain's mixed-amplitude-slot logic: amplitude columns
+    NaN-padded across channels, 'trigger_amplitude' present only for
+    the m==1 channel's rows, and suffixed blocks per channel. Fast
+    drain == EventBuilder frame-for-frame."""
+    rng = np.random.default_rng(61)
+    tmpl_a = pulse.make_template(FS, NT, PRE, A=1.0, tau_r=20e-6,
+                                 tau_f1=60e-6)
+    tmpl_b = pulse.make_template(FS, NT, PRE, A=1.0, tau_r=20e-6,
+                                 tau_f1=150e-6)
+    traces = rng.standard_normal((2, 3, L)) * 1e-9
+    for ev in range(2):
+        for p, a in ((9000, 1.8e-9), (30000, 1.6e-9)):
+            traces[ev, 0, p - PRE:p - PRE + NT] += a * tmpl_a
+            traces[ev, 1, p - PRE:p - PRE + NT] += 0.8 * a * tmpl_a
+            q = p + 30
+            traces[ev, 2, q - PRE:q - PRE + NT] += 1.5e-9 * tmpl_a
+        traces[ev, 2, 45000 - PRE:45000 - PRE + NT] += 1.5e-9 * tmpl_a
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T250000", FS,
+                  CHANNELS, data_type="continuous",
+                  nb_pretrigger_samples=PRE)
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    # compound channel: 2 raw channels x 2 templates -> m = 2
+    tm = np.stack([np.stack([tmpl_a, tmpl_b]),
+                   np.stack([0.8 * tmpl_a, 0.8 * tmpl_b])])  # [C, M, N]
+    fd.set_template("chan1|chan2", tm, FS,
+                    pretrigger_length_samples=PRE)
+    csd = np.zeros((2, 2, NT), complex)
+    csd[0, 0] = csd[1, 1] = 1e-9 ** 2 / FS
+    fd.set_csd(["chan1", "chan2"], csd, FS)
+    fd.set_template("chan3", tmpl_a, FS, pretrigger_length_samples=PRE)
+    fd.set_psd("chan3", np.full(NT, 1e-9 ** 2 / FS), FS)
+    cfg = {"trigger": {
+        "chan1|chan2": {"run": True, "template_tag": "default",
+                        "threshold_sigma": 7.0,
+                        "pileup_window_msec": 0.04},
+        "chan3": {"run": True, "template_tag": "default",
+                  "threshold_sigma": 7.0,
+                  "pileup_window_msec": 0.04}}}
+    cpath = str(tmp_path / "t.yaml")
+    yaml.safe_dump(cfg, open(cpath, "w"))
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    ms = sorted(tc.kernel.iw_matrix.shape[0] for tc in tp._channels)
+    assert ms == [1, 2], ms           # mixed amplitude counts engaged
+    monkeypatch.setattr(trig_pipe, "EventBuilder", _Tripwire)
+    df_fast = tp.process(capacity=64, event_batch=2,
+                         coincident_window_samples=200)
+    monkeypatch.undo()
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=64, event_batch=2,
+                             coincident_window_samples=200)
+    finally:
+        del tp.FAST_DRAIN
+    # cross-channel merges between the compound and plain channel
+    merged = (df_slow["trigger_index_chan3"].notna()
+              & (df_slow["trigger_channel"] == "chan1|chan2")).sum() \
+        + (df_slow["trigger_index_chan1|chan2"].notna()
+           & (df_slow["trigger_channel"] == "chan3")).sum()
+    assert merged > 0, "no compound<->plain coincidence merges"
+    # mixed amplitude-slot columns present as expected
+    assert "trigger_amplitude_1" in df_slow.columns
+    assert "trigger_amplitude" in df_slow.columns
+    c3 = df_slow["trigger_channel"] == "chan3"
+    assert df_slow.loc[c3, "trigger_amplitude_1"].isna().all()
+    assert df_slow.loc[~c3, "trigger_amplitude"].isna().all()
+    _assert_frames_equal(df_fast, df_slow)
