@@ -673,18 +673,23 @@ def bench_trigger_modes(quick=False):
             if len(seg):
                 seg[np.argmax(d[seg])]
 
+    spreads = []
     for name, work in (("base", cpu_base_work),
                        ("residual", cpu_residual_work),
                        ("dynamic", cpu_dynamic_work)):
-        rate, spread = cpu_median_rate(work, l_cpu, k=3)
+        rate, spread = cpu_median_rate(work, l_cpu)
         out[f"cpu_{name}_msamples_per_sec"] = round(rate / 1e6, 2)
+        out[f"cpu_{name}_spread"] = round(spread, 3)
+        spreads.append(spread)
     out["residual_vs_residual_speedup"] = round(
         out["residual_retrigger_msamples_per_sec"]
         / out["cpu_residual_msamples_per_sec"], 1)
     out["dynamic_vs_dynamic_speedup"] = round(
         out["dynamic_window_msamples_per_sec"]
         / out["cpu_dynamic_msamples_per_sec"], 1)
-    out.update(_cpu_protocol(spread))
+    # worst leg's spread in the protocol field (each leg also carries
+    # its own — one leg's tight spread must not vouch for the others)
+    out.update(_cpu_protocol(max(spreads)))
     return out
 
 

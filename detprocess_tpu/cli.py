@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--processing_id", type=str, default=None)
     p.add_argument("--facility", type=int, default=1)
-    p.add_argument("--output-series-name", default=None,
+    p.add_argument("--output-series-name", "--output_series_name",
+                   default=None,
                    help="output series name override (default: "
                         "timestamp-derived). Multi-node drivers pass a "
                         "node-offset name here so concurrent nodes "

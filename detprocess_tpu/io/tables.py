@@ -57,11 +57,16 @@ def read_vaex_hdf5(path: str) -> pd.DataFrame:
         for name in cols:
             arr = cols[name]["data"][...]
             if arr.dtype.kind == "S":
-                arr = arr.astype(str)
+                # decode as UTF-8 to match the writer's str.encode()
+                # (astype(str) decodes ASCII and would crash on any
+                # non-ASCII value the writer accepted)
+                arr = np.array([b.decode("utf-8") for b in arr],
+                               dtype=object)
                 if "mask" in cols[name]:
                     mask = cols[name]["mask"][...].astype(bool)
-                    arr = arr.astype(object)
                     arr[mask] = None
+                else:
+                    arr = arr.astype(str)
             data[name] = arr
     return pd.DataFrame(data)
 

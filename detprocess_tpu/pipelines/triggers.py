@@ -557,6 +557,7 @@ class TriggerProcessing:
                # compiled entry
                tc.dynamic_threshold_function,
                tc.dynamic_candidate_capacity,
+               tc.dynamic_premerge_window,
                mesh)
         with self._fn_lock:
             fn = self._fn_cache.get(key)
@@ -1014,24 +1015,24 @@ class TriggerProcessing:
                 out[name] = tuple(rebuilt)
             return out
 
+        def ts_event_view(t, e):
+            """Event-``e`` view of one HOST TriggerSet bundle — pure
+            numpy slicing, no device traffic. Single owner of the
+            field-slicing (used by both drains: a field added to
+            TriggerSet must slice identically on both paths)."""
+            if t is None:
+                return None
+            return trig_ops.TriggerSet(
+                indices=t.indices[e], dchi2=t.dchi2[e],
+                amplitudes=t.amplitudes[e], count=t.count[e],
+                count_total=t.count_total[e],
+                n_above=(t.n_above[e]
+                         if t.n_above is not None else None))
+
         def slice_sets(batch_sets, e):
-            """Per-event view of HOST TriggerSets (sets_to_host output) —
-            pure numpy slicing, no device traffic."""
-            out = {}
-            for name, (ts, ts2) in batch_sets.items():
-                def pick(t):
-                    if t is None:
-                        return None
-                    return trig_ops.TriggerSet(
-                        indices=t.indices[e],
-                        dchi2=t.dchi2[e],
-                        amplitudes=t.amplitudes[e],
-                        count=t.count[e],
-                        count_total=t.count_total[e],
-                        n_above=(t.n_above[e]
-                                 if t.n_above is not None else None))
-                out[name] = (pick(ts), pick(ts2))
-            return out
+            """Per-event view of HOST TriggerSets (sets_to_host output)."""
+            return {name: (ts_event_view(ts, e), ts_event_view(ts2, e))
+                    for name, (ts, ts2) in batch_sets.items()}
 
         # batched + pipelined event processing: ``event_batch`` continuous
         # events per dispatch, ``pipeline_depth`` dispatches in flight;
@@ -1111,7 +1112,11 @@ class TriggerProcessing:
         if coincident_window_msec is not None:
             merge_window = int(coincident_window_msec * self._fs / 1000)
         elif coincident_window_samples is not None:
-            merge_window = int(coincident_window_samples)
+            # keep the RAW value (no int()): the EventBuilder path
+            # compares against it un-truncated, and a non-integer
+            # window would otherwise merge differently on the two
+            # paths (62 < 62.5 vs 62 < 62)
+            merge_window = coincident_window_samples
         fast_state = {"event_time": -np.inf, "trigger_id": 0,
                       "col_order": [], "col_seen": set()}
         META_COLS = ("processing_id", "data_type", "group_name",
@@ -1162,16 +1167,6 @@ class TriggerProcessing:
                     ev_meta.append((admin, livetime, ev_start))
                 events_done += E
 
-                def _event_view(t, e):
-                    if t is None:
-                        return None
-                    return trig_ops.TriggerSet(
-                        indices=t.indices[e], dchi2=t.dchi2[e],
-                        amplitudes=t.amplitudes[e], count=t.count[e],
-                        count_total=t.count_total[e],
-                        n_above=(t.n_above[e]
-                                 if t.n_above is not None else None))
-
                 # flatten each channel's per-event triggers (residual
                 # combine order, edge-filtered) with owning-event ids
                 chan_flat = []   # (ci, tc, ev[], idx[], d[], amps[m, k])
@@ -1180,8 +1175,8 @@ class TriggerProcessing:
                     ts_b, ts2_b = hsets[tc.name]
                     evs, idxs, ds, ampss = [], [], [], []
                     for e in range(E):
-                        ts = _event_view(ts_b, e)
-                        ts2 = _event_view(ts2_b, e)
+                        ts = ts_event_view(ts_b, e)
+                        ts2 = ts_event_view(ts2_b, e)
                         if ts2 is not None:
                             # dedup-merge first + residual pass
                             # (combine_trigger_data semantics)

@@ -54,15 +54,28 @@ def main(argv=None):
         forwarded.append(a)
         i += 1
     forwarded += ["--series", *my_series]
-    if not any(a.startswith("--output-series-name") for a in forwarded):
+    if args.output_series_name is None:
         # node-unique output series (reference features.py:502-504:
-        # output_series_num + node_num): concurrent nodes launched the
-        # same second would otherwise write the SAME timestamp-derived
-        # series name into the shared output group and collide
+        # output_series_num + node_num). The BASE series must be the
+        # same on every node or skewed launches still collide (node 0
+        # starting one second after node 1 lands on node 1's name), so
+        # the launcher exports one base for the whole job
+        # (DETPROC_TPU_BASE_SERIES, set by scripts/slurm_processing.sh
+        # at submission); per-node clocks are only a fallback.
         node_num = args.node_num
         if node_num is None:
             node_num = int(os.environ.get("SLURM_PROCID", 0))
-        base = series_to_number(create_series_name(args.facility))
+        base_name = os.environ.get("DETPROC_TPU_BASE_SERIES")
+        if base_name is None:
+            base_name = create_series_name(args.facility)
+            if (args.nb_nodes or int(os.environ.get("SLURM_NTASKS",
+                                                    0) or 1)) > 1:
+                print("WARNING: DETPROC_TPU_BASE_SERIES not set — "
+                      "deriving the output series base from this "
+                      "node's clock; nodes launched with sub-minute "
+                      "skew can still collide. Export one base series "
+                      "for the job (see scripts/slurm_processing.sh).")
+        base = series_to_number(base_name)
         forwarded += ["--output-series-name", series_number_to_name(
             multihost.output_series_num_for_host(base, node_num))]
     return cli.main(forwarded)

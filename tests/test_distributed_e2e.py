@@ -110,6 +110,9 @@ def test_two_process_distributed_equals_single(setup, tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # one shared base series for the job, like the SLURM launcher —
+    # per-node clocks would make node uniqueness depend on launch skew
+    env["DETPROC_TPU_BASE_SERIES"] = "I1_D20260820_T270000"
     procs = []
     for node in range(2):
         procs.append(subprocess.Popen(
@@ -128,11 +131,13 @@ def test_two_process_distributed_equals_single(setup, tmp_path):
     # ---- node-unique output naming ---------------------------------
     dist_files, dist_trig = _read_dumps(out_dist, "trigger")
     assert len(dist_files) == 2, dist_files
-    out_series = {f.rsplit("_F", 1)[0].rsplit("_", 2)[-2]
-                  + "_" + f.rsplit("_F", 1)[0].rsplit("_", 2)[-1]
+    out_series = {"I" + f.rsplit("_F", 1)[0].rsplit("_I", 1)[-1]
                   for f in dist_files}
-    assert len(out_series) == 2, \
-        f"nodes wrote the SAME output series: {dist_files}"
+    # base from DETPROC_TPU_BASE_SERIES + node_num offsets — exact, not
+    # merely distinct (clock-derived bases collide under launch skew)
+    assert out_series == {"I1_D20260820_T270000",
+                          "I1_D20260820_T270001"}, \
+        f"unexpected output series: {dist_files}"
 
     # ---- union of trigger dumps == single run ----------------------
     _, single_trig = _read_dumps(out_single, "trigger")

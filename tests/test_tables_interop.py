@@ -105,3 +105,28 @@ def test_job_summary_accumulates_on_resume(tmp_path):
     assert s["dumps"] == 3               # cumulative numbering, not summed
     assert s["invocations"] == 2
     assert s["events_per_sec"] == 10.0   # 120 / 12
+
+
+def test_vaex_hdf5_utf8_and_missing_roundtrip(tmp_path):
+    """Non-ASCII strings and missing values round-trip: the writer
+    encodes UTF-8 (it once relied on numpy 'S' casting, which raised on
+    non-ASCII) and the reader decodes UTF-8 (it once astype(str)'d,
+    which is ASCII and crashed on what the writer accepted); None is
+    preserved via the mask dataset, never the literal string 'None'."""
+    import numpy as np
+    import pandas as pd
+
+    from detprocess_tpu.io import tables
+
+    df = pd.DataFrame({
+        "s": np.array(["séries", None, "β-decay", "plain"], object),
+        "x": np.arange(4),
+    })
+    p = str(tmp_path / "t.hdf5")
+    tables.write_table(df, p)
+    back = tables.read_table(p)
+    vals = list(back["s"])
+    assert vals[0] == "séries" and vals[2] == "β-decay" \
+        and vals[3] == "plain"
+    assert pd.isna(vals[1])          # missing, NOT the string "None"
+    assert "None" not in {v for v in vals if not pd.isna(v)}

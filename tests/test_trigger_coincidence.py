@@ -274,3 +274,24 @@ def test_mixed_template_count_coincidence(tmp_path, monkeypatch):
     assert df_slow.loc[c3, "trigger_amplitude_1"].isna().all()
     assert df_slow.loc[~c3, "trigger_amplitude"].isna().all()
     _assert_frames_equal(df_fast, df_slow)
+
+
+def test_fractional_coincident_window_equality(tmp_path):
+    """A NON-integer coincident_window_samples must merge identically on
+    both drains (the fast path once int()-truncated it: 62 < 62.5 on
+    the EventBuilder path vs 62 < 62 on the fast path)."""
+    rng = np.random.default_rng(71)
+    files, fd, _ = _make_raw(tmp_path, rng, nev=2)
+    cpath = _config(tmp_path, "plain")
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    # 6001(c1) → 6019-ish(c2): gaps ~18-21; a window of 20.5 sits ON
+    # the truncation boundary for some of the seeded gaps
+    df_fast = tp.process(capacity=64, event_batch=2,
+                         coincident_window_samples=20.5)
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=64, event_batch=2,
+                             coincident_window_samples=20.5)
+    finally:
+        del tp.FAST_DRAIN
+    _assert_frames_equal(df_fast, df_slow)
