@@ -151,3 +151,25 @@ def test_prewarm_failure_is_silent(setup, monkeypatch):
     tp._prewarm_thread.join(timeout=60)
     df = tp.process(capacity=64, event_batch=2)
     assert len(df) >= 2
+
+
+def test_fn_cache_keys_on_premerge_window(setup):
+    """Changing set_dynamic_threshold's premerge_window (same window
+    fn!) must compile a FRESH kernel — the cache key once omitted it
+    and silently reused the stale merge semantics."""
+    import jax.numpy as jnp
+
+    files, cpath, fd = setup
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False,
+                           auto_prewarm=False)
+
+    def window_fn(m):
+        return 50.0 + 0.0 * jnp.sqrt(m)
+
+    tp.set_dynamic_threshold("chan1", window_fn, premerge_window=None)
+    tp.process(capacity=32, event_batch=2)
+    assert len(tp._fn_cache) == 1
+    tp.set_dynamic_threshold("chan1", window_fn, premerge_window=0)
+    tp.process(capacity=32, event_batch=2)
+    assert len(tp._fn_cache) == 2, \
+        "premerge_window change reused the stale compiled kernel"
