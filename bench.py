@@ -184,8 +184,9 @@ def bench_tpu(bank, template):
     # physics invariants on the SAME device outputs (VERDICT r4 item 4:
     # the driver artifact carries correctness, not just throughput).
     # Known-truth injections: amps_true per event, t0_true = 0 (pulses
-    # sit at the template position), noise is white 3e-9/sample →
-    # χ²/dof ~ 1. Reference anchor for the invariant set:
+    # sit at the template position), and make_batch synthesizes noise
+    # MATCHED to the bank's PSD (E|ñ_k|² = N·fs·J_k) → χ²/dof ~ 1 by
+    # construction. Reference anchor for the invariant set:
     # detprocess/process/features.py:533-851 (OF feature columns).
     truths = [np.asarray(b[1]) for b in batches]
     rel = np.concatenate([(r - t) / t

@@ -41,6 +41,20 @@ def _is_tabular(value) -> bool:
     )
 
 
+def check_fs_consistent(fs_raw, metadata, what, channel, tag):
+    """Raise if a filter-data item's stored sample_rate disagrees with
+    the raw data's (reference processing_data.py:303-318 consistency
+    checks) — a silent mismatch produces wrong physics, not an error.
+    Shared by the trigger and feature pipelines so the check cannot
+    drift between them."""
+    got = (metadata or {}).get("sample_rate")
+    if got and float(got) != float(fs_raw):
+        raise ValueError(
+            f"sample rate is not consistent between raw data "
+            f"({float(fs_raw):g} Hz) and {what} ({float(got):g} Hz) "
+            f"for channel {channel} (tag '{tag}')")
+
+
 class FilterData:
     """In-memory tagged store + HDF5 persistence."""
 

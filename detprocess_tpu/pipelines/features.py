@@ -436,15 +436,11 @@ class FeatureProcessing:
             return len(compound) - 1
 
         def check_fs(chan: str, what: str, tag: str, md: dict):
-            """Raw/filter sample-rate consistency (reference
-            processing_data.py:303-318): silent mismatch = wrong
-            physics, not an error."""
-            got = (md or {}).get("sample_rate")
-            if got and float(got) != float(self._fs):
-                raise ValueError(
-                    f"sample rate is not consistent between raw data "
-                    f"({self._fs:g} Hz) and {what} ({float(got):g} Hz) "
-                    f"for channel {chan} (tag '{tag}')")
+            # shared raw/filter sample-rate consistency check
+            # (io.filterfile.check_fs_consistent — one owner for both
+            # pipelines)
+            from detprocess_tpu.io.filterfile import check_fs_consistent
+            check_fs_consistent(self._fs, md, what, chan, tag)
 
         slot_keys: List[tuple] = []
         slot_templates: List[np.ndarray] = []

@@ -476,14 +476,11 @@ class TriggerProcessing:
             # raw/filter consistency checks (reference
             # processing_data.py:303-318): a silent fs or length
             # mismatch would produce wrong physics, not an error
-            for what, md in (("template", tmeta), ("csd/psd", nmeta)):
-                got = (md or {}).get("sample_rate")
-                if got and float(got) != float(self._fs):
-                    raise ValueError(
-                        f"sample rate is not consistent between raw "
-                        f"data ({self._fs:g} Hz) and {what} "
-                        f"({float(got):g} Hz) for trigger channel "
-                        f"{chan} (tag '{template_tag if what == 'template' else csd_tag}')")
+            from detprocess_tpu.io.filterfile import check_fs_consistent
+            check_fs_consistent(self._fs, tmeta, "template", chan,
+                                template_tag)
+            check_fs_consistent(self._fs, nmeta, "csd/psd", chan,
+                                csd_tag)
             tlen = int(np.atleast_1d(np.asarray(template)).shape[-1])
             clen = int(np.asarray(csd).shape[-1])
             if tlen != clen:
@@ -1125,9 +1122,11 @@ class TriggerProcessing:
                      "series_start_time", "group_start_time",
                      "fridge_run_start_time", "trigger_prod_id")
 
-        def _chan_cols(tc, m):
-            """One channel's contributed columns in _trigger_set_to_df
-            order (base, suffixed duplicates, edge-exclusion tail)."""
+        def _chan_base_cols(m):
+            """One channel's UNSUFFIXED columns in _trigger_set_to_df
+            order — the single owner of this list: the suffixed-column
+            build and the column-order union both derive from it, so
+            they cannot drift apart."""
             base = ["trigger_index", "trigger_time", "trigger_delta_chi2",
                     "trigger_threshold_sigma", "trigger_pileup_window",
                     "trigger_type"]
@@ -1135,6 +1134,12 @@ class TriggerProcessing:
             if m == 1:
                 base += ["trigger_amplitude"]
             base += ["trigger_channel"]
+            return base
+
+        def _chan_cols(tc, m):
+            """One channel's contributed columns (base, suffixed
+            duplicates, edge-exclusion tail)."""
+            base = _chan_base_cols(m)
             out = base + [f"{b}_{tc.name}" for b in base]
             if tc.edge_exclusion_msec is not None:
                 out += [f"trigger_edge_exclusion_time_{tc.name}",
@@ -1287,16 +1292,7 @@ class TriggerProcessing:
 
                 for ci, tc, evs, idxs, ds, amps in chan_flat:
                     p = pos[ci]
-                    m = amps.shape[0]
-                    base = ["trigger_index", "trigger_time",
-                            "trigger_delta_chi2",
-                            "trigger_threshold_sigma",
-                            "trigger_pileup_window", "trigger_type"]
-                    base += [f"trigger_amplitude_{i}" for i in range(m)]
-                    if m == 1:
-                        base += ["trigger_amplitude"]
-                    base += ["trigger_channel"]
-                    for b in base:
+                    for b in _chan_base_cols(amps.shape[0]):
                         data[f"{b}_{tc.name}"] = _suffixed(data[b], p)
                     if tc.edge_exclusion_msec is not None:
                         col = np.full(n, np.nan)

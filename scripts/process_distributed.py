@@ -66,6 +66,13 @@ def main(argv=None):
         if node_num is None:
             node_num = int(os.environ.get("SLURM_PROCID", 0))
         base_name = os.environ.get("DETPROC_TPU_BASE_SERIES")
+        if base_name is not None and "_" in base_name:
+            # the launcher only supplies a shared TIMESTAMP; the
+            # facility digit follows this job's --facility (the shell
+            # fallback hardcodes I1 and must not leak into a
+            # facility-2 dataset's series numbers)
+            base_name = (f"I{args.facility}_"
+                         + base_name.split("_", 1)[1])
         if base_name is None:
             base_name = create_series_name(args.facility)
             if (args.nb_nodes or int(os.environ.get("SLURM_NTASKS",
