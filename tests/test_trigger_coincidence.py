@@ -295,3 +295,52 @@ def test_fractional_coincident_window_equality(tmp_path):
     finally:
         del tp.FAST_DRAIN
     _assert_frames_equal(df_fast, df_slow)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_coincidence_patterns(tmp_path, seed, monkeypatch):
+    """Randomized pulse patterns (random channels, positions, amps,
+    coincidence partners) — no structural expectations, just exact
+    fast==slow frame equality. Stresses merge-range shapes the
+    hand-built cases don't cover (chains, triples, near-window gaps,
+    device-merged runs feeding the coincidence logic)."""
+    rng = np.random.default_rng(seed)
+    tmpl = pulse.make_template(FS, NT, PRE, A=1.0, tau_r=20e-6,
+                               tau_f1=60e-6)
+    traces = rng.standard_normal((3, 3, L)) * 1e-9
+
+    def add(ev, ch, p, a):
+        p = int(np.clip(p, PRE + 1, L - NT + PRE - 1))
+        traces[ev, ch, p - PRE:p - PRE + NT] += a * tmpl
+
+    for ev in range(3):
+        for p in rng.integers(3000, L - 3000, size=10):
+            ch = int(rng.integers(0, 3))
+            add(ev, ch, p, rng.uniform(1.3e-9, 2.2e-9))
+            if rng.random() < 0.6:     # coincidence partner nearby
+                add(ev, (ch + int(rng.integers(1, 3))) % 3,
+                    p + int(rng.integers(-150, 150)),
+                    rng.uniform(1.3e-9, 2.2e-9))
+    w = RawWriter(str(tmp_path / "raw"), "I1_D20260820_T250000", FS,
+                  CHANNELS, data_type="continuous",
+                  nb_pretrigger_samples=PRE)
+    w.write_dump(traces, dump_num=1)
+    files = sorted(str(p) for p in (tmp_path / "raw").glob("*.hdf5"))
+    fd = FilterData(verbose=False)
+    for c in CHANNELS:
+        fd.set_template(c, tmpl, FS, pretrigger_length_samples=PRE)
+        fd.set_psd(c, np.full(NT, 1e-9 ** 2 / FS), FS)
+    cpath = _config(tmp_path, "plain")
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    monkeypatch.setattr(trig_pipe, "EventBuilder", _Tripwire)
+    df_fast = tp.process(capacity=128, event_batch=2,
+                         coincident_window_samples=200)
+    monkeypatch.undo()
+    try:
+        tp.FAST_DRAIN = False
+        df_slow = tp.process(capacity=128, event_batch=2,
+                             coincident_window_samples=200)
+    finally:
+        del tp.FAST_DRAIN
+    assert len(df_slow) > 0
+    _assert_frames_equal(df_fast, df_slow)
