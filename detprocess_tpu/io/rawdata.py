@@ -741,7 +741,7 @@ class RawData:
         nb_samples, sample_rate = None, None
         for flist in files_by_series.values():
             for afile in flist:
-                with h5py.File(afile, "r") as f:
+                with _open_h5(afile) as f:
                     g = f["adc1"]
                     nb_events += int(g.attrs.get(
                         "nb_events",
