@@ -106,12 +106,12 @@ def test_prewarm_bails_on_capacity_mismatch(setup, monkeypatch):
     assert tp._fn_cache == {}, "prewarm compiled despite the mismatch"
 
 
-def test_feature_prewarm_compiles_group_fns(setup, monkeypatch):
+def test_feature_prewarm_compiles_group_fns(setup, monkeypatch,
+                                            tmp_path):
     """FeatureProcessing's prewarm thread (simulated non-CPU backend)
     executes the same jit'd group fns the dispatch path calls, at the
     default batch shape — the jit cache is warm before process()."""
     import jax
-    import yaml as _yaml
 
     from detprocess_tpu.pipelines.features import FeatureProcessing
 
@@ -120,8 +120,8 @@ def test_feature_prewarm_compiles_group_fns(setup, monkeypatch):
                         "pretrigger_length_samples": PRE,
                         "chan1": {"of1x1_nodelay": {"run": True},
                                   "baseline": {"run": True}}}}
-    fpath = str(tmp_dir := __import__("tempfile").mkdtemp()) + "/f.yaml"
-    _yaml.safe_dump(fcfg, open(fpath, "w"))
+    fpath = str(tmp_path / "f.yaml")
+    yaml.safe_dump(fcfg, open(fpath, "w"))
     monkeypatch.setattr(jax, "default_backend", lambda: "prewarm-test")
     monkeypatch.setattr(FeatureProcessing, "DEFAULT_BATCH_SIZE", 4)
     fp = FeatureProcessing(files, fpath, filter_data=fd, verbose=False)
