@@ -344,3 +344,50 @@ def test_randomized_coincidence_patterns(tmp_path, seed, monkeypatch):
         del tp.FAST_DRAIN
     assert len(df_slow) > 0
     _assert_frames_equal(df_fast, df_slow)
+
+
+def test_coincidence_dumps_and_resume(tmp_path):
+    """Multi-channel coincidence + periodic dumps + resume: an
+    interrupted run continued with resume=True equals one uninterrupted
+    run (minus the per-run prod-id counter) — the merged-row frames
+    must survive the dump/resume cycle."""
+    import os
+
+    from detprocess_tpu.io import tables
+
+    rng = np.random.default_rng(83)
+    files, fd, _ = _make_raw(tmp_path, rng, nev=4)
+    cpath = _config(tmp_path, "plain")
+    out_full = str(tmp_path / "full")
+    out_part = str(tmp_path / "part")
+    kw = dict(capacity=64, event_batch=1, lgc_save=True,
+              nb_events_per_dump=1, coincident_window_samples=200)
+
+    tp = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    full = tp.process(output_path=out_full,
+                      series_name="I1_D20260820_T280000", **kw)
+
+    tp2 = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    tp2.process(nevents=2, output_path=out_part,
+                series_name="I1_D20260820_T280000", **kw)
+    tp3 = TriggerProcessing(files, cpath, filter_data=fd, verbose=False)
+    tp3.process(resume=True, output_path=out_part, **kw)
+
+    def read_all(out):
+        fs_ = sorted(f for f in os.listdir(out) if f.endswith(".hdf5"))
+        return pd.concat([tables.read_table(os.path.join(out, f))
+                          for f in fs_], ignore_index=True)
+
+    a, b = read_all(out_part), read_all(out_full)
+    assert len(a) == len(b) > 0
+    cols = [c for c in b.columns if c != "trigger_prod_id"]
+    sort = ["event_number", "trigger_index"]
+
+    def norm(df):
+        df = df[cols].sort_values(sort, kind="stable").reset_index(
+            drop=True).astype(object)
+        return df.where(pd.notnull(df), None)
+
+    pd.testing.assert_frame_equal(norm(a), norm(b), check_exact=True)
+    # merged coincidence rows survived the dump round trip
+    assert b["trigger_index_chan2"].notna().any()
