@@ -40,6 +40,7 @@ def _run(script, tmp_path, timeout=900):
     "noise/noise_model.py",
     "trigger/longtrace_sharded.py",
     "trigger/event_builder.py",
+    "trigger/coincidence_pipeline.py",
     "processing/mesh_pipelines.py",
 ])
 def test_example_runs(script, tmp_path):
